@@ -1,0 +1,101 @@
+"""Fused on-device embedding iteration loops.
+
+Reference semantics: ``embed_full`` / ``embed_full_with_convergence``
+(/root/reference/src/embedding.rs:106-188) — per iteration:
+SpMM propagate → optional residual mix ((1-w)·y + w·x when 0<w<1) →
+L2 row-normalize, double-buffered.  The convergence variant checks
+RMSE(new, old) = sqrt(Σδ²/(N·D)) < threshold after the first iteration.
+
+The whole multi-iteration loop is one jitted ``lax.fori_loop`` /
+``lax.while_loop`` — a single dispatch for 40 iterations, zero host↔device
+round-trips (the reference pays one Python↔Rust crossing per call; its fast
+path is one crossing total, matched here).
+
+The whiten-enabled loop (the reference's default Python path,
+pycleora/__init__.py:109-126) fuses propagate → normalize → whiten per
+iteration, all on device including the D×D eigh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .normalize import l2_normalize, normalize
+from .spmm import spmm_inner
+from .whiten import whiten
+
+
+def _step(rows, cols, vals, x, n_rows, residual_weight, normalization, do_whiten):
+    y = spmm_inner(rows, cols, vals, x, n_rows)
+    if 0.0 < residual_weight < 1.0:
+        y = (1.0 - residual_weight) * y + residual_weight * x
+    y = normalize(y, normalization)
+    if do_whiten:
+        y = whiten(y)
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_rows", "num_iterations", "residual_weight", "normalization", "do_whiten",
+    ),
+)
+def embed_loop(rows, cols, vals, x0, *, n_rows, num_iterations,
+               residual_weight=0.0, normalization="l2", do_whiten=False):
+    """num_iterations × [SpMM → residual → normalize → (whiten)] in one jit."""
+
+    def body(_, x):
+        return _step(rows, cols, vals, x, n_rows, residual_weight, normalization,
+                     do_whiten)
+
+    return lax.fori_loop(0, num_iterations, body, x0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_rows", "max_iterations", "residual_weight", "normalization", "do_whiten",
+    ),
+)
+def embed_loop_convergence(rows, cols, vals, x0, *, n_rows, max_iterations,
+                           residual_weight=0.0, convergence_threshold=0.0,
+                           normalization="l2", do_whiten=False):
+    """Iterate until RMSE(x_new, x_old) < threshold (checked from iter 1 on).
+
+    Returns (embeddings, actual_iterations).  Mirrors
+    embed_full_with_convergence (src/embedding.rs:138-188): the check runs
+    only when iter > 0, and on early stop actual_iterations = iter + 1.
+    """
+    nd = x0.shape[0] * x0.shape[1]
+
+    def cond(state):
+        i, _, done = state
+        return jnp.logical_and(i < max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        i, x, _ = state
+        y = _step(rows, cols, vals, x, n_rows, residual_weight, normalization,
+                  do_whiten)
+        diff = y - x
+        rmse = jnp.sqrt(jnp.sum(diff * diff) / nd)
+        done = jnp.logical_and(i > 0, rmse < convergence_threshold)
+        return (i + 1, y, done)
+
+    i, x, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, jnp.bool_(False)))
+    return x, i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "residual_weight", "normalization", "do_whiten"),
+)
+def embed_step(rows, cols, vals, x, *, n_rows, residual_weight=0.0,
+               normalization="l2", do_whiten=False):
+    """Single jitted iteration (used when a per-iteration callback is set)."""
+    return _step(rows, cols, vals, x, n_rows, residual_weight, normalization,
+                 do_whiten)

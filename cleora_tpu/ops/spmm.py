@@ -1,0 +1,62 @@
+"""Sparse matrix × dense embedding propagation (SpMM) for TPU.
+
+The propagate step — ``out[i] = Σ_{edges (i→j)} value · x[j]`` — is the hot
+kernel of the framework (reference semantics: ``spmm_kernel``,
+/root/reference/src/embedding.rs:52-86).
+
+TPU-native design: the transition matrix is a row-sorted COO triple
+(rows, cols, vals).  The baseline path is gather + scale + segment-sum, which
+XLA fuses into a tight HBM-bandwidth-bound loop.  A Pallas kernel variant
+(see ops/spmm_pallas.py) fuses the gather with the accumulation to avoid
+materializing the (nnz, D) intermediate.
+
+Padding contract: rows/cols/vals may be padded at the END with
+(rows=n_rows-1, cols=anything, vals=0.0) so row-sortedness is preserved and
+padding contributes nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
+            multiple: int = 2048):
+    """Pad COO arrays to a bucketed length to limit jit recompiles."""
+    nnz = rows.shape[0]
+    target = max(multiple, int(multiple * ((nnz + multiple - 1) // multiple)))
+    if target == nnz:
+        return (
+            np.ascontiguousarray(rows, dtype=np.int32),
+            np.ascontiguousarray(cols, dtype=np.int32),
+            np.ascontiguousarray(vals, dtype=np.float32),
+        )
+    pad = target - nnz
+    prow = np.full(pad, max(n_rows - 1, 0), dtype=np.int32)
+    pcol = np.zeros(pad, dtype=np.int32)
+    pval = np.zeros(pad, dtype=np.float32)
+    return (
+        np.concatenate([rows.astype(np.int32), prow]),
+        np.concatenate([cols.astype(np.int32), pcol]),
+        np.concatenate([vals.astype(np.float32), pval]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
+         n_rows: int) -> jax.Array:
+    """out = A @ x where A is COO (rows, cols, vals), rows sorted ascending."""
+    return spmm_inner(rows, cols, vals, x, n_rows)
+
+
+def spmm_inner(rows, cols, vals, x, n_rows):
+    """Un-jitted body, for embedding inside larger jitted loops."""
+    gathered = jnp.take(x, cols, axis=0)
+    scaled = gathered * vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        scaled, rows, num_segments=n_rows, indices_are_sorted=True
+    )

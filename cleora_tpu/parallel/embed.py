@@ -1,0 +1,201 @@
+"""Multi-chip embedding loop: shard_map over a 1D device mesh.
+
+Per-iteration schedule on each device (SURVEY.md §2c):
+1. ``all_gather`` the row shards of X over ICI → full (N, D) gather table;
+2. local gather · scale · segment-sum over the shard's own edges (output rows
+   are shard-local by construction — see parallel/shard.py);
+3. local residual mix + row normalize;
+4. whitening with GLOBAL statistics: masked mean and D×D covariance reduced
+   with ``psum``; the tiny eigh is computed replicated on every device.
+
+Everything — all 40 iterations — runs inside one jitted shard_map, so an
+entire embed is a single XLA program with fused compute and collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import SHARD_AXIS, make_mesh
+from .shard import ShardedCoo, pad_rows, shard_graph
+
+
+def _local_step(
+    x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
+    normalization, do_whiten, axis,
+):
+    """One propagate→normalize→whiten step from inside shard_map."""
+    # 1. assemble the global gather table (the "halo exchange" baseline)
+    x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
+
+    # 2. local SpMM: every edge's output row is local
+    gathered = jnp.take(x_full, cols, axis=0) * vals[:, None]
+    y = jax.ops.segment_sum(
+        gathered, lrows, num_segments=rows_per_shard, indices_are_sorted=True
+    )
+
+    # 3. residual + row normalization (purely local)
+    if 0.0 < residual_weight < 1.0:
+        y = (1.0 - residual_weight) * y + residual_weight * x_local
+
+    my_id = lax.axis_index(axis)
+    global_row = my_id * rows_per_shard + jnp.arange(rows_per_shard)
+    valid = (global_row < n_rows).astype(y.dtype)[:, None]
+
+    if normalization == "l2":
+        norms = jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True))
+        y = y / jnp.maximum(norms, 1e-10)
+    elif normalization == "l1":
+        norms = jnp.sum(jnp.abs(y), axis=-1, keepdims=True)
+        y = y / jnp.maximum(norms, 1e-10)
+    elif normalization == "spectral":
+        norms = jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True))
+        yn = y / jnp.maximum(norms, 1e-10)
+        yn = yn * valid
+        g = lax.psum(jnp.dot(yn.T, yn, preferred_element_type=jnp.float32), axis)
+        s2, v = jnp.linalg.eigh(g)
+        s2 = s2[::-1]
+        v = v[:, ::-1]
+        # yn = u s v^T  ⇒  u s = yn v
+        y = jnp.dot(yn, v, preferred_element_type=jnp.float32)
+    elif normalization != "none":
+        raise ValueError(f"Unknown normalization method: {normalization}")
+
+    # 4. whitening with global psum statistics
+    if do_whiten:
+        ym = y * valid
+        mean = lax.psum(jnp.sum(ym, axis=0), axis) / n_rows
+        yc = (y - mean) * valid
+        cov = lax.psum(jnp.dot(yc.T, yc, preferred_element_type=jnp.float32), axis)
+        cov = cov / (n_rows - 1)
+        w, v = jnp.linalg.eigh(cov)
+        w = w[::-1]
+        v = v[:, ::-1]
+        scale = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-10))
+        y = jnp.dot(yc, v * scale, preferred_element_type=jnp.float32)
+    return y
+
+
+def _shard_loop_fn(
+    x_local, lrows, cols, vals, *, rows_per_shard, n_rows, num_iterations,
+    residual_weight, normalization, do_whiten, convergence_threshold, axis,
+):
+    step = functools.partial(
+        _local_step,
+        lrows=lrows, cols=cols, vals=vals,
+        rows_per_shard=rows_per_shard, n_rows=n_rows,
+        residual_weight=residual_weight, normalization=normalization,
+        do_whiten=do_whiten, axis=axis,
+    )
+    if convergence_threshold <= 0:
+        return lax.fori_loop(0, num_iterations, lambda _, x: step(x), x_local)
+
+    nd = n_rows * x_local.shape[1]
+
+    def cond(state):
+        i, _, done = state
+        return jnp.logical_and(i < num_iterations, jnp.logical_not(done))
+
+    def body(state):
+        i, x, _ = state
+        y = step(x)
+        diff = y - x
+        rmse = jnp.sqrt(lax.psum(jnp.sum(diff * diff), axis) / nd)
+        return (i + 1, y, jnp.logical_and(i > 0, rmse < convergence_threshold))
+
+    _, x, _ = lax.while_loop(cond, body, (jnp.int32(0), x_local, jnp.bool_(False)))
+    return x
+
+
+def build_sharded_embed(
+    mesh,
+    sharded: ShardedCoo,
+    feature_dim: int,
+    num_iterations: int,
+    residual_weight: float = 0.0,
+    normalization: str = "l2",
+    do_whiten: bool = False,
+    convergence_threshold: float = 0.0,
+):
+    """Compile the full multi-device embed loop for a given sharded graph.
+
+    Returns (fn, place) where fn(x_padded, lrows, cols, vals) -> x_out and
+    ``place`` device_puts host arrays with the right NamedShardings.
+    """
+    axis = SHARD_AXIS
+    row_spec = P(axis, None)
+    edge_spec = P(axis, None)
+
+    fn = functools.partial(
+        _shard_loop_fn,
+        rows_per_shard=sharded.rows_per_shard,
+        n_rows=sharded.n_rows,
+        num_iterations=num_iterations,
+        residual_weight=residual_weight,
+        normalization=normalization,
+        do_whiten=do_whiten,
+        convergence_threshold=convergence_threshold,
+        axis=axis,
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(row_spec, P(axis), P(axis), P(axis)),
+        out_specs=row_spec,
+    )
+    jitted = jax.jit(mapped)
+
+    def place(x_padded: np.ndarray):
+        xs = jax.device_put(x_padded, NamedSharding(mesh, row_spec))
+        lr = jax.device_put(
+            sharded.local_rows.reshape(-1), NamedSharding(mesh, P(axis))
+        )
+        cc = jax.device_put(sharded.cols.reshape(-1), NamedSharding(mesh, P(axis)))
+        vv = jax.device_put(sharded.vals.reshape(-1), NamedSharding(mesh, P(axis)))
+        return xs, lr, cc, vv
+
+    return jitted, place
+
+
+def embed_sharded(
+    graph,
+    feature_dim: int = 256,
+    num_iterations: int = 40,
+    propagation: str = "left",
+    normalization: str = "l2",
+    seed: int = 0,
+    whiten: bool = True,
+    residual_weight: float = 0.0,
+    convergence_threshold: float = 0.0,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    initial_embeddings: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Multi-device embed(): same semantics as cleora_tpu.embed, sharded."""
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    n_shards = mesh.devices.size
+
+    sharded = shard_graph(graph, propagation, n_shards)
+    if initial_embeddings is not None:
+        x0 = np.asarray(initial_embeddings, dtype=np.float32)
+        feature_dim = x0.shape[1]
+    else:
+        x0 = graph.initialize_deterministically(feature_dim, seed)
+    x_padded = pad_rows(x0, sharded.n_rows_padded)
+
+    fn, place = build_sharded_embed(
+        mesh, sharded, feature_dim, num_iterations,
+        residual_weight=residual_weight, normalization=normalization,
+        do_whiten=whiten, convergence_threshold=convergence_threshold,
+    )
+    xs, lr, cc, vv = place(x_padded)
+    out = fn(xs, lr, cc, vv)
+    return np.asarray(out)[: graph.num_entities]

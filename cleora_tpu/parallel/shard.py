@@ -1,0 +1,104 @@
+"""Edge/row-partitioned graph shards for multi-chip propagation.
+
+Partitioning scheme (the TPU analog of the reference's row-parallel rayon SpMM,
+/root/reference/src/embedding.rs:59-63, scaled across chips):
+
+* embedding rows are block-partitioned: device k owns rows
+  [k·rows_per_shard, (k+1)·rows_per_shard) of the (padded) N×D matrix;
+* every COO edge lives on the device that owns its OUTPUT row, so the
+  segment-sum accumulation is entirely local;
+* the gather side needs remote rows → an all-gather of the row shards
+  (optimized variants overlap this with local accumulation);
+* per-shard edge counts are padded to the max shard size with zero-valued
+  edges pointing at the shard's last local row (keeps row-sortedness).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .mesh import round_up
+
+
+@dataclass
+class ShardedCoo:
+    """COO partitioned by output-row blocks; all arrays have a leading
+    n_shards dimension with equal per-shard sizes (pad included)."""
+
+    local_rows: np.ndarray  # int32 (P, E) — row index LOCAL to the shard
+    cols: np.ndarray  # int32 (P, E) — GLOBAL column index into padded N
+    vals: np.ndarray  # float32 (P, E) — zero for padding
+    n_rows: int  # true (unpadded) number of rows
+    n_rows_padded: int
+    rows_per_shard: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.local_rows.shape[0]
+
+
+def shard_coo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    n_shards: int,
+    row_multiple: int = 8,
+    edge_multiple: int = 512,
+) -> ShardedCoo:
+    """Partition a row-sorted COO matrix into per-device blocks."""
+    n_padded = round_up(max(n_rows, n_shards * row_multiple), n_shards * row_multiple)
+    rows_per_shard = n_padded // n_shards
+
+    order = np.argsort(rows, kind="stable")
+    rows = np.asarray(rows)[order].astype(np.int64)
+    cols = np.asarray(cols)[order].astype(np.int32)
+    vals = np.asarray(vals)[order].astype(np.float32)
+
+    # split points at shard row boundaries
+    boundaries = np.searchsorted(rows, np.arange(1, n_shards) * rows_per_shard)
+    row_parts = np.split(rows, boundaries)
+    col_parts = np.split(cols, boundaries)
+    val_parts = np.split(vals, boundaries)
+
+    max_e = max(p.shape[0] for p in row_parts)
+    max_e = round_up(max(max_e, edge_multiple), edge_multiple)
+
+    lr = np.empty((n_shards, max_e), dtype=np.int32)
+    cc = np.zeros((n_shards, max_e), dtype=np.int32)
+    vv = np.zeros((n_shards, max_e), dtype=np.float32)
+    for k in range(n_shards):
+        e = row_parts[k].shape[0]
+        lr[k, :e] = row_parts[k] - k * rows_per_shard
+        lr[k, e:] = rows_per_shard - 1  # padding: last local row, zero value
+        cc[k, :e] = col_parts[k]
+        vv[k, :e] = val_parts[k]
+    return ShardedCoo(
+        local_rows=lr,
+        cols=cc,
+        vals=vv,
+        n_rows=n_rows,
+        n_rows_padded=n_padded,
+        rows_per_shard=rows_per_shard,
+    )
+
+
+def shard_graph(graph, markov_type: str, n_shards: int, **kw) -> ShardedCoo:
+    """Shard a SparseMatrix's transition matrix for an n_shards-device mesh."""
+    data = graph.data
+    n = data.num_entities
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(data.indptr))
+    vals = data.sym_vals if markov_type == "symmetric" else data.left_vals
+    return shard_coo(rows, data.indices, vals, n, n_shards, **kw)
+
+
+def pad_rows(x: np.ndarray, n_rows_padded: int) -> np.ndarray:
+    """Zero-pad embedding rows up to the sharded row count."""
+    n, d = x.shape
+    if n == n_rows_padded:
+        return np.asarray(x, dtype=np.float32)
+    out = np.zeros((n_rows_padded, d), dtype=np.float32)
+    out[:n] = x
+    return out

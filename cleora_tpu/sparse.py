@@ -1,0 +1,347 @@
+"""SparseMatrix — the hypergraph transition matrix, TPU-resident.
+
+API parity with the reference PyO3 class ``pycleora.SparseMatrix``
+(/root/reference/src/lib.rs:84-476): same constructors, methods, getters, and
+pickle support.  The numeric state is the host CSR built by
+``cleora_tpu.graph.builder``; device COO buffers (row-sorted, padded) are
+cached lazily per Markov type and shared by all propagate/embed calls.
+
+Differences by design (TPU-first, documented):
+* propagation and the fused embed loops run on the TPU via JAX (XLA), not a
+  rayon thread pool; ``num_workers`` is accepted for API compatibility and
+  ignored on device.
+* graph building is deterministic regardless of worker count (the reference's
+  multi-file async path is order-nondeterministic; see builder.py).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph.builder import GraphData, build_graph
+from .graph.columns import RelationDescriptor
+from .graph.hashing import init_embeddings
+
+
+def _require_jax():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+class SparseMatrix:
+    """CSR-like Markov transition matrix over hashed entities."""
+
+    def __init__(self, *args):
+        # Parity: only the empty constructor is public (for unpickling);
+        # use from_iterator / from_files (src/lib.rs:440-461).
+        if args:
+            raise ValueError(
+                "SparseMatrix cannot be constructed directly. "
+                "Use SparseMatrix.from_files() or SparseMatrix.from_iterator()."
+            )
+        self._data: Optional[GraphData] = None
+        self._device_cache = {}
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def _from_graph_data(cls, data: GraphData) -> "SparseMatrix":
+        sm = cls()
+        sm._data = data
+        return sm
+
+    @staticmethod
+    def from_iterator(
+        hyperedges: Iterable[str],
+        columns: str,
+        hyperedge_trim_n: int = 16,
+        num_workers: Optional[int] = None,
+    ) -> "SparseMatrix":
+        lines = []
+        for line in hyperedges:
+            if not isinstance(line, str):
+                raise ValueError("Iterator elements must be strings")
+            lines.append(line)
+        data = build_graph(lines, columns, hyperedge_trim_n, num_workers)
+        return SparseMatrix._from_graph_data(data)
+
+    @staticmethod
+    def from_files(
+        filepaths: Sequence[str],
+        columns: str,
+        hyperedge_trim_n: int = 16,
+        num_workers: Optional[int] = None,
+    ) -> "SparseMatrix":
+        if not filepaths:
+            raise ValueError("At least one file path is required")
+        for fp in filepaths:
+            if not (fp.endswith(".tsv") or fp.endswith(".csv") or fp.endswith(".txt")):
+                raise ValueError(
+                    f"Unsupported file format: {fp}. Supported: .tsv, .csv, .txt"
+                )
+
+        def line_iter():
+            for fp in filepaths:
+                try:
+                    f = open(fp, "r", buffering=64 * 1024)
+                except OSError as e:  # parity: log-and-skip unreadable files
+                    import warnings
+
+                    warnings.warn(f"Cannot open file '{fp}': {e}")
+                    continue
+                with f:
+                    for line in f:
+                        line = line.rstrip("\n").rstrip("\r")
+                        if line:
+                            yield line
+
+        data = build_graph(line_iter(), columns, hyperedge_trim_n, num_workers)
+        return SparseMatrix._from_graph_data(data)
+
+    # ------------------------------------------------------------- inspection
+    @property
+    def data(self) -> GraphData:
+        if self._data is None:
+            raise RuntimeError("Empty SparseMatrix: build via from_iterator/from_files")
+        return self._data
+
+    @property
+    def descriptor(self) -> RelationDescriptor:
+        return self.data.descriptor
+
+    @property
+    def entity_ids(self) -> List[str]:
+        return self.data.entity_ids
+
+    @entity_ids.setter
+    def entity_ids(self, value: List[str]):
+        self.data.entity_ids = list(value)
+
+    @property
+    def entity_degrees(self) -> np.ndarray:
+        return self.data.row_sums.copy()
+
+    @property
+    def num_entities(self) -> int:
+        return self.data.num_entities
+
+    @property
+    def num_edges(self) -> int:
+        return self.data.num_edges
+
+    def get_entity_index(self, entity_id: str) -> int:
+        try:
+            return self.entity_ids.index(entity_id)
+        except ValueError:
+            raise ValueError(f"Entity '{entity_id}' not found")
+
+    def get_entity_indices(self, entity_ids: Sequence[str]) -> List[int]:
+        index_map = {eid: i for i, eid in enumerate(self.entity_ids)}
+        out = []
+        for eid in entity_ids:
+            if eid not in index_map:
+                raise ValueError(f"Entity '{eid}' not found")
+            out.append(index_map[eid])
+        return out
+
+    def get_entity_column_mask(self, column_name: str) -> np.ndarray:
+        d = self.descriptor
+        column_id_by_name = {d.col_a_name: d.col_a_id, d.col_b_name: d.col_b_id}
+        if column_name not in column_id_by_name:
+            raise ValueError(
+                f"Column name '{column_name}' not found. "
+                f"Available: '{d.col_a_name}', '{d.col_b_name}'"
+            )
+        cid = column_id_by_name[column_name]
+        return self.data.column_ids == np.uint8(cid)
+
+    def get_neighbors(self, entity_id: str) -> List[Tuple[str, float]]:
+        idx = self.get_entity_index(entity_id)
+        data = self.data
+        start, end = int(data.indptr[idx]), int(data.indptr[idx + 1])
+        return [
+            (data.entity_ids[int(data.indices[j])], float(data.left_vals[j]))
+            for j in range(start, end)
+        ]
+
+    def to_sparse_csr(self, markov_type: Optional[str] = None):
+        mt = markov_type if markov_type is not None else "left"
+        if mt not in ("left", "symmetric"):
+            raise ValueError(f"Unknown markov_type '{mt}'. Use 'left' or 'symmetric'.")
+        data = self.data
+        n = data.num_entities
+        nnz = data.num_edges
+        rows = np.repeat(
+            np.arange(n, dtype=np.uint32), np.diff(data.indptr).astype(np.int64)
+        )
+        cols = data.indices.astype(np.uint32)
+        vals = (data.sym_vals if mt == "symmetric" else data.left_vals).copy()
+        return rows, cols, vals, n, n
+
+    # ------------------------------------------------------------ device COO
+    def _device_coo(self, markov_type: str):
+        """Row-sorted padded COO on device, cached per markov type."""
+        key = ("coo", markov_type)
+        if key not in self._device_cache:
+            jax, jnp = _require_jax()
+            from .ops.spmm import pad_coo
+
+            data = self.data
+            n = data.num_entities
+            rows = np.repeat(
+                np.arange(n, dtype=np.int32), np.diff(data.indptr).astype(np.int64)
+            )
+            vals = data.sym_vals if markov_type == "symmetric" else data.left_vals
+            prow, pcol, pval = pad_coo(rows, data.indices, vals, n)
+            self._device_cache[key] = (
+                jnp.asarray(prow),
+                jnp.asarray(pcol),
+                jnp.asarray(pval),
+            )
+        return self._device_cache[key]
+
+    # ------------------------------------------------------------- compute API
+    def _propagate(self, x, markov_type: str, num_workers=None) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32)
+        if x.shape[0] != self.num_entities:
+            raise ValueError(
+                f"Embedding matrix has {x.shape[0]} rows but graph has "
+                f"{self.num_entities} entities"
+            )
+        jax, jnp = _require_jax()
+        from .ops.spmm import spmm
+
+        rows, cols, vals = self._device_coo(markov_type)
+        out = spmm(rows, cols, vals, jnp.asarray(x), self.num_entities)
+        return np.asarray(out)
+
+    def left_markov_propagate(self, x, num_workers: Optional[int] = None) -> np.ndarray:
+        return self._propagate(x, "left", num_workers)
+
+    def symmetric_markov_propagate(
+        self, x, num_workers: Optional[int] = None
+    ) -> np.ndarray:
+        return self._propagate(x, "symmetric", num_workers)
+
+    def initialize_deterministically(self, feature_dim: int, seed: int = 0) -> np.ndarray:
+        """Bit-exact parity with the reference hash init (src/lib.rs:242-252,478-488)."""
+        return init_embeddings(self.data.entity_hashes, feature_dim, seed)
+
+    def l2_normalize(self, x, num_workers: Optional[int] = None) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32)
+        norms = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        return x / np.maximum(norms, 1e-10)
+
+    def _markov_name(self, propagation: str) -> str:
+        if propagation not in ("left", "symmetric"):
+            raise ValueError(
+                f"Unknown propagation '{propagation}'. Use 'left' or 'symmetric'."
+            )
+        return propagation
+
+    def embed_fast(
+        self,
+        feature_dim: int,
+        num_iterations: int,
+        propagation: str = "left",
+        seed: int = 0,
+        residual_weight: float = 0.0,
+        num_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """Fused on-device loop: one dispatch for all iterations."""
+        mt = self._markov_name(propagation)
+        jax, jnp = _require_jax()
+        from .ops.loop import embed_loop
+
+        x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
+        rows, cols, vals = self._device_coo(mt)
+        out = embed_loop(
+            rows, cols, vals, x0,
+            n_rows=self.num_entities,
+            num_iterations=int(num_iterations),
+            residual_weight=float(residual_weight),
+            normalization="l2",
+            do_whiten=False,
+        )
+        return np.asarray(out)
+
+    def embed_fast_convergence(
+        self,
+        feature_dim: int,
+        max_iterations: int,
+        propagation: str = "left",
+        seed: int = 0,
+        residual_weight: float = 0.0,
+        convergence_threshold: float = 0.0,
+        num_workers: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int]:
+        mt = self._markov_name(propagation)
+        jax, jnp = _require_jax()
+        from .ops.loop import embed_loop_convergence
+
+        x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
+        rows, cols, vals = self._device_coo(mt)
+        out, iters = embed_loop_convergence(
+            rows, cols, vals, x0,
+            n_rows=self.num_entities,
+            max_iterations=int(max_iterations),
+            residual_weight=float(residual_weight),
+            convergence_threshold=float(convergence_threshold),
+            normalization="l2",
+            do_whiten=False,
+        )
+        return np.asarray(out), int(iters)
+
+    # ---------------------------------------------------------------- dunders
+    def __repr__(self) -> str:
+        d = self.descriptor
+        return (
+            f"SparseMatrix(entities={self.num_entities}, edges={self.num_edges}, "
+            f"columns=('{d.col_a_name}', '{d.col_b_name}'))"
+        )
+
+    def __len__(self) -> int:
+        return self.num_entities
+
+    def __getstate__(self):
+        data = self.data
+        return pickle.dumps(
+            {
+                "descriptor": (
+                    data.descriptor.col_a_id,
+                    data.descriptor.col_a_name,
+                    data.descriptor.col_b_id,
+                    data.descriptor.col_b_name,
+                ),
+                "entity_ids": data.entity_ids,
+                "entity_hashes": data.entity_hashes,
+                "column_ids": data.column_ids,
+                "row_sums": data.row_sums,
+                "indptr": data.indptr,
+                "indices": data.indices,
+                "left_vals": data.left_vals,
+                "sym_vals": data.sym_vals,
+            }
+        )
+
+    def __setstate__(self, state):
+        d = pickle.loads(state)
+        self._data = GraphData(
+            descriptor=RelationDescriptor(*d["descriptor"]),
+            entity_ids=d["entity_ids"],
+            entity_hashes=d["entity_hashes"],
+            column_ids=d["column_ids"],
+            row_sums=d["row_sums"],
+            indptr=d["indptr"],
+            indices=d["indices"],
+            left_vals=d["left_vals"],
+            sym_vals=d["sym_vals"],
+        )
+        self._device_cache = {}
+
+    def __reduce__(self):
+        return (SparseMatrix, (), self.__getstate__())
