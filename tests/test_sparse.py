@@ -73,8 +73,11 @@ def test_column_mask_bipartite():
 
 
 def test_get_neighbors(graph):
+    # Reference parity: reflexive cartesian products include self-pairs
+    # (src/sparse_matrix_builder.rs:209-215 has no a==b skip), so "a" is its
+    # own neighbor.
     nbrs = dict(graph.get_neighbors("a"))
-    assert set(nbrs) == {"b", "c", "d"}
+    assert set(nbrs) == {"a", "b", "c", "d"}
 
 
 def test_to_sparse_csr(graph):
