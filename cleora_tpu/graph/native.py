@@ -1,0 +1,105 @@
+"""ctypes front-end for the C++ graph builder (cleora_tpu/native/builder.cpp).
+
+``build_graph_native`` has the same contract as
+:func:`cleora_tpu.graph.builder.build_graph` and is used by SparseMatrix when
+the native library is available (CLEORA_TPU_NATIVE=0 disables it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from ..native import get_lib
+from .builder import GraphData
+from .columns import create_relation_descriptor, parse_fields
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def build_graph_native(
+    lines: Iterable[str],
+    columns: str,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+) -> GraphData:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native builder not available")
+
+    cols = parse_fields(columns)
+    descriptor = create_relation_descriptor(cols)
+
+    if not isinstance(lines, (list, tuple)):
+        lines = list(lines)
+    if not lines:
+        raise ValueError("No valid hyperedge lines provided")
+    buf = "\n".join(lines).encode("utf-8")
+
+    ncols = len(cols)
+    complex_flags = (ctypes.c_uint8 * ncols)(*[int(c.complex) for c in cols])
+    reflexive_flags = (ctypes.c_uint8 * ncols)(*[int(c.reflexive) for c in cols])
+
+    handle = lib.ct_build(
+        buf, len(buf), ncols, complex_flags, reflexive_flags,
+        int(hyperedge_trim_n), int(num_workers or 0),
+    )
+    try:
+        err = lib.ct_error(handle)
+        if err:
+            raise ValueError(err.decode("utf-8"))
+
+        n = lib.ct_num_entities(handle)
+        nnz = lib.ct_num_edges(handle)
+
+        hashes = np.empty(n, dtype=np.uint64)
+        column_ids = np.empty(n, dtype=np.uint8)
+        row_sums = np.empty(n, dtype=np.float32)
+        indptr = np.empty(n + 1, dtype=np.int64)
+        indices = np.empty(nnz, dtype=np.int32)
+        left_vals = np.empty(nnz, dtype=np.float32)
+        sym_vals = np.empty(nnz, dtype=np.float32)
+        lib.ct_get_arrays(
+            handle,
+            hashes.ctypes.data_as(ctypes.c_void_p),
+            column_ids.ctypes.data_as(ctypes.c_void_p),
+            row_sums.ctypes.data_as(ctypes.c_void_p),
+            indptr.ctypes.data_as(ctypes.c_void_p),
+            indices.ctypes.data_as(ctypes.c_void_p),
+            left_vals.ctypes.data_as(ctypes.c_void_p),
+            sym_vals.ctypes.data_as(ctypes.c_void_p),
+        )
+
+        lens = np.empty(n, dtype=np.uint32)
+        lib.ct_id_lens(handle, lens.ctypes.data_as(ctypes.c_void_p))
+        blob = np.empty(int(lens.sum()), dtype=np.uint8)
+        lib.ct_id_bytes(handle, blob.ctypes.data_as(ctypes.c_void_p))
+        entity_ids = _split_blob(blob, lens)
+    finally:
+        lib.ct_free(handle)
+
+    return GraphData(
+        descriptor=descriptor,
+        entity_ids=entity_ids,
+        entity_hashes=hashes,
+        column_ids=column_ids,
+        row_sums=row_sums,
+        indptr=indptr,
+        indices=indices,
+        left_vals=left_vals,
+        sym_vals=sym_vals,
+    )
+
+
+def _split_blob(blob: np.ndarray, lens: np.ndarray) -> List[str]:
+    raw = blob.tobytes()
+    out = []
+    off = 0
+    for L in lens:
+        out.append(raw[off:off + L].decode("utf-8"))
+        off += int(L)
+    return out

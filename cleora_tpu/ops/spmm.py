@@ -46,6 +46,11 @@ def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
     )
 
 
+# Edges per chunk when the (nnz, D) gather intermediate would not fit
+# comfortably in HBM: 2**21 edges × 256 dims × 4 B = 2 GiB per chunk.
+_CHUNK_EDGES = 1 << 21
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
          n_rows: int) -> jax.Array:
@@ -54,9 +59,42 @@ def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
 
 
 def spmm_inner(rows, cols, vals, x, n_rows):
-    """Un-jitted body, for embedding inside larger jitted loops."""
-    gathered = jnp.take(x, cols, axis=0)
-    scaled = gathered * vals[:, None].astype(x.dtype)
-    return jax.ops.segment_sum(
-        scaled, rows, num_segments=n_rows, indices_are_sorted=True
+    """Un-jitted body, for embedding inside larger jitted loops.
+
+    For small nnz this is a single gather → scale → sorted segment-sum that
+    XLA fuses.  For large nnz the edge stream is processed in fixed-size
+    chunks under ``lax.scan`` so the (chunk, D) intermediate stays bounded
+    (the padding contract keeps trailing chunks valid: padded edges have
+    vals == 0 and rows == n_rows-1).
+    """
+    nnz = rows.shape[0]
+    if nnz <= _CHUNK_EDGES:
+        gathered = jnp.take(x, cols, axis=0)
+        scaled = gathered * vals[:, None].astype(x.dtype)
+        return jax.ops.segment_sum(
+            scaled, rows, num_segments=n_rows, indices_are_sorted=True
+        )
+
+    if nnz % _CHUNK_EDGES != 0:
+        pad = _CHUNK_EDGES - nnz % _CHUNK_EDGES
+        rows = jnp.pad(rows, (0, pad), constant_values=n_rows - 1)
+        cols = jnp.pad(cols, (0, pad))
+        vals = jnp.pad(vals, (0, pad))
+        nnz += pad
+    n_chunks = nnz // _CHUNK_EDGES
+
+    def body(acc, chunk):
+        r, c, v = chunk
+        gathered = jnp.take(x, c, axis=0)
+        scaled = gathered * v[:, None].astype(x.dtype)
+        return acc + jax.ops.segment_sum(
+            scaled, r, num_segments=n_rows, indices_are_sorted=True
+        ), None
+
+    chunks = (
+        rows.reshape(n_chunks, _CHUNK_EDGES),
+        cols.reshape(n_chunks, _CHUNK_EDGES),
+        vals.reshape(n_chunks, _CHUNK_EDGES),
     )
+    out, _ = jax.lax.scan(body, jnp.zeros((n_rows, x.shape[1]), x.dtype), chunks)
+    return out

@@ -1,0 +1,155 @@
+"""Approximate nearest-neighbor search (reference: /root/reference/pycleora/search.py).
+
+``ANNIndex`` prefers hnswlib when installed (cosine, M=16, ef_construction=200,
+ef=50), else falls back to a cosine ball tree, else brute force.  Query results
+are [{entity_id, index, similarity}] sorted by similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v)
+    return v / n if n > 1e-10 else v
+
+
+class _BallTree:
+    """Cosine-similarity ball tree with branch-and-bound pruning
+    (reference search.py:5-99); leaf size 32."""
+
+    _LEAF = 32
+
+    def __init__(self, data: np.ndarray):
+        self._normalized = data / np.maximum(
+            np.linalg.norm(data, axis=1, keepdims=True), 1e-10
+        )
+        self._tree = self._build(np.arange(data.shape[0]))
+
+    def _build(self, indices: np.ndarray):
+        if len(indices) <= self._LEAF:
+            return {"indices": indices, "leaf": True}
+        points = self._normalized[indices]
+        center = _unit(points.mean(axis=0))
+        radius = float(np.max(np.linalg.norm(points - center, axis=1)))
+
+        axis = int(np.argmax(np.var(points, axis=0)))
+        left_mask = points[:, axis] <= np.median(points[:, axis])
+        if left_mask.all() or not left_mask.any():
+            left_mask[:] = False
+            left_mask[: len(indices) // 2] = True
+        return {
+            "leaf": False,
+            "center": center,
+            "radius": radius,
+            "left": self._build(indices[left_mask]),
+            "right": self._build(indices[~left_mask]),
+        }
+
+    def query(self, query_vec: np.ndarray, top_k: int):
+        q = _unit(query_vec)
+        candidates: List = []
+        self._search(self._tree, q, top_k, candidates)
+        candidates.sort(key=lambda x: -x[1])
+        candidates = candidates[:top_k]
+        return (
+            np.array([c[0] for c in candidates], dtype=np.int64),
+            np.array([c[1] for c in candidates], dtype=np.float64),
+        )
+
+    def _search(self, node, q, top_k, candidates):
+        if node["leaf"]:
+            sims = self._normalized[node["indices"]] @ q
+            for idx, sim in zip(node["indices"], sims):
+                self._insert(candidates, int(idx), float(sim), top_k)
+            return
+        worst = candidates[-1][1] if len(candidates) >= top_k else -2.0
+        if len(candidates) >= top_k and np.dot(node["center"], q) + node["radius"] < worst:
+            return
+        left, right = node["left"], node["right"]
+        lc, rc = left.get("center"), right.get("center")
+        if lc is not None and rc is not None and np.dot(lc, q) < np.dot(rc, q):
+            left, right = right, left
+        self._search(left, q, top_k, candidates)
+        self._search(right, q, top_k, candidates)
+
+    @staticmethod
+    def _insert(candidates, idx, sim, top_k):
+        if len(candidates) < top_k:
+            candidates.append((idx, sim))
+            if len(candidates) == top_k:
+                candidates.sort(key=lambda x: -x[1])
+        elif sim > candidates[-1][1]:
+            candidates[-1] = (idx, sim)
+            candidates.sort(key=lambda x: -x[1])
+
+
+class ANNIndex:
+    """hnswlib → ball tree → brute-force cosine index
+    (reference search.py:101-210)."""
+
+    def __init__(self, graph, embeddings: np.ndarray, method: str = "hnsw"):
+        if method not in ("hnsw", "brute"):
+            raise ValueError(f"Unknown method: '{method}'. Use 'hnsw' or 'brute'.")
+        self._graph = graph
+        self._embeddings = embeddings
+        self._method = method
+        self._n, self._dim = embeddings.shape
+        self._normalized = embeddings / np.maximum(
+            np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-10
+        )
+        self._hnsw_index = None
+        self._ball_tree = None
+        if method == "hnsw":
+            try:
+                import hnswlib
+
+                self._hnsw_index = hnswlib.Index(space="cosine", dim=self._dim)
+                self._hnsw_index.init_index(
+                    max_elements=self._n, ef_construction=200, M=16
+                )
+                self._hnsw_index.add_items(self._normalized, np.arange(self._n))
+                self._hnsw_index.set_ef(50)
+            except ImportError:
+                self._ball_tree = _BallTree(self._embeddings)
+
+    def query(self, entity_id: str, top_k: int = 10,
+              exclude_self: bool = True) -> List[Dict]:
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        idx = self._graph.get_entity_index(entity_id)
+        fetch_k = top_k + 1 if exclude_self else top_k
+        results = self._query_internal(self._embeddings[idx], fetch_k)
+        if exclude_self:
+            results = [r for r in results if r["entity_id"] != entity_id]
+        return results[:top_k]
+
+    def query_vector(self, vector: np.ndarray, top_k: int = 10) -> List[Dict]:
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        return self._query_internal(vector, top_k)
+
+    def _query_internal(self, query_vec: np.ndarray, top_k: int) -> List[Dict]:
+        k = min(top_k, self._n)
+        if self._method == "brute":
+            sims = self._normalized @ _unit(query_vec)
+            top = np.argpartition(sims, -k)[-k:]
+            top = top[np.argsort(sims[top])[::-1]]
+            return self._results(top, sims[top])
+        if self._hnsw_index is not None:
+            labels, distances = self._hnsw_index.knn_query(
+                _unit(query_vec).reshape(1, -1), k=k
+            )
+            return self._results(labels[0], 1.0 - distances[0])
+        indices, sims = self._ball_tree.query(query_vec, k)
+        return self._results(indices, sims)
+
+    def _results(self, indices, sims) -> List[Dict]:
+        ids = self._graph.entity_ids
+        return [
+            {"entity_id": ids[int(i)], "index": int(i), "similarity": float(s)}
+            for i, s in zip(indices, sims)
+        ]

@@ -33,6 +33,26 @@ def _require_jax():
     return jax, jnp
 
 
+def _build_dispatch(lines, columns, hyperedge_trim_n, num_workers):
+    """Prefer the C++ ingest core; fall back to the vectorized-numpy builder
+    (CLEORA_TPU_NATIVE=0 forces the fallback)."""
+    if not lines:
+        raise ValueError("No valid hyperedge lines provided")
+    try:
+        from .graph.native import build_graph_native, native_available
+
+        if native_available():
+            return build_graph_native(lines, columns, hyperedge_trim_n,
+                                      num_workers)
+    except ValueError:
+        raise
+    except Exception as e:  # pragma: no cover - defensive fallback
+        import warnings
+
+        warnings.warn(f"native builder failed, using numpy fallback: {e}")
+    return build_graph(lines, columns, hyperedge_trim_n, num_workers)
+
+
 class SparseMatrix:
     """CSR-like Markov transition matrix over hashed entities."""
 
@@ -66,7 +86,7 @@ class SparseMatrix:
             if not isinstance(line, str):
                 raise ValueError("Iterator elements must be strings")
             lines.append(line)
-        data = build_graph(lines, columns, hyperedge_trim_n, num_workers)
+        data = _build_dispatch(lines, columns, hyperedge_trim_n, num_workers)
         return SparseMatrix._from_graph_data(data)
 
     @staticmethod
@@ -99,7 +119,9 @@ class SparseMatrix:
                         if line:
                             yield line
 
-        data = build_graph(line_iter(), columns, hyperedge_trim_n, num_workers)
+        data = _build_dispatch(
+            list(line_iter()), columns, hyperedge_trim_n, num_workers
+        )
         return SparseMatrix._from_graph_data(data)
 
     # ------------------------------------------------------------- inspection

@@ -18,11 +18,10 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture
-def karate_edges():
+def karate():
     from cleora_tpu.datasets import load_dataset
 
-    edges, labels = load_dataset("karate_club")
-    return edges, labels
+    return load_dataset("karate_club")
 
 
 @pytest.fixture

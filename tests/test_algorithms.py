@@ -1,0 +1,134 @@
+"""Sibling-algorithm parity vs the reference implementation.
+
+The reference algorithms.py is numpy/scipy-only and duck-types the graph
+(to_sparse_csr + num_entities), so it runs directly against our SparseMatrix.
+"""
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+import cleora_tpu.algorithms as alg
+
+
+@pytest.fixture(scope="module")
+def ref():
+    spec = importlib.util.spec_from_file_location(
+        "ref_algorithms", "/root/reference/pycleora/algorithms.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def graph():
+    from cleora_tpu import SparseMatrix
+    from cleora_tpu.datasets import load_dataset
+
+    d = load_dataset("karate_club")
+    return SparseMatrix.from_iterator(iter(d["edges"]), d["columns"])
+
+
+def _aligned_allclose(a, b, atol=1e-5):
+    """allclose up to per-column sign flips (SVD sign ambiguity)."""
+    assert a.shape == b.shape
+    sign = np.sign(np.sum(a * b, axis=0))
+    sign[sign == 0] = 1.0
+    return np.allclose(a, b * sign, atol=atol)
+
+
+def test_prone_parity(ref, graph):
+    ours = alg.embed_prone(graph, feature_dim=32)
+    theirs = ref.embed_prone(graph, feature_dim=32)
+    assert _aligned_allclose(ours, theirs)
+
+
+def test_prone_device_close(graph):
+    host = alg.embed_prone(graph, feature_dim=32)
+    dev = alg.embed_prone(graph, feature_dim=32, backend="device")
+    # f32 device loop vs f64 host: same subspace, looser tolerance
+    assert _aligned_allclose(host, dev, atol=5e-2)
+
+
+def test_randne_parity(ref, graph):
+    ours = alg.embed_randne(graph, feature_dim=32, num_iterations=10)
+    theirs = ref.embed_randne(graph, feature_dim=32, num_iterations=10)
+    assert np.allclose(ours, theirs, atol=1e-6)
+
+
+def test_randne_device_close(graph):
+    host = alg.embed_randne(graph, feature_dim=32, num_iterations=10)
+    dev = alg.embed_randne(graph, feature_dim=32, num_iterations=10,
+                           backend="device")
+    assert np.allclose(host, dev, atol=1e-3)
+
+
+def test_randne_custom_weights(ref, graph):
+    w = [1.0, 0.5, 0.1]
+    ours = alg.embed_randne(graph, feature_dim=16, num_iterations=5, weights=w)
+    theirs = ref.embed_randne(graph, feature_dim=16, num_iterations=5, weights=w)
+    assert np.allclose(ours, theirs, atol=1e-6)
+
+
+def test_hope_parity(ref, graph):
+    np.random.seed(0)
+    ours = alg.embed_hope(graph, feature_dim=32)
+    np.random.seed(0)
+    theirs = ref.embed_hope(graph, feature_dim=32)
+    assert _aligned_allclose(ours, theirs, atol=1e-4)
+
+
+def test_netmf_parity(ref, graph):
+    ours = alg.embed_netmf(graph, feature_dim=32)
+    theirs = ref.embed_netmf(graph, feature_dim=32)
+    assert _aligned_allclose(ours, theirs)
+
+
+def test_grarep_parity(ref, graph):
+    ours = alg.embed_grarep(graph, feature_dim=32)
+    theirs = ref.embed_grarep(graph, feature_dim=32)
+    assert _aligned_allclose(ours, theirs)
+
+
+def test_deepwalk_parity(ref, graph):
+    ours = alg.embed_deepwalk(graph, feature_dim=16, num_walks=2,
+                              walk_length=20)
+    theirs = ref.embed_deepwalk(graph, feature_dim=16, num_walks=2,
+                                walk_length=20)
+    assert _aligned_allclose(ours, theirs)
+
+
+def test_node2vec_parity(ref, graph):
+    ours = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
+                              walk_length=20, p=0.5, q=2.0)
+    theirs = ref.embed_node2vec(graph, feature_dim=16, num_walks=2,
+                                walk_length=20, p=0.5, q=2.0)
+    assert _aligned_allclose(ours, theirs)
+
+
+def test_walks_identical(ref, graph):
+    adj_o, w_o, n_o = alg._build_adj_list(graph)
+    adj_r, w_r, n_r = ref._build_adj_list(graph)
+    assert adj_o == adj_r and n_o == n_r
+    walks_o = alg._random_walks(adj_o, w_o, n_o, 2, 15, 0.7, 1.3, seed=5)
+    walks_r = ref._random_walks(adj_r, w_r, n_r, 2, 15, 0.7, 1.3, seed=5)
+    assert walks_o == walks_r
+
+
+def test_all_normalized(graph):
+    for fn in (alg.embed_prone, alg.embed_randne, alg.embed_hope,
+               alg.embed_netmf, alg.embed_grarep):
+        e = fn(graph, feature_dim=16)
+        assert e.shape == (graph.num_entities, 16)
+        assert e.dtype == np.float32
+        norms = np.linalg.norm(e, axis=1)
+        assert np.all((norms < 1.001) & (norms > 0.99) | (norms < 1e-6))
+
+
+def test_list_algorithms(ref):
+    ours = alg.list_algorithms()
+    theirs = ref.list_algorithms()
+    assert [d["name"] for d in ours] == [d["name"] for d in theirs]
+    assert [d["function"] for d in ours] == [d["function"] for d in theirs]

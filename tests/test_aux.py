@@ -1,0 +1,88 @@
+"""Auxiliary subsystems: tracing and checkpoint/resume (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from cleora_tpu import SparseMatrix, embed
+from cleora_tpu.checkpoint import (embed_with_checkpointing, has_checkpoint,
+                                   load_checkpoint, save_checkpoint)
+from cleora_tpu.tracing import EmbedTracer, device_memory_stats, log_every
+
+
+@pytest.fixture(scope="module")
+def graph():
+    lines = ["a b", "b c", "c a", "a d", "d e", "e a", "b e"]
+    return SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+
+
+def test_checkpoint_roundtrip(graph, tmp_path):
+    d = str(tmp_path / "ckpt")
+    emb = embed(graph, feature_dim=8, num_iterations=3)
+    assert not has_checkpoint(d)
+    save_checkpoint(d, graph, emb, 3)
+    assert has_checkpoint(d)
+    g2, emb2, it = load_checkpoint(d)
+    assert it == 3
+    assert np.array_equal(emb, emb2)
+    assert g2.entity_ids == graph.entity_ids
+
+
+def test_embed_with_checkpointing_matches_plain(graph, tmp_path):
+    d = str(tmp_path / "ckpt2")
+    out = embed_with_checkpointing(
+        graph, feature_dim=8, num_iterations=6, checkpoint_dir=d,
+        checkpoint_every=2,
+    )
+    plain = embed(graph, feature_dim=8, num_iterations=6)
+    assert np.allclose(out, plain, atol=1e-5)
+    # resume from iteration 6 is a no-op returning the same result
+    resumed = embed_with_checkpointing(
+        graph, feature_dim=8, num_iterations=6, checkpoint_dir=d,
+        checkpoint_every=2,
+    )
+    assert np.allclose(resumed, out)
+
+
+def test_embed_with_checkpointing_resumes_partial(graph, tmp_path):
+    d = str(tmp_path / "ckpt3")
+    partial = embed(graph, feature_dim=8, num_iterations=2)
+    save_checkpoint(d, graph, partial, 2)
+    out = embed_with_checkpointing(
+        graph, feature_dim=8, num_iterations=5, checkpoint_dir=d,
+        checkpoint_every=100,
+    )
+    plain = embed(graph, feature_dim=8, num_iterations=5)
+    assert np.allclose(out, plain, atol=1e-5)
+    _, _, it = load_checkpoint(d)
+    assert it == 5
+
+
+def test_checkpoint_dim_mismatch(graph, tmp_path):
+    d = str(tmp_path / "ckpt4")
+    save_checkpoint(d, graph, np.zeros((7, 4), np.float32), 1)
+    with pytest.raises(ValueError, match="feature_dim"):
+        embed_with_checkpointing(graph, feature_dim=8, checkpoint_dir=d)
+
+
+def test_embed_tracer(graph):
+    tracer = EmbedTracer(num_edges=graph.num_edges)
+    embed(graph, feature_dim=8, num_iterations=4, callback=tracer)
+    s = tracer.summary()
+    assert s["iterations"] == 3  # n-1 inter-callback gaps
+    assert s["edges_per_s"] > 0
+
+
+def test_device_memory_stats():
+    stats = device_memory_stats()
+    assert len(stats) >= 1
+    assert "device" in stats[0]
+
+
+def test_log_every(caplog):
+    import logging
+
+    progress = log_every(2, "got {count:,}")
+    with caplog.at_level(logging.INFO, logger="cleora_tpu"):
+        for _ in range(5):
+            progress()
+    assert sum("got" in r.message for r in caplog.records) == 2
