@@ -6,12 +6,21 @@ xla_force_host_platform_device_count (SURVEY.md §4 test strategy).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The axon sitecustomize imports jax at interpreter start and force-selects
+# the remote-TPU platform; steer back to the virtual 8-device CPU mesh
+# before the first backend initialization.  CLEORA_TPU_TEST_DEVICE=tpu opts
+# back into running the suite on the real chip.
+if os.environ.get("CLEORA_TPU_TEST_DEVICE", "cpu") == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

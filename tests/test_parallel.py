@@ -1,0 +1,113 @@
+"""Multi-device sharded embed vs single-device parity (8-device CPU mesh)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cleora_tpu import SparseMatrix, embed
+from cleora_tpu.parallel.embed import embed_sharded
+from cleora_tpu.parallel.mesh import make_mesh
+from cleora_tpu.parallel.shard import shard_coo, shard_graph
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(7)
+    lines = [f"n{rng.integers(0, 300)} n{rng.integers(0, 300)}"
+             for _ in range(3000)]
+    return SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8  # conftest forces the virtual CPU mesh
+
+
+def test_shard_coo_roundtrip(graph):
+    sharded = shard_graph(graph, "left", 8)
+    assert sharded.n_shards == 8
+    # reassembling shard edges reproduces every (row, col, val) triple
+    data = graph.data
+    n = data.num_entities
+    want = set()
+    rows = np.repeat(np.arange(n), np.diff(data.indptr))
+    for r, c, v in zip(rows, data.indices, data.left_vals):
+        want.add((int(r), int(c), np.float32(v).tobytes()))
+    got = set()
+    for k in range(sharded.n_shards):
+        for lr, c, v in zip(sharded.local_rows[k], sharded.cols[k],
+                            sharded.vals[k]):
+            if v != 0.0:
+                got.add((int(lr) + k * sharded.rows_per_shard, int(c),
+                         np.float32(v).tobytes()))
+    assert got == want
+
+
+@pytest.mark.parametrize("normalization", ["l2", "l1", "none"])
+def test_sharded_matches_single(graph, normalization):
+    kw = dict(feature_dim=16, num_iterations=5, normalization=normalization,
+              whiten=False)
+    single = embed(graph, **kw)
+    sharded = embed_sharded(graph, **kw)
+    assert np.allclose(single, sharded, atol=2e-5)
+
+
+def test_sharded_whiten_matches_single(graph):
+    kw = dict(feature_dim=16, num_iterations=4, whiten=True)
+    single = embed(graph, **kw)
+    sharded = embed_sharded(graph, **kw)
+    # whitening involves eigh — compare geometry (Gram), not raw coords
+    assert np.allclose(single @ single.T, sharded @ sharded.T, atol=1e-3)
+
+
+def test_sharded_spectral(graph):
+    out = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                        normalization="spectral", whiten=False)
+    assert out.shape == (graph.num_entities, 16)
+    assert np.isfinite(out).all()
+
+
+def test_sharded_residual_and_symmetric(graph):
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False,
+              residual_weight=0.3, propagation="symmetric")
+    single = embed(graph, **kw)
+    sharded = embed_sharded(graph, **kw)
+    assert np.allclose(single, sharded, atol=2e-5)
+
+
+def test_sharded_convergence(graph):
+    out = embed_sharded(graph, feature_dim=16, num_iterations=30,
+                        whiten=False, convergence_threshold=0.05)
+    assert np.isfinite(out).all()
+
+
+def test_sharded_initial_embeddings(graph):
+    x0 = np.random.default_rng(0).standard_normal(
+        (graph.num_entities, 12)
+    ).astype(np.float32)
+    single = embed(graph, num_iterations=3, whiten=False,
+                   initial_embeddings=x0)
+    sharded = embed_sharded(graph, num_iterations=3, whiten=False,
+                            initial_embeddings=x0)
+    assert np.allclose(single, sharded, atol=2e-5)
+
+
+def test_sharded_small_device_counts(graph):
+    base = embed(graph, feature_dim=8, num_iterations=3, whiten=False)
+    for nd in (1, 2, 4):
+        out = embed_sharded(graph, feature_dim=8, num_iterations=3,
+                            whiten=False, n_devices=nd)
+        assert np.allclose(base, out, atol=2e-5), nd
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert np.isfinite(out).all()
