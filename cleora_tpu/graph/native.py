@@ -48,6 +48,39 @@ def build_graph_native(
         buf, len(buf), ncols, complex_flags, reflexive_flags,
         int(hyperedge_trim_n), int(num_workers or 0),
     )
+    return _extract(lib, handle, descriptor)
+
+
+def build_graph_native_files(
+    filepaths,
+    columns: str,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+) -> GraphData:
+    """File-mode fast path: the C++ core reads the files itself (≤4 reader
+    threads) and skips blank lines, matching SparseMatrix.from_files."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native builder not available")
+    if not hasattr(lib, "ct_build_files"):
+        raise RuntimeError("native library too old; rebuild")
+
+    cols = parse_fields(columns)
+    descriptor = create_relation_descriptor(cols)
+    ncols = len(cols)
+    complex_flags = (ctypes.c_uint8 * ncols)(*[int(c.complex) for c in cols])
+    reflexive_flags = (ctypes.c_uint8 * ncols)(*[int(c.reflexive) for c in cols])
+
+    encoded = [p.encode("utf-8") for p in filepaths]
+    path_arr = (ctypes.c_char_p * len(encoded))(*encoded)
+    handle = lib.ct_build_files(
+        path_arr, len(encoded), ncols, complex_flags, reflexive_flags,
+        int(hyperedge_trim_n), int(num_workers or 0),
+    )
+    return _extract(lib, handle, descriptor)
+
+
+def _extract(lib, handle, descriptor) -> GraphData:
     try:
         err = lib.ct_error(handle)
         if err:
@@ -73,7 +106,6 @@ def build_graph_native(
             left_vals.ctypes.data_as(ctypes.c_void_p),
             sym_vals.ctypes.data_as(ctypes.c_void_p),
         )
-
         lens = np.empty(n, dtype=np.uint32)
         lib.ct_id_lens(handle, lens.ctypes.data_as(ctypes.c_void_p))
         blob = np.empty(int(lens.sum()), dtype=np.uint8)

@@ -48,6 +48,11 @@ def _bind(lib):
         c.c_char_p, c.c_int64, c.c_int, c.POINTER(c.c_uint8),
         c.POINTER(c.c_uint8), c.c_int, c.c_int,
     ]
+    lib.ct_build_files.restype = c.c_void_p
+    lib.ct_build_files.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int, c.c_int, c.POINTER(c.c_uint8),
+        c.POINTER(c.c_uint8), c.c_int, c.c_int,
+    ]
     lib.ct_error.restype = c.c_char_p
     lib.ct_error.argtypes = [c.c_void_p]
     for fn in ("ct_num_entities", "ct_num_edges", "ct_skipped_lines"):

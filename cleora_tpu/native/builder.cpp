@@ -275,6 +275,7 @@ struct FirstSeenTable {
 };
 
 struct BuildResult {
+  std::vector<std::string> owned_buffers;  // file contents (id_ptr aliases)
   std::vector<const char*> id_ptr;
   std::vector<uint32_t> id_len;
   std::vector<uint64_t> hashes;
@@ -297,9 +298,14 @@ static void emit_cartesian(const int64_t* a, int64_t an, const int64_t* b,
     }
 }
 
-static BuildResult* build(const char* buf, int64_t buf_len, int ncols,
-                          const ColumnSpec* cols, int trim_n,
-                          int num_workers) {
+struct Buf {
+  const char* data;
+  int64_t len;
+};
+
+static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
+                          int ncols, const ColumnSpec* cols, int trim_n,
+                          int num_workers, bool skip_empty) {
   const bool debug = std::getenv("CLEORA_NATIVE_DEBUG") != nullptr;
   auto now = [] {
     return std::chrono::duration<double>(
@@ -313,17 +319,19 @@ static BuildResult* build(const char* buf, int64_t buf_len, int ncols,
       t0 = now();
     }
   };
-  auto* res = new BuildResult();
   bool reflexive_single = (ncols == 1);
   if (num_workers <= 0)
     num_workers = (int)std::max(1u, std::thread::hardware_concurrency());
 
-  // ---- collect line ranges (empty lines kept — Python parse_line semantics
-  // register an empty-string token for them in the single-column case)
+  // ---- collect line ranges.  Iterator mode keeps empty lines (Python
+  // parse_line registers an empty token for them in the single-column case);
+  // file mode skips them (SparseMatrix.from_files filters blank lines).
   std::vector<std::pair<const char*, const char*>> lines;
-  split(buf, buf + buf_len, '\n', [&](const char* s, const char* t) {
-    lines.emplace_back(s, t);
-  });
+  for (const Buf& b : bufs) {
+    split(b.data, b.data + b.len, '\n', [&](const char* s, const char* t) {
+      if (!skip_empty || t > s) lines.emplace_back(s, t);
+    });
+  }
   int64_t n_lines = (int64_t)lines.size();
 
   // ---- phase 1: parallel parse + hash
@@ -613,7 +621,53 @@ void* ct_build(const char* buf, int64_t buf_len, int ncols,
   ColumnSpec cols[64];
   for (int i = 0; i < ncols && i < 64; ++i)
     cols[i] = {complex_flags[i], reflexive_flags[i]};
-  return build(buf, buf_len, ncols, cols, trim_n, num_workers);
+  auto* res = new BuildResult();
+  return build(res, {{buf, buf_len}}, ncols, cols, trim_n, num_workers,
+               /*skip_empty=*/false);
+}
+
+// Reads the files itself (parallel reader threads, reference
+// src/pipeline.rs:81-152 shape) and runs the same pipeline.  Unreadable
+// files are skipped (counted in ct_skipped_lines is NOT affected; they are
+// reported via ct_error only if nothing could be read).
+void* ct_build_files(const char** paths, int n_files, int ncols,
+                     const uint8_t* complex_flags,
+                     const uint8_t* reflexive_flags, int trim_n,
+                     int num_workers) {
+  ColumnSpec cols[64];
+  for (int i = 0; i < ncols && i < 64; ++i)
+    cols[i] = {complex_flags[i], reflexive_flags[i]};
+  auto* res = new BuildResult();
+  res->owned_buffers.resize((size_t)n_files);
+  {
+    int readers = std::min(n_files, 4);
+    std::vector<std::thread> threads;
+    std::atomic<int> next(0);
+    for (int t = 0; t < readers; ++t) {
+      threads.emplace_back([&] {
+        for (;;) {
+          int i = next.fetch_add(1);
+          if (i >= n_files) break;
+          FILE* f = std::fopen(paths[i], "rb");
+          if (!f) continue;
+          std::fseek(f, 0, SEEK_END);
+          long sz = std::ftell(f);
+          std::fseek(f, 0, SEEK_SET);
+          std::string& s = res->owned_buffers[(size_t)i];
+          s.resize((size_t)std::max(0L, sz));
+          size_t got = sz > 0 ? std::fread(&s[0], 1, (size_t)sz, f) : 0;
+          s.resize(got);
+          std::fclose(f);
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  std::vector<Buf> bufs;
+  for (auto& s : res->owned_buffers)
+    bufs.push_back({s.data(), (int64_t)s.size()});
+  return build(res, bufs, ncols, cols, trim_n, num_workers,
+               /*skip_empty=*/true);
 }
 
 const char* ct_error(void* h) {

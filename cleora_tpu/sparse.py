@@ -104,16 +104,35 @@ class SparseMatrix:
                     f"Unsupported file format: {fp}. Supported: .tsv, .csv, .txt"
                 )
 
-        def line_iter():
-            for fp in filepaths:
-                try:
-                    f = open(fp, "r", buffering=64 * 1024)
-                except OSError as e:  # parity: log-and-skip unreadable files
-                    import warnings
+        readable = []
+        for fp in filepaths:
+            try:
+                open(fp, "rb").close()
+                readable.append(fp)
+            except OSError as e:  # parity: log-and-skip unreadable files
+                import warnings
 
-                    warnings.warn(f"Cannot open file '{fp}': {e}")
-                    continue
-                with f:
+                warnings.warn(f"Cannot open file '{fp}': {e}")
+
+        try:
+            from .graph.native import build_graph_native_files, native_available
+
+            if native_available() and readable:
+                return SparseMatrix._from_graph_data(
+                    build_graph_native_files(
+                        readable, columns, hyperedge_trim_n, num_workers
+                    )
+                )
+        except ValueError:
+            raise
+        except Exception as e:  # pragma: no cover - defensive fallback
+            import warnings
+
+            warnings.warn(f"native file builder failed, using fallback: {e}")
+
+        def line_iter():
+            for fp in readable:
+                with open(fp, "r", buffering=64 * 1024) as f:
                     for line in f:
                         line = line.rstrip("\n").rstrip("\r")
                         if line:
