@@ -1,0 +1,48 @@
+"""Drop-in compatibility shim: the reference's package name, backed by
+cleora_tpu.
+
+Lets existing pycleora code run unchanged:
+
+    from pycleora import SparseMatrix, embed
+    from pycleora.pycleora import SparseMatrix   # the PyO3 module path
+    import pycleora.metrics as metrics
+
+Every public name and submodule re-exports cleora_tpu's implementation.
+"""
+
+import sys as _sys
+
+import cleora_tpu as _impl
+from cleora_tpu import *  # noqa: F401,F403
+from cleora_tpu import (  # noqa: F401
+    CleoraEmbedder,
+    DEFAULT_FEATURE_DIM,
+    DEFAULT_NUM_ITERATIONS,
+    SparseMatrix,
+    embed,
+    whiten_embeddings,
+)
+
+__version__ = _impl.__version__
+
+_SUBMODULES = [
+    "algorithms", "align", "benchmark", "checkpoint", "classify", "cli",
+    "community", "compress", "datasets", "ensemble", "generators", "hetero",
+    "io_utils", "metrics", "preprocess", "sampling", "search", "stats",
+    "tracing", "tuning", "viz",
+]
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        mod = importlib.import_module(f"cleora_tpu.{name}")
+        _sys.modules[f"{__name__}.{name}"] = mod
+        return mod
+    if name == "pycleora":  # the reference's native-extension module path
+        import cleora_tpu.sparse as mod
+
+        _sys.modules[f"{__name__}.pycleora"] = mod
+        return mod
+    return getattr(_impl, name)
