@@ -25,6 +25,13 @@ from cleora_tpu import (  # noqa: F401
 
 __version__ = _impl.__version__
 
+# The reference's native-extension path must be importable as a real module
+# (`from pycleora.pycleora import SparseMatrix`), so register it eagerly.
+import cleora_tpu.sparse as _sparse_mod
+
+_sys.modules[__name__ + ".pycleora"] = _sparse_mod
+pycleora = _sparse_mod
+
 _SUBMODULES = [
     "algorithms", "align", "benchmark", "checkpoint", "classify", "cli",
     "community", "compress", "datasets", "ensemble", "generators", "hetero",
@@ -39,10 +46,5 @@ def __getattr__(name):
 
         mod = importlib.import_module(f"cleora_tpu.{name}")
         _sys.modules[f"{__name__}.{name}"] = mod
-        return mod
-    if name == "pycleora":  # the reference's native-extension module path
-        import cleora_tpu.sparse as mod
-
-        _sys.modules[f"{__name__}.pycleora"] = mod
         return mod
     return getattr(_impl, name)
