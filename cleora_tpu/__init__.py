@@ -165,6 +165,54 @@ def embed(
     return np.asarray(x)
 
 
+def embed_dim_sharded(
+    graph: SparseMatrix,
+    feature_dim: int = DEFAULT_FEATURE_DIM,
+    slice_dim: int = 64,
+    num_iterations: Union[int, str] = DEFAULT_NUM_ITERATIONS,
+    propagation: str = "left",
+    normalization: str = "l2",
+    seed: int = 0,
+    whiten: bool = False,
+    slice_callback: Optional[Callable[[int, np.ndarray], None]] = None,
+    **embed_kwargs,
+) -> np.ndarray:
+    """The reference FAQ's embeddings-don't-fit workflow, automated
+    (README.md:359-361): run the loop per dimension slice, concatenate, and
+    L2-renormalize the concatenation.
+
+    Slice k seeds its deterministic init with ``seed + k·slice_dim``, which
+    makes the concatenated init exactly equal the full-dim hash init (the
+    init value for column c is a function of hash + c + seed).  Propagation
+    treats dimensions independently, so with whiten=False (the default here —
+    whitening mixes dimensions and is per-slice if enabled) the only
+    difference from a full-dim run is per-slice instead of full-vector
+    normalization, exactly as in the reference's documented manual workflow.
+    ``slice_callback(k, slice_embeddings)`` supports persist-to-disk flows.
+    """
+    if feature_dim % slice_dim != 0:
+        raise ValueError(
+            f"feature_dim ({feature_dim}) must be a multiple of slice_dim "
+            f"({slice_dim})"
+        )
+    slices = []
+    for k in range(feature_dim // slice_dim):
+        part = embed(
+            graph,
+            feature_dim=slice_dim,
+            num_iterations=num_iterations,
+            propagation=propagation,
+            normalization=normalization,
+            seed=seed + k * slice_dim,
+            whiten=whiten,
+            **embed_kwargs,
+        )
+        if slice_callback is not None:
+            slice_callback(k, part)
+        slices.append(part)
+    return _normalize(np.concatenate(slices, axis=1), "l2")
+
+
 def whiten_embeddings(
     embeddings: np.ndarray, n_components: Optional[int] = None
 ) -> np.ndarray:

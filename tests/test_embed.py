@@ -294,3 +294,24 @@ def test_propagate_gpu_wrapper(graph):
 def test_embed_using_baseline_cleora(graph):
     out = ct.embed_using_baseline_cleora(graph, 8, 2)
     assert out.shape == (graph.num_entities, 8)
+
+
+def test_embed_dim_sharded(graph):
+    import cleora_tpu as ct
+
+    out = ct.embed_dim_sharded(graph, feature_dim=32, slice_dim=16,
+                               num_iterations=4)
+    assert out.shape == (graph.num_entities, 32)
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    # slice seeding reproduces the full-dim deterministic init exactly
+    full_init = graph.initialize_deterministically(32, 0)
+    part0 = graph.initialize_deterministically(16, 0)
+    part1 = graph.initialize_deterministically(16, 16)
+    assert np.array_equal(full_init, np.concatenate([part0, part1], axis=1))
+    with pytest.raises(ValueError, match="multiple of slice_dim"):
+        ct.embed_dim_sharded(graph, feature_dim=30, slice_dim=16)
+    calls = []
+    ct.embed_dim_sharded(graph, feature_dim=16, slice_dim=8,
+                         num_iterations=2,
+                         slice_callback=lambda k, e: calls.append(k))
+    assert calls == [0, 1]
