@@ -24,16 +24,25 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import SHARD_AXIS, make_mesh
-from .shard import ShardedCoo, pad_rows, shard_graph
+from .shard import HaloPlan, ShardedCoo, pad_rows, plan_halo, shard_graph
 
 
 def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
-    normalization, do_whiten, axis,
+    normalization, do_whiten, axis, send_idx=None,
 ):
     """One propagate→normalize→whiten step from inside shard_map."""
-    # 1. assemble the global gather table (the "halo exchange" baseline)
-    x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
+    if send_idx is None:
+        # 1a. baseline: assemble the full gather table via all_gather
+        x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
+    else:
+        # 1b. halo exchange: ship only the boundary rows each peer needs.
+        # send_idx (P, M): my local rows destined for each peer; one
+        # all_to_all swaps (P, M, D) send slabs into (P, M, D) receive
+        # slabs, and ``cols`` are pre-remapped into that buffer layout.
+        send = jnp.take(x_local, send_idx, axis=0)  # (P, M, D)
+        recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
 
     # 2. local SpMM: every edge's output row is local
     gathered = jnp.take(x_full, cols, axis=0) * vals[:, None]
@@ -84,15 +93,18 @@ def _local_step(
 
 
 def _shard_loop_fn(
-    x_local, lrows, cols, vals, *, rows_per_shard, n_rows, num_iterations,
-    residual_weight, normalization, do_whiten, convergence_threshold, axis,
+    x_local, lrows, cols, vals, send_idx=None, *, rows_per_shard, n_rows,
+    num_iterations, residual_weight, normalization, do_whiten,
+    convergence_threshold, axis,
 ):
+    if send_idx is not None:
+        send_idx = send_idx.reshape(send_idx.shape[-2:])  # drop shard dim
     step = functools.partial(
         _local_step,
         lrows=lrows, cols=cols, vals=vals,
         rows_per_shard=rows_per_shard, n_rows=n_rows,
         residual_weight=residual_weight, normalization=normalization,
-        do_whiten=do_whiten, axis=axis,
+        do_whiten=do_whiten, axis=axis, send_idx=send_idx,
     )
     if convergence_threshold <= 0:
         return lax.fori_loop(0, num_iterations, lambda _, x: step(x), x_local)
@@ -123,15 +135,17 @@ def build_sharded_embed(
     normalization: str = "l2",
     do_whiten: bool = False,
     convergence_threshold: float = 0.0,
+    halo: Optional["HaloPlan"] = None,
 ):
     """Compile the full multi-device embed loop for a given sharded graph.
 
-    Returns (fn, place) where fn(x_padded, lrows, cols, vals) -> x_out and
-    ``place`` device_puts host arrays with the right NamedShardings.
+    Returns (fn, place) where fn(*place(x_padded)) -> x_out and ``place``
+    device_puts host arrays with the right NamedShardings.  With a
+    ``halo`` plan, each iteration exchanges only boundary rows via
+    all_to_all instead of all-gathering the full table.
     """
     axis = SHARD_AXIS
     row_spec = P(axis, None)
-    edge_spec = P(axis, None)
 
     fn = functools.partial(
         _shard_loop_fn,
@@ -144,22 +158,34 @@ def build_sharded_embed(
         convergence_threshold=convergence_threshold,
         axis=axis,
     )
+    in_specs = [row_spec, P(axis), P(axis), P(axis)]
+    if halo is not None:
+        in_specs.append(P(axis, None, None))
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(row_spec, P(axis), P(axis), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=row_spec,
     )
     jitted = jax.jit(mapped)
+
+    cols = halo.remapped_cols if halo is not None else sharded.cols
 
     def place(x_padded: np.ndarray):
         xs = jax.device_put(x_padded, NamedSharding(mesh, row_spec))
         lr = jax.device_put(
             sharded.local_rows.reshape(-1), NamedSharding(mesh, P(axis))
         )
-        cc = jax.device_put(sharded.cols.reshape(-1), NamedSharding(mesh, P(axis)))
+        cc = jax.device_put(cols.reshape(-1), NamedSharding(mesh, P(axis)))
         vv = jax.device_put(sharded.vals.reshape(-1), NamedSharding(mesh, P(axis)))
-        return xs, lr, cc, vv
+        out = [xs, lr, cc, vv]
+        if halo is not None:
+            out.append(
+                jax.device_put(
+                    halo.send_idx, NamedSharding(mesh, P(axis, None, None))
+                )
+            )
+        return tuple(out)
 
     return jitted, place
 
@@ -177,13 +203,24 @@ def embed_sharded(
     mesh=None,
     n_devices: Optional[int] = None,
     initial_embeddings: Optional[np.ndarray] = None,
+    halo: Optional[bool] = None,
 ) -> np.ndarray:
-    """Multi-device embed(): same semantics as cleora_tpu.embed, sharded."""
+    """Multi-device embed(): same semantics as cleora_tpu.embed, sharded.
+
+    ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
+    its per-device gather table is smaller than the all-gathered full table;
+    True/False force the choice.
+    """
     if mesh is None:
         mesh = make_mesh(n_devices)
     n_shards = mesh.devices.size
 
     sharded = shard_graph(graph, propagation, n_shards)
+    plan = None
+    if halo is not False and n_shards > 1:
+        candidate = plan_halo(sharded)
+        if halo or candidate.table_rows < sharded.n_rows_padded:
+            plan = candidate
     if initial_embeddings is not None:
         x0 = np.asarray(initial_embeddings, dtype=np.float32)
         feature_dim = x0.shape[1]
@@ -195,7 +232,7 @@ def embed_sharded(
         mesh, sharded, feature_dim, num_iterations,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=whiten, convergence_threshold=convergence_threshold,
+        halo=plan,
     )
-    xs, lr, cc, vv = place(x_padded)
-    out = fn(xs, lr, cc, vv)
+    out = fn(*place(x_padded))
     return np.asarray(out)[: graph.num_entities]

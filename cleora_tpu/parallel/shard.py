@@ -94,6 +94,58 @@ def shard_graph(graph, markov_type: str, n_shards: int, **kw) -> ShardedCoo:
     return shard_coo(rows, data.indices, vals, n, n_shards, **kw)
 
 
+@dataclass
+class HaloPlan:
+    """Boundary-row exchange plan: who sends which rows to whom.
+
+    The all-gather baseline ships every shard the full (N, D) table each
+    iteration; this plan ships only the rows each shard's edges actually
+    reference (SURVEY.md §2c — the "TP of this workload").  Send/receive
+    slots are padded to the max per-pair count M so the exchange is one
+    static-shape ``all_to_all``.
+    """
+
+    send_idx: np.ndarray  # int32 (P, P, M): [k, j] = LOCAL rows k sends to j
+    remapped_cols: np.ndarray  # int32 (P, E): edge cols → recv-buffer slots
+    M: int  # padded rows per (sender, receiver) pair
+
+    @property
+    def table_rows(self) -> int:
+        return self.send_idx.shape[0] * self.M
+
+
+def plan_halo(sharded: ShardedCoo) -> HaloPlan:
+    """Build the halo exchange plan from a row-block-sharded COO."""
+    P, E = sharded.cols.shape
+    rps = sharded.rows_per_shard
+
+    # need[j][k]: sorted unique global rows owned by k that shard j reads
+    uniqs = []
+    group_starts = []
+    M = 1
+    for j in range(P):
+        uniq = np.unique(sharded.cols[j])
+        owner = uniq // rps
+        gs = np.searchsorted(owner, np.arange(P + 1))
+        uniqs.append(uniq)
+        group_starts.append(gs)
+        M = max(M, int(np.max(np.diff(gs))))
+
+    send_idx = np.zeros((P, P, M), dtype=np.int32)
+    remapped = np.empty_like(sharded.cols)
+    for j in range(P):
+        uniq, gs = uniqs[j], group_starts[j]
+        for k in range(P):
+            rows_needed = uniq[gs[k]:gs[k + 1]] - k * rps
+            send_idx[k, j, : len(rows_needed)] = rows_needed
+        # edge col c → slot owner(c)·M + rank of c within its owner group
+        rank = np.searchsorted(uniq, sharded.cols[j])
+        owner = sharded.cols[j] // rps
+        remapped[j] = (owner * M + (rank - gs[owner])).astype(np.int32)
+
+    return HaloPlan(send_idx=send_idx, remapped_cols=remapped, M=M)
+
+
 def pad_rows(x: np.ndarray, n_rows_padded: int) -> np.ndarray:
     """Zero-pad embedding rows up to the sharded row count."""
     n, d = x.shape

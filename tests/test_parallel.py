@@ -111,3 +111,35 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = np.asarray(jax.jit(fn)(*args))
     assert np.isfinite(out).all()
+
+
+def test_halo_plan_correctness(graph):
+    from cleora_tpu.parallel.shard import plan_halo
+
+    sharded = shard_graph(graph, "left", 8)
+    plan = plan_halo(sharded)
+    rps = sharded.rows_per_shard
+    P = sharded.n_shards
+    # every edge's remapped slot resolves to its original global column
+    for j in range(P):
+        for e in range(sharded.cols.shape[1]):
+            slot = plan.remapped_cols[j, e]
+            k, pos = slot // plan.M, slot % plan.M
+            local = plan.send_idx[k, j, pos]
+            assert k * rps + local == sharded.cols[j, e]
+
+
+@pytest.mark.parametrize("halo", [True, False, None])
+def test_halo_matches_allgather(graph, halo):
+    kw = dict(feature_dim=16, num_iterations=5, whiten=False)
+    base = embed(graph, **kw)
+    out = embed_sharded(graph, halo=halo, **kw)
+    assert np.allclose(base, out, atol=2e-5)
+
+
+def test_halo_with_whiten_and_residual(graph):
+    kw = dict(feature_dim=16, num_iterations=4, whiten=True,
+              residual_weight=0.2)
+    a = embed_sharded(graph, halo=True, **kw)
+    b = embed_sharded(graph, halo=False, **kw)
+    assert np.allclose(a @ a.T, b @ b.T, atol=1e-3)
