@@ -47,8 +47,11 @@ def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
 
 
 # Edges per chunk when the (nnz, D) gather intermediate would not fit
-# comfortably in HBM: 2**21 edges × 256 dims × 4 B = 2 GiB per chunk.
-_CHUNK_EDGES = 1 << 21
+# comfortably in HBM: 2**22 edges × 256 dims × 4 B = 4 GiB per chunk.
+# Larger chunks amortize the (n_rows, D) accumulator read/write per chunk;
+# 4 GiB still leaves room for x, the output, and whitening temporaries on a
+# 16 GB chip.
+_CHUNK_EDGES = 1 << 22
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
