@@ -315,3 +315,44 @@ def test_embed_dim_sharded(graph):
                          num_iterations=2,
                          slice_callback=lambda k, e: calls.append(k))
     assert calls == [0, 1]
+
+
+def test_embed_with_attention_matches_host_oracle(graph):
+    """Device attention loop vs a scipy re-statement of the reference
+    algorithm (pycleora/__init__.py:206-276), whiten off for elementwise
+    comparability."""
+    import cleora_tpu as ct
+    from scipy.sparse import csr_matrix, diags
+
+    T, iters, dim = 0.7, 5, 16
+    ours = ct.embed_with_attention(
+        graph, feature_dim=dim, num_iterations=iters,
+        attention_temperature=T, whiten=False,
+    )
+
+    emb = graph.initialize_deterministically(dim, 0)
+    emb = graph.left_markov_propagate(emb)
+    emb = ct._normalize(emb, "l2")
+    adj = ct._to_scipy_sparse(graph, "left")
+    r, c = adj.nonzero()
+    for _ in range(1, iters):
+        normed = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-10
+        )
+        scores = np.sum(normed[r] * normed[c], axis=1) / T
+        row_max = np.full(adj.shape[0], -np.inf)
+        np.maximum.at(row_max, r, scores)
+        row_max[row_max == -np.inf] = 0.0
+        exp_scores = np.exp(scores - row_max[r])
+        attn = csr_matrix((exp_scores, (r, c)), shape=adj.shape)
+        attn = diags(
+            1.0 / np.maximum(np.asarray(attn.sum(axis=1)).ravel(), 1e-10)
+        ) @ attn
+        weighted = attn.multiply(adj)
+        weighted = diags(
+            1.0 / np.maximum(np.asarray(weighted.sum(axis=1)).ravel(), 1e-10)
+        ) @ weighted
+        emb = (weighted @ emb).astype(np.float32)
+        emb = ct._normalize(emb, "l2")
+
+    assert np.allclose(ours, emb, atol=2e-4)
