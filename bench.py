@@ -37,6 +37,12 @@ def synthetic_coo(n_nodes: int, n_und_edges: int, seed: int = 7):
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeat runs skip the slow TPU compile
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from cleora_tpu.ops.loop import embed_loop
