@@ -26,9 +26,19 @@ import numpy as np
 
 def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
             multiple: int = 2048):
-    """Pad COO arrays to a bucketed length to limit jit recompiles."""
+    """Pad COO arrays to a bucketed length to limit jit recompiles.
+
+    Small sizes round up to `multiple`; above 2^20 edges buckets grow
+    geometrically (~12% steps) so different large graphs share compiled
+    programs instead of each getting its own shape.
+    """
     nnz = rows.shape[0]
     target = max(multiple, int(multiple * ((nnz + multiple - 1) // multiple)))
+    if nnz > 1 << 20:
+        bucket = 1 << 20
+        while bucket < nnz:
+            bucket += max(bucket // 8, multiple)
+        target = (bucket + multiple - 1) // multiple * multiple
     if target == nnz:
         return (
             np.ascontiguousarray(rows, dtype=np.int32),
