@@ -15,6 +15,7 @@ from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
+from ._util import to_host
 from .sparse import SparseMatrix
 
 DEFAULT_FEATURE_DIM = 256
@@ -132,7 +133,7 @@ def embed(
             normalization=normalization,
             do_whiten=bool(whiten),
         )
-        return np.asarray(out)
+        return to_host(out)
 
     if callback is None:
         out, _ = embed_loop_convergence(
@@ -144,7 +145,7 @@ def embed(
             normalization=normalization,
             do_whiten=bool(whiten),
         )
-        return np.asarray(out)
+        return to_host(out)
 
     # callback path: one jitted step per iteration, convergence on host
     x = x0
@@ -162,7 +163,7 @@ def embed(
             rmse = _compute_rmse(np.asarray(x), np.asarray(prev))
             if rmse < convergence_threshold:
                 break
-    return np.asarray(x)
+    return to_host(x)
 
 
 def embed_dim_sharded(
@@ -330,7 +331,7 @@ def embed_with_attention(
     if callback is not None:
         callback(0, np.asarray(x))
     if num_iterations == 1:
-        return np.asarray(x)
+        return to_host(x)
 
     import functools
 
@@ -377,7 +378,7 @@ def embed_with_attention(
         )
         if callback is not None:
             callback(i, np.asarray(x))
-    return np.asarray(x)
+    return to_host(x)
 
 
 def embed_multiscale(
@@ -487,7 +488,7 @@ def _propagate_custom_coo(
         n_rows=n, num_iterations=int(num_iterations),
         normalization=normalization, do_whiten=bool(whiten),
     )
-    return np.asarray(out)
+    return to_host(out)
 
 
 def embed_directed(

@@ -235,4 +235,6 @@ def embed_sharded(
         halo=plan,
     )
     out = fn(*place(x_padded))
-    return np.asarray(out)[: graph.num_entities]
+    from .._util import to_host
+
+    return to_host(out)[: graph.num_entities].copy()

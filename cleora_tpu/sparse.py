@@ -21,6 +21,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ._util import to_host
 from .graph.builder import GraphData, build_graph
 from .graph.columns import RelationDescriptor
 from .graph.hashing import init_embeddings
@@ -258,7 +259,7 @@ class SparseMatrix:
 
         rows, cols, vals = self._device_coo(markov_type)
         out = spmm(rows, cols, vals, jnp.asarray(x), self.num_entities)
-        return np.asarray(out)
+        return to_host(out)
 
     def left_markov_propagate(self, x, num_workers: Optional[int] = None) -> np.ndarray:
         return self._propagate(x, "left", num_workers)
@@ -308,7 +309,7 @@ class SparseMatrix:
             normalization="l2",
             do_whiten=False,
         )
-        return np.asarray(out)
+        return to_host(out)
 
     def embed_fast_convergence(
         self,
@@ -335,7 +336,7 @@ class SparseMatrix:
             normalization="l2",
             do_whiten=False,
         )
-        return np.asarray(out), int(iters)
+        return to_host(out), int(iters)
 
     # ---------------------------------------------------------------- dunders
     def __repr__(self) -> str:

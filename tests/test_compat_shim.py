@@ -48,3 +48,23 @@ def test_determinism_bitwise():
     e1 = ct.embed(g1, feature_dim=16, num_iterations=6)
     e2 = ct.embed(g2, feature_dim=16, num_iterations=6)
     assert np.array_equal(e1, e2)
+
+
+def test_outputs_are_writable():
+    """The reference returns plain numpy that callers mutate in place (README
+    manual loop does `embeddings /= norm`); device-backed returns must be
+    writable."""
+    import cleora_tpu as ct
+
+    g = ct.SparseMatrix.from_iterator(iter(["a b", "b c"]),
+                                      "complex::reflexive::n")
+    for out in (
+        g.initialize_deterministically(8),
+        g.left_markov_propagate(np.zeros((3, 8), np.float32)),
+        g.embed_fast(8, 2),
+        ct.embed(g, feature_dim=8, num_iterations=2),
+        ct.embed(g, feature_dim=8, num_iterations=2,
+                 callback=lambda i, e: None),
+    ):
+        assert out.flags.writeable
+        out[0, 0] = 1.0  # must not raise
