@@ -356,3 +356,72 @@ def test_embed_with_attention_matches_host_oracle(graph):
         emb = ct._normalize(emb, "l2")
 
     assert np.allclose(ours, emb, atol=2e-4)
+
+
+def test_embed_weighted_matches_host_oracle():
+    """Device weighted loop vs a scipy restatement of the reference
+    (pycleora/__init__.py:312-359), whiten off for elementwise compare."""
+    import cleora_tpu as ct
+    from scipy.sparse import diags
+
+    rng = np.random.default_rng(2)
+    ew = [(f"n{rng.integers(0, 20)} n{rng.integers(0, 20)}",
+           float(rng.uniform(0.5, 3.0))) for _ in range(60)]
+    g, ours = ct.embed_weighted(ew, "complex::reflexive::n", feature_dim=16,
+                                num_iterations=4, whiten=False)
+
+    adj = ct._to_scipy_sparse(g, "left").astype(np.float64)
+    n = g.num_entities
+    wd = np.ones(n)
+    im = {e: i for i, e in enumerate(g.entity_ids)}
+    for s, w in ew:
+        for ent in s.strip().split():
+            if ent in im:
+                wd[im[ent]] = max(wd[im[ent]], w)
+    weighted = diags(wd) @ adj
+    weighted = diags(
+        1.0 / np.maximum(np.asarray(weighted.sum(axis=1)).ravel(), 1e-10)
+    ) @ weighted
+    emb = g.initialize_deterministically(16, 0)
+    for _ in range(4):
+        emb = (weighted @ emb).astype(np.float32)
+        emb = ct._normalize(emb, "l2")
+    assert np.allclose(ours, emb, atol=2e-4)
+
+
+def test_embed_directed_matches_host_oracle():
+    """Device directed loop vs a scipy restatement of the reference
+    (pycleora/__init__.py:362-410)."""
+    import cleora_tpu as ct
+    from scipy.sparse import csr_matrix, diags
+
+    rng = np.random.default_rng(4)
+    edges = [f"n{rng.integers(0, 15)} n{rng.integers(0, 15)}"
+             for _ in range(50)]
+    g, ours = ct.embed_directed(edges, "complex::reflexive::n",
+                                feature_dim=16, num_iterations=4,
+                                whiten=False)
+
+    pairs = set()
+    for e in edges:
+        parts = e.strip().split()
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pairs.add((parts[i], parts[j]))
+    r, c, v, n, _ = g.to_sparse_csr("left")
+    keep = [
+        (int(ri), int(ci), float(vi)) for ri, ci, vi in zip(r, c, v)
+        if (g.entity_ids[int(ri)], g.entity_ids[int(ci)]) in pairs
+    ]
+    adj = csr_matrix(
+        ([k[2] for k in keep], ([k[0] for k in keep], [k[1] for k in keep])),
+        shape=(n, n),
+    )
+    adj = diags(
+        1.0 / np.maximum(np.asarray(adj.sum(axis=1)).ravel(), 1e-10)
+    ) @ adj
+    emb = g.initialize_deterministically(16, 0)
+    for _ in range(4):
+        emb = (adj @ emb).astype(np.float32)
+        emb = ct._normalize(emb, "l2")
+    assert np.allclose(ours, emb, atol=2e-4)
