@@ -1,0 +1,64 @@
+"""Multi-process sharded embed (multi-host simulation, SURVEY §4).
+
+Launches two jax.distributed processes, each with 2 virtual CPU devices,
+forming a global 4-device mesh — the closest single-machine analog of the
+multi-host pod setup (collectives cross the process boundary like DCN).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_sharded_embed(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    out_path = str(tmp_path / "result.npz")
+    worker = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "multiprocess_worker.py"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU plugin in workers
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-2000:]
+
+    data = np.load(out_path)
+    halo, allgather = data["halo"], data["allgather"]
+    assert np.allclose(halo, allgather, atol=2e-5)
+
+    # single-process ground truth
+    import jax
+
+    from cleora_tpu import SparseMatrix, embed
+
+    rng = np.random.default_rng(7)
+    lines = [f"n{rng.integers(0, 100)} n{rng.integers(0, 100)}"
+             for _ in range(800)]
+    graph = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+    single = embed(graph, feature_dim=16, num_iterations=4, whiten=False)
+    assert np.allclose(single, allgather, atol=2e-5)
