@@ -439,3 +439,14 @@ def test_cli(tmp_path, capsys):
 
     main([])
     assert "usage" in capsys.readouterr().out.lower()
+
+
+@pytest.mark.slow
+def test_cli_benchmark(capsys):
+    from cleora_tpu.cli import main
+
+    main(["benchmark", "-d", "karate_club", "--dim", "32"])
+    out = capsys.readouterr().out
+    assert "Benchmarking on Zachary's Karate Club" in out
+    for name in ("cleora", "prone", "randne", "deepwalk", "node2vec"):
+        assert name in out
