@@ -86,6 +86,16 @@ def _extract(lib, handle, descriptor) -> GraphData:
         if err:
             raise ValueError(err.decode("utf-8"))
 
+        skipped = lib.ct_skipped_lines(handle)
+        if skipped:
+            import warnings
+
+            # parity: the reference warns per malformed line
+            # (src/pipeline.rs:71-78); the native path reports the count
+            warnings.warn(
+                f"Skipped {skipped} line(s) with the wrong number of columns"
+            )
+
         n = lib.ct_num_entities(handle)
         nnz = lib.ct_num_edges(handle)
 
