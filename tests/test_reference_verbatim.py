@@ -145,3 +145,102 @@ def test_similarity_verbatim(ref_fns, graph):
     assert ct.cosine_similarity(a, b) == pytest.approx(
         ref_fns["cosine_similarity"](a, b), rel=1e-6
     )
+
+
+@pytest.fixture(scope="module")
+def ref_wrappers(ref_fns):
+    """Advanced-mode wrappers extracted verbatim, with their dependencies
+    (embed, SparseMatrix, validators) injected from our implementation —
+    verifies OUR wrappers replicate the reference's wrapper logic."""
+    import cleora_tpu as ct
+
+    src = open("/root/reference/pycleora/__init__.py").read()
+    tree = ast.parse(src)
+    wanted = {
+        "embed_with_node_features", "embed_multiscale", "embed_inductive",
+        "embed_streaming", "update_graph", "remove_edges",
+        "_validate_propagation", "_get_propagate_fn",
+    }
+    nodes = [
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name in wanted
+    ]
+    assert {n.name for n in nodes} == wanted
+    ns = dict(ref_fns)
+    ns.update({
+        "embed": ct.embed,
+        "DEFAULT_FEATURE_DIM": 256,
+        "DEFAULT_NUM_ITERATIONS": 40,
+    })
+    module = ast.Module(body=nodes, type_ignores=[])
+    exec(compile(ast.fix_missing_locations(module), "<refw>", "exec"), ns)
+    return ns
+
+
+def test_node_features_wrapper_verbatim(ref_wrappers, graph):
+    import cleora_tpu as ct
+
+    feats = {graph.entity_ids[0]: np.ones(8, np.float32),
+             graph.entity_ids[1]: np.full(8, 2.0, np.float32)}
+    ours = ct.embed_with_node_features(graph, feats, num_iterations=3)
+    theirs = ref_wrappers["embed_with_node_features"](graph, feats,
+                                                      num_iterations=3)
+    assert np.allclose(ours @ ours.T, theirs @ theirs.T, atol=5e-3)
+
+
+def test_multiscale_wrapper_verbatim(ref_wrappers, graph):
+    import cleora_tpu as ct
+
+    ours = ct.embed_multiscale(graph, feature_dim=8, scales=[2, 4],
+                               whiten=False)
+    theirs = ref_wrappers["embed_multiscale"](graph, feature_dim=8,
+                                              scales=[2, 4], whiten=False)
+    assert np.allclose(ours, theirs, atol=1e-4)
+
+
+def test_inductive_wrapper_verbatim(ref_wrappers):
+    import cleora_tpu as ct
+
+    base = ["a b", "b c", "c d"]
+    new = ["d e", "e a"]
+    g0 = ct.SparseMatrix.from_iterator(iter(base), "complex::reflexive::n")
+    emb0 = ct.embed(g0, feature_dim=8, num_iterations=3, whiten=False)
+
+    np.random.seed(0)
+    g1, ours = ct.embed_inductive(g0, emb0, base, new,
+                                  "complex::reflexive::n", num_iterations=3)
+    np.random.seed(0)
+    g2, theirs = ref_wrappers["embed_inductive"](g0, emb0, base, new,
+                                                 "complex::reflexive::n",
+                                                 num_iterations=3)
+    assert g1.entity_ids == g2.entity_ids
+    assert np.allclose(ours @ ours.T, theirs @ theirs.T, atol=5e-3)
+
+
+def test_streaming_wrapper_verbatim(ref_wrappers):
+    import cleora_tpu as ct
+
+    batches = [["a b", "b c"], ["c d", "d a"]]
+    np.random.seed(0)
+    g1, ours = ct.embed_streaming(batches, "complex::reflexive::n",
+                                  feature_dim=8, num_iterations=3)
+    np.random.seed(0)
+    g2, theirs = ref_wrappers["embed_streaming"](
+        batches, "complex::reflexive::n", feature_dim=8, num_iterations=3
+    )
+    assert g1.entity_ids == g2.entity_ids
+    assert np.allclose(ours @ ours.T, theirs @ theirs.T, atol=5e-3)
+
+
+def test_update_remove_wrappers_verbatim(ref_wrappers):
+    import cleora_tpu as ct
+
+    base = ["a b", "b c", "c a"]
+    g1 = ct.update_graph(base, ["c d"], "complex::reflexive::n")
+    g2 = ref_wrappers["update_graph"](base, ["c d"], "complex::reflexive::n")
+    assert g1.entity_ids == g2.entity_ids
+    r1 = ct.remove_edges(base, ["b c"], "complex::reflexive::n")
+    r2 = ref_wrappers["remove_edges"](base, ["b c"], "complex::reflexive::n")
+    assert r1.entity_ids == r2.entity_ids
+    with pytest.raises(ValueError, match="Cannot remove all"):
+        ct.remove_edges(["a b"], ["a b"], "complex::reflexive::n")
