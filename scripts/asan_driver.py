@@ -1,0 +1,48 @@
+import ctypes, numpy as np
+lib = ctypes.CDLL("/tmp/libcleora_asan.so")
+import cleora_tpu.native as natmod
+natmod._bind(lib)
+
+import numpy as np
+rng = np.random.default_rng(3)
+cases = []
+# pairs
+cases.append(([f"n{rng.integers(0,500)} n{rng.integers(0,500)}" for _ in range(5000)], "complex::reflexive::node", 16))
+# trimming-heavy hyperedges
+cases.append(([" ".join(f"e{rng.integers(0,80)}" for _ in range(rng.integers(2,40))) for _ in range(500)], "complex::reflexive::e", 8))
+# two-column with tabs, commas, malformed
+cases.append((["u1\tp1 p2", "u2\tp1", "bad line no tab", "u3\tp2 p3"], "user complex::product", 16))
+cases.append((["x, a b", "y, b c", "", "x, c"], "tag complex::item", 16))
+cases.append((["café naïve", "naïve 日本語"], "complex::reflexive::w", 16))
+
+for lines, columns, trim in cases:
+    from cleora_tpu.graph.columns import parse_fields, create_relation_descriptor
+    cols = parse_fields(columns)
+    create_relation_descriptor(cols)
+    buf = "\n".join(lines).encode("utf-8")
+    ncols = len(cols)
+    cf = (ctypes.c_uint8 * ncols)(*[int(c.complex) for c in cols])
+    rf = (ctypes.c_uint8 * ncols)(*[int(c.reflexive) for c in cols])
+    h = lib.ct_build(buf, len(buf), ncols, cf, rf, trim, 4)
+    err = lib.ct_error(h)
+    if err: print("error:", err.decode())
+    n = lib.ct_num_entities(h); nnz = lib.ct_num_edges(h)
+    hashes = np.empty(n, np.uint64); cids = np.empty(n, np.uint8)
+    rs = np.empty(n, np.float32); ip = np.empty(n+1, np.int64)
+    idx = np.empty(nnz, np.int32); lv = np.empty(nnz, np.float32); sv = np.empty(nnz, np.float32)
+    lib.ct_get_arrays(h, *(a.ctypes.data_as(ctypes.c_void_p) for a in (hashes, cids, rs, ip, idx, lv, sv)))
+    lens = np.empty(n, np.uint32); lib.ct_id_lens(h, lens.ctypes.data_as(ctypes.c_void_p))
+    blob = np.empty(int(lens.sum()), np.uint8); lib.ct_id_bytes(h, blob.ctypes.data_as(ctypes.c_void_p))
+    lib.ct_free(h)
+    print("ok", n, nnz)
+
+# file mode
+import tempfile, os
+d = tempfile.mkdtemp()
+p1 = os.path.join(d, "a.tsv"); open(p1, "w").write("a b\nb c\n\nc a\n")
+paths = (ctypes.c_char_p * 2)(p1.encode(), b"/nonexistent/file.tsv")
+cf = (ctypes.c_uint8 * 1)(1); rf = (ctypes.c_uint8 * 1)(1)
+h = lib.ct_build_files(paths, 2, 1, cf, rf, 16, 2)
+print("files ok", lib.ct_num_entities(h), lib.ct_num_edges(h))
+lib.ct_free(h)
+print("ALL SANITIZER CASES PASSED")
