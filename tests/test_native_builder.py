@@ -95,3 +95,29 @@ def test_native_unicode():
     nat = build_graph_native(lines, "complex::reflexive::word")
     ref = build_graph(lines, "complex::reflexive::word")
     _assert_same(nat, ref)
+
+
+@pytest.mark.parametrize("seed,columns,fmt", [
+    (21, "complex::reflexive::node", "space"),
+    (22, "user complex::product", "tab"),
+    (23, "a b", "tab"),                      # two simple columns
+    (24, "complex::a complex::b", "tab"),    # both complex
+    (25, "tag complex::item", "comma"),
+])
+def test_native_fuzz_column_specs(seed, columns, fmt):
+    rng = np.random.default_rng(seed)
+    lines = []
+    for _ in range(600):
+        left = " ".join(f"L{rng.integers(0, 40)}"
+                        for _ in range(rng.integers(1, 5)))
+        right = " ".join(f"R{rng.integers(0, 40)}"
+                         for _ in range(rng.integers(1, 5)))
+        if fmt == "space":
+            lines.append(left)
+        elif fmt == "tab":
+            lines.append(f"{left}\t{right}")
+        else:
+            lines.append(f"{left}, {right}")
+    nat = build_graph_native(lines, columns, 16)
+    ref = build_graph(lines, columns, 16)
+    _assert_same(nat, ref, atol=1e-5)
