@@ -82,6 +82,7 @@ def embed(
     residual_weight: float = 0.0,
     convergence_threshold: float = 0.0,
     whiten: bool = True,
+    dtype: str = "float32",
 ) -> np.ndarray:
     """Cleora embedding: num_iterations × [propagate → normalize → whiten].
 
@@ -90,7 +91,16 @@ def embed(
     path: normalization modes, whitening, residual, convergence, and initial
     embeddings are all handled inside one jitted fori/while loop.  Only a
     per-iteration callback falls back to one dispatch per iteration.
+
+    ``dtype="bfloat16"`` stores the embedding state (and gather table) in
+    bf16 — half the HBM, double the per-chip graph capacity — while all
+    accumulation, normalization, and whitening compute in float32.  The
+    returned array is always float32.
     """
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
+        )
     if isinstance(num_iterations, str):
         if num_iterations == "auto":
             num_iterations = _auto_iterations(feature_dim)
@@ -122,6 +132,8 @@ def embed(
 
     rows, cols, vals = graph._device_coo(propagation)
     x0 = jnp.asarray(x0)
+    if dtype == "bfloat16":
+        x0 = x0.astype(jnp.bfloat16)
     n = graph.num_entities
 
     if callback is None and convergence_threshold <= 0:
@@ -133,7 +145,7 @@ def embed(
             normalization=normalization,
             do_whiten=bool(whiten),
         )
-        return to_host(out)
+        return to_host(out.astype(jnp.float32))
 
     if callback is None:
         out, _ = embed_loop_convergence(
@@ -145,7 +157,7 @@ def embed(
             normalization=normalization,
             do_whiten=bool(whiten),
         )
-        return to_host(out)
+        return to_host(out.astype(jnp.float32))
 
     # callback path: one jitted step per iteration, convergence on host
     x = x0
@@ -158,12 +170,15 @@ def embed(
             normalization=normalization,
             do_whiten=bool(whiten),
         )
-        callback(i, np.asarray(x))
+        callback(i, np.asarray(x.astype(jnp.float32)))
         if convergence_threshold > 0 and i > 0:
-            rmse = _compute_rmse(np.asarray(x), np.asarray(prev))
+            rmse = _compute_rmse(
+                np.asarray(x.astype(jnp.float32)),
+                np.asarray(prev.astype(jnp.float32)),
+            )
             if rmse < convergence_threshold:
                 break
-    return to_host(x)
+    return to_host(x.astype(jnp.float32))
 
 
 def embed_dim_sharded(

@@ -30,13 +30,15 @@ from .whiten import whiten
 
 
 def _step(rows, cols, vals, x, n_rows, residual_weight, normalization, do_whiten):
+    # bf16 storage mode: propagate/normalize/whiten compute in f32 (spmm_inner
+    # promotes), then the state is stored back at the x dtype
     y = spmm_inner(rows, cols, vals, x, n_rows)
     if 0.0 < residual_weight < 1.0:
-        y = (1.0 - residual_weight) * y + residual_weight * x
+        y = (1.0 - residual_weight) * y + residual_weight * x.astype(y.dtype)
     y = normalize(y, normalization)
     if do_whiten:
         y = whiten(y)
-    return y
+    return y.astype(x.dtype)
 
 
 @functools.partial(

@@ -80,10 +80,14 @@ def spmm_inner(rows, cols, vals, x, n_rows):
     (the padding contract keeps trailing chunks valid: padded edges have
     vals == 0 and rows == n_rows-1).
     """
+    # storage may be bf16 (halves the gather table + read bytes); products
+    # and the segment accumulation always run in float32
+    acc_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+
     nnz = rows.shape[0]
     if nnz <= _CHUNK_EDGES:
-        gathered = jnp.take(x, cols, axis=0)
-        scaled = gathered * vals[:, None].astype(x.dtype)
+        gathered = jnp.take(x, cols, axis=0).astype(acc_dtype)
+        scaled = gathered * vals[:, None].astype(acc_dtype)
         return jax.ops.segment_sum(
             scaled, rows, num_segments=n_rows, indices_are_sorted=True
         )
@@ -98,8 +102,8 @@ def spmm_inner(rows, cols, vals, x, n_rows):
 
     def body(acc, chunk):
         r, c, v = chunk
-        gathered = jnp.take(x, c, axis=0)
-        scaled = gathered * v[:, None].astype(x.dtype)
+        gathered = jnp.take(x, c, axis=0).astype(acc_dtype)
+        scaled = gathered * v[:, None].astype(acc_dtype)
         return acc + jax.ops.segment_sum(
             scaled, r, num_segments=n_rows, indices_are_sorted=True
         ), None
@@ -109,5 +113,7 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         cols.reshape(n_chunks, _CHUNK_EDGES),
         vals.reshape(n_chunks, _CHUNK_EDGES),
     )
-    out, _ = jax.lax.scan(body, jnp.zeros((n_rows, x.shape[1]), x.dtype), chunks)
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((n_rows, x.shape[1]), acc_dtype), chunks
+    )
     return out

@@ -425,3 +425,22 @@ def test_embed_directed_matches_host_oracle():
         emb = (adj @ emb).astype(np.float32)
         emb = ct._normalize(emb, "l2")
     assert np.allclose(ours, emb, atol=2e-4)
+
+
+def test_embed_bfloat16_storage(graph):
+    import cleora_tpu as ct
+
+    f32 = ct.embed(graph, feature_dim=16, num_iterations=6, whiten=False)
+    bf16 = ct.embed(graph, feature_dim=16, num_iterations=6, whiten=False,
+                    dtype="bfloat16")
+    assert bf16.dtype == np.float32  # host return is always f32
+    assert np.allclose(np.linalg.norm(bf16, axis=1), 1.0, atol=2e-2)
+    # bf16 state loses ~8 mantissa bits per step; direction is preserved
+    cos = np.sum(f32 * bf16, axis=1) / (
+        np.linalg.norm(f32, axis=1) * np.linalg.norm(bf16, axis=1)
+    )
+    assert np.min(cos) > 0.98
+    wh = ct.embed(graph, feature_dim=16, num_iterations=4, dtype="bfloat16")
+    assert np.isfinite(wh).all()
+    with pytest.raises(ValueError, match="Unknown dtype"):
+        ct.embed(graph, dtype="float64")
