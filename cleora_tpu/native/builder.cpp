@@ -134,6 +134,37 @@ struct WorkerOut {
   int64_t skipped = 0;
 };
 
+// Strict UTF-8 validation (file mode only: iterator input arrives as
+// already-valid Python str).  Invalid lines are skipped, matching the
+// reference's read_line error handling (src/pipeline.rs:193-218).
+static bool utf8_valid(const char* b, const char* e) {
+  const unsigned char* p = (const unsigned char*)b;
+  const unsigned char* end = (const unsigned char*)e;
+  while (p < end) {
+    unsigned char c = *p;
+    int cont;
+    if (c < 0x80) {
+      ++p;
+      continue;
+    } else if ((c & 0xE0) == 0xC0) {
+      if (c < 0xC2) return false;  // overlong
+      cont = 1;
+    } else if ((c & 0xF0) == 0xE0) {
+      cont = 2;
+    } else if ((c & 0xF8) == 0xF0) {
+      if (c > 0xF4) return false;  // > U+10FFFF
+      cont = 3;
+    } else {
+      return false;
+    }
+    if (end - p <= cont) return false;
+    for (int i = 1; i <= cont; ++i)
+      if ((p[i] & 0xC0) != 0x80) return false;
+    p += cont + 1;
+  }
+  return true;
+}
+
 static inline const char* trim(const char* b, const char*& e) {
   while (b < e && (*b == ' ' || *b == '\t' || *b == '\r')) ++b;
   while (e > b && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
@@ -348,6 +379,12 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
         out.tokens.reserve((size_t)(hi - lo) * 4);
         out.edges.reserve((size_t)(hi - lo));
         for (int64_t i = lo; i < hi; ++i) {
+          // file mode (skip_empty): raw bytes may be invalid UTF-8 —
+          // skip such lines like the reference's read_line error path
+          if (skip_empty && !utf8_valid(lines[i].first, lines[i].second)) {
+            ++out.skipped;
+            continue;
+          }
           if (!parse_line(lines[i].first, lines[i].second, ncols, cols,
                           reflexive_single, out))
             ++out.skipped;

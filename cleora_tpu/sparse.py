@@ -133,8 +133,14 @@ class SparseMatrix:
 
         def line_iter():
             for fp in readable:
-                with open(fp, "r", buffering=64 * 1024) as f:
-                    for line in f:
+                with open(fp, "rb", buffering=64 * 1024) as f:
+                    for raw in f:
+                        try:
+                            # invalid UTF-8 lines are skipped (reference
+                            # read_line error path, src/pipeline.rs:193-218)
+                            line = raw.decode("utf-8")
+                        except UnicodeDecodeError:
+                            continue
                         line = line.rstrip("\n").rstrip("\r")
                         if line:
                             yield line

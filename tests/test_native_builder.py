@@ -121,3 +121,25 @@ def test_native_fuzz_column_specs(seed, columns, fmt):
     nat = build_graph_native(lines, columns, 16)
     ref = build_graph(lines, columns, 16)
     _assert_same(nat, ref, atol=1e-5)
+
+
+def test_invalid_utf8_lines_skipped(tmp_path):
+    from cleora_tpu import SparseMatrix
+
+    p = tmp_path / "bad.tsv"
+    p.write_bytes(b"a b\n\xff\xfe bad\nb c\ncaf\xc3\xa9 d\n")
+    g = SparseMatrix.from_files([str(p)], "complex::reflexive::n")
+    assert g.entity_ids == ["a", "b", "c", "café", "d"]
+    # numpy fallback behaves the same
+    import os
+
+    os.environ["CLEORA_TPU_NATIVE"] = "0"
+    try:
+        import cleora_tpu.native as nat
+
+        nat._lib, nat._load_failed = None, False
+        g2 = SparseMatrix.from_files([str(p)], "complex::reflexive::n")
+        assert g2.entity_ids == g.entity_ids
+    finally:
+        os.environ.pop("CLEORA_TPU_NATIVE", None)
+        nat._lib, nat._load_failed = None, False
