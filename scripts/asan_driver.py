@@ -39,7 +39,8 @@ for lines, columns, trim in cases:
 # file mode
 import tempfile, os
 d = tempfile.mkdtemp()
-p1 = os.path.join(d, "a.tsv"); open(p1, "w").write("a b\nb c\n\nc a\n")
+p1 = os.path.join(d, "a.tsv")
+open(p1, "wb").write(b"a b\nb c\n\n\xff\xfe bad utf8\nc a\ncaf\xc3\xa9 d\n")
 paths = (ctypes.c_char_p * 2)(p1.encode(), b"/nonexistent/file.tsv")
 cf = (ctypes.c_uint8 * 1)(1); rf = (ctypes.c_uint8 * 1)(1)
 h = lib.ct_build_files(paths, 2, 1, cf, rf, 16, 2)
