@@ -618,6 +618,8 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
   lap("pairs");
 
   // ---- phase 5: sort by packed key, merge duplicates, normalize
+  // (parallel comparison sort; a 16-bit-pass radix variant measured 4-5x
+  // SLOWER here — the 64K-bucket scatter thrashes cache/TLB on this host)
   PSORT(pairs.begin(), pairs.end(),
         [](const KV& x, const KV& y) { return x.key < y.key; });
   lap("sort");
