@@ -31,7 +31,13 @@ def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
     normalization, do_whiten, axis, send_idx=None,
 ):
-    """One propagate→normalize→whiten step from inside shard_map."""
+    """One propagate→normalize→whiten step from inside shard_map.
+
+    bf16 state is supported like the single-device loop: the exchange ships
+    the stored dtype (halving ICI/DCN bytes too); compute is float32 and the
+    result is cast back at the end.
+    """
+    state_dtype = x_local.dtype
     if send_idx is None:
         # 1a. baseline: assemble the full gather table via all_gather
         x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
@@ -44,15 +50,15 @@ def _local_step(
         recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
         x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
 
-    # 2. local SpMM: every edge's output row is local
-    gathered = jnp.take(x_full, cols, axis=0) * vals[:, None]
+    # 2. local SpMM: every edge's output row is local; accumulate in f32
+    gathered = jnp.take(x_full, cols, axis=0).astype(jnp.float32) * vals[:, None]
     y = jax.ops.segment_sum(
         gathered, lrows, num_segments=rows_per_shard, indices_are_sorted=True
     )
 
     # 3. residual + row normalization (purely local)
     if 0.0 < residual_weight < 1.0:
-        y = (1.0 - residual_weight) * y + residual_weight * x_local
+        y = (1.0 - residual_weight) * y + residual_weight * x_local.astype(y.dtype)
 
     my_id = lax.axis_index(axis)
     global_row = my_id * rows_per_shard + jnp.arange(rows_per_shard)
@@ -89,7 +95,7 @@ def _local_step(
         v = v[:, ::-1]
         scale = 1.0 / jnp.sqrt(jnp.maximum(w, 1e-10))
         y = jnp.dot(yc, v * scale, preferred_element_type=jnp.float32)
-    return y
+    return y.astype(state_dtype)
 
 
 def _shard_loop_fn(
@@ -204,13 +210,19 @@ def embed_sharded(
     n_devices: Optional[int] = None,
     initial_embeddings: Optional[np.ndarray] = None,
     halo: Optional[bool] = None,
+    dtype: str = "float32",
 ) -> np.ndarray:
     """Multi-device embed(): same semantics as cleora_tpu.embed, sharded.
 
     ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
     its per-device gather table is smaller than the all-gathered full table;
-    True/False force the choice.
+    True/False force the choice.  ``dtype="bfloat16"`` stores and exchanges
+    the state in bf16 (half HBM and half interconnect bytes, f32 compute).
     """
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
+        )
     if mesh is None:
         mesh = make_mesh(n_devices)
     n_shards = mesh.devices.size
@@ -227,6 +239,10 @@ def embed_sharded(
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
     x_padded = pad_rows(x0, sharded.n_rows_padded)
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        x_padded = x_padded.astype(ml_dtypes.bfloat16)
 
     fn, place = build_sharded_embed(
         mesh, sharded, feature_dim, num_iterations,
@@ -235,6 +251,8 @@ def embed_sharded(
         halo=plan,
     )
     out = fn(*place(x_padded))
+    if out.dtype != jnp.float32:
+        out = out.astype(jnp.float32)
     from .._util import to_host
 
     return to_host(out)[: graph.num_entities].copy()

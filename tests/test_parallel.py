@@ -143,3 +143,17 @@ def test_halo_with_whiten_and_residual(graph):
     a = embed_sharded(graph, halo=True, **kw)
     b = embed_sharded(graph, halo=False, **kw)
     assert np.allclose(a @ a.T, b @ b.T, atol=1e-3)
+
+
+def test_sharded_bfloat16(graph):
+    f32 = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                        whiten=False)
+    bf16 = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                         whiten=False, dtype="bfloat16")
+    assert bf16.dtype == np.float32
+    cos = np.sum(f32 * bf16, axis=1) / np.maximum(
+        np.linalg.norm(f32, axis=1) * np.linalg.norm(bf16, axis=1), 1e-10
+    )
+    assert np.min(cos) > 0.98
+    with pytest.raises(ValueError, match="Unknown dtype"):
+        embed_sharded(graph, dtype="float64")
