@@ -22,6 +22,7 @@ import numpy as np
 
 _GRAPH_FILE = "graph.pkl"
 _STATE_FILE = "state.npz"
+_ORBAX_DIR = "orbax_state"
 
 
 def save_checkpoint(
@@ -30,17 +31,34 @@ def save_checkpoint(
     embeddings: np.ndarray,
     iteration: int,
     save_graph: bool = True,
+    backend: str = "npz",
 ) -> None:
     """Atomically write (graph, embeddings, iteration) into ``directory``.
 
     ``save_graph=False`` skips re-pickling the (immutable) graph on
-    subsequent saves — only the small state file is rewritten.
+    subsequent saves — only the state is rewritten.  ``backend="orbax"``
+    stores the array state via orbax.checkpoint (sharded-array- and
+    multi-host-capable); the graph stays a pickle either way.
     """
     os.makedirs(directory, exist_ok=True)
     if save_graph or not os.path.exists(os.path.join(directory, _GRAPH_FILE)):
         _atomic_write(
             os.path.join(directory, _GRAPH_FILE), pickle.dumps(graph)
         )
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(directory, _ORBAX_DIR))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                path,
+                {"embeddings": np.asarray(embeddings),
+                 "iteration": np.int64(iteration)},
+                force=True,
+            )
+        return
+    if backend != "npz":
+        raise ValueError(f"Unknown backend '{backend}'. Use 'npz' or 'orbax'.")
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz")
     os.close(fd)
     try:
@@ -56,16 +74,26 @@ def save_checkpoint(
 
 
 def load_checkpoint(directory: str) -> Tuple[object, np.ndarray, int]:
-    """Load (graph, embeddings, iteration) from a checkpoint directory."""
+    """Load (graph, embeddings, iteration) from a checkpoint directory
+    (either backend; orbax state wins when both exist)."""
     with open(os.path.join(directory, _GRAPH_FILE), "rb") as f:
         graph = pickle.load(f)
+    orbax_path = os.path.abspath(os.path.join(directory, _ORBAX_DIR))
+    if os.path.exists(orbax_path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(orbax_path)
+        return graph, np.asarray(state["embeddings"]), int(state["iteration"])
     state = np.load(os.path.join(directory, _STATE_FILE))
     return graph, state["embeddings"], int(state["iteration"])
 
 
 def has_checkpoint(directory: str) -> bool:
-    return os.path.exists(os.path.join(directory, _GRAPH_FILE)) and \
+    return os.path.exists(os.path.join(directory, _GRAPH_FILE)) and (
         os.path.exists(os.path.join(directory, _STATE_FILE))
+        or os.path.exists(os.path.join(directory, _ORBAX_DIR))
+    )
 
 
 def embed_with_checkpointing(

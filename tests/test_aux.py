@@ -86,3 +86,21 @@ def test_log_every(caplog):
         for _ in range(5):
             progress()
     assert sum("got" in r.message for r in caplog.records) == 2
+
+
+def test_orbax_checkpoint_roundtrip(graph, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    d = str(tmp_path / "ockpt")
+    emb = embed(graph, feature_dim=8, num_iterations=2)
+    save_checkpoint(d, graph, emb, 2, backend="orbax")
+    assert has_checkpoint(d)
+    g2, emb2, it = load_checkpoint(d)
+    assert it == 2
+    assert np.array_equal(emb, emb2)
+    assert g2.entity_ids == graph.entity_ids
+    # overwrite at a later iteration
+    save_checkpoint(d, graph, emb * 2, 5, backend="orbax", save_graph=False)
+    _, emb3, it3 = load_checkpoint(d)
+    assert it3 == 5 and np.allclose(emb3, emb * 2)
+    with pytest.raises(ValueError, match="Unknown backend"):
+        save_checkpoint(d, graph, emb, 1, backend="bogus")
