@@ -104,3 +104,65 @@ def test_orbax_checkpoint_roundtrip(graph, tmp_path):
     assert it3 == 5 and np.allclose(emb3, emb * 2)
     with pytest.raises(ValueError, match="Unknown backend"):
         save_checkpoint(d, graph, emb, 1, backend="bogus")
+
+
+@pytest.mark.slow
+def test_kill_resume_fault_tolerance(graph, tmp_path):
+    """Fault injection: a worker process is killed mid-run; a fresh process
+    resumes from the last checkpoint and produces the exact full-run result
+    (deterministic restartability, SURVEY §5)."""
+    import pickle
+    import subprocess
+    import sys
+    import textwrap
+
+    d = str(tmp_path / "ft")
+    gpath = str(tmp_path / "g.pkl")
+    with open(gpath, "wb") as f:
+        pickle.dump(graph, f)
+
+    prog = textwrap.dedent("""
+        import pickle, sys
+        import jax; jax.config.update("jax_platforms", "cpu")
+        from cleora_tpu.checkpoint import embed_with_checkpointing, load_checkpoint
+        graph = pickle.load(open(sys.argv[1], "rb"))
+        kill_after = sys.argv[3] == "partial"
+
+        def boom(k, e):
+            raise SystemExit(137)  # simulate a crash after 2 chunks
+
+        kw = dict(feature_dim=8, num_iterations=8, checkpoint_dir=sys.argv[2],
+                  checkpoint_every=2, whiten=False)
+        if kill_after:
+            import cleora_tpu.checkpoint as cp
+            orig = cp.save_checkpoint
+            calls = []
+            def counting(*a, **k):
+                orig(*a, **k)
+                calls.append(1)
+                if len(calls) == 2:
+                    raise SystemExit(137)
+            cp.save_checkpoint = counting
+        out = embed_with_checkpointing(graph, **kw)
+        import numpy as np
+        np.save(sys.argv[2] + "_out.npy", out)
+    """)
+    import os
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+
+    r1 = subprocess.run([sys.executable, "-c", prog, gpath, d, "partial"],
+                        env=env, capture_output=True)
+    assert r1.returncode == 137, r1.stderr.decode()[-500:]
+    _, _, it = load_checkpoint(d)
+    assert it == 4  # crashed after the 2nd chunk of 2
+
+    r2 = subprocess.run([sys.executable, "-c", prog, gpath, d, "full"],
+                        env=env, capture_output=True)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    resumed = np.load(d + "_out.npy")
+
+    clean = embed(graph, feature_dim=8, num_iterations=8, whiten=False)
+    assert np.allclose(resumed, clean, atol=1e-5)
