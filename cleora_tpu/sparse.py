@@ -168,6 +168,16 @@ class SparseMatrix:
     @entity_ids.setter
     def entity_ids(self, value: List[str]):
         self.data.entity_ids = list(value)
+        self._device_cache.pop("index_map", None)
+
+    @property
+    def _index_map(self):
+        """Lazy entity→index dict (the reference scans the list per lookup)."""
+        m = self._device_cache.get("index_map")
+        if m is None:
+            m = {eid: i for i, eid in enumerate(self.data.entity_ids)}
+            self._device_cache["index_map"] = m
+        return m
 
     @property
     def entity_degrees(self) -> np.ndarray:
@@ -182,13 +192,13 @@ class SparseMatrix:
         return self.data.num_edges
 
     def get_entity_index(self, entity_id: str) -> int:
-        try:
-            return self.entity_ids.index(entity_id)
-        except ValueError:
+        idx = self._index_map.get(entity_id)
+        if idx is None:
             raise ValueError(f"Entity '{entity_id}' not found")
+        return idx
 
     def get_entity_indices(self, entity_ids: Sequence[str]) -> List[int]:
-        index_map = {eid: i for i, eid in enumerate(self.entity_ids)}
+        index_map = self._index_map
         out = []
         for eid in entity_ids:
             if eid not in index_map:
