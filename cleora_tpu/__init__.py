@@ -771,11 +771,20 @@ def predict_links(
     norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
     normed = embeddings / np.maximum(norms, 1e-10)
 
-    existing_edges = set()
+    fwd = rev = None
     if exclude_existing:
-        rows, cols, _, _, _ = graph.to_sparse_csr()
-        for r, c in zip(rows, cols):
-            existing_edges.add((int(r), int(c)))
+        # vectorized existing-edge masking: out-neighbors from the CSR plus
+        # in-neighbors from its transpose (the reference scans a pair set
+        # per candidate, pycleora/__init__.py:654-663 — same semantics)
+        rows, cols, _, n, _ = graph.to_sparse_csr()
+        rows = rows.astype(np.int64)
+        cols = cols.astype(np.int64)
+        from scipy.sparse import csr_matrix
+
+        fwd = csr_matrix(
+            (np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n)
+        )
+        rev = fwd.T.tocsr()
 
     if source_entities is not None:
         source_indices = [graph.get_entity_index(eid) for eid in source_entities]
@@ -787,11 +796,8 @@ def predict_links(
         sims = normed @ normed[src_idx]
         sims[src_idx] = -2.0
         if exclude_existing:
-            for other_idx in range(graph.num_entities):
-                if (src_idx, other_idx) in existing_edges or (
-                    other_idx, src_idx
-                ) in existing_edges:
-                    sims[other_idx] = -2.0
+            sims[fwd.indices[fwd.indptr[src_idx]:fwd.indptr[src_idx + 1]]] = -2.0
+            sims[rev.indices[rev.indptr[src_idx]:rev.indptr[src_idx + 1]]] = -2.0
         top_indices = np.argsort(sims)[::-1][:top_k]
         for tgt_idx in top_indices:
             if sims[tgt_idx] <= -2.0:
