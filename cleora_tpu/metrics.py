@@ -214,11 +214,18 @@ def clustering_scores(embeddings: np.ndarray, labels: np.ndarray) -> Dict[str, f
 
 
 def _ranked_retrieval(graph, embeddings, test_edges, k):
-    """Shared top-k retrieval over test queries, masking existing edges."""
+    """Shared top-k retrieval over test queries, masking existing edges
+    (vectorized via the CSR row — reference scans a pair set per candidate)."""
     index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
     normed = _row_normalize(embeddings)
-    rows, cols, _, _, _ = graph.to_sparse_csr()
-    existing = set(zip(rows.astype(int).tolist(), cols.astype(int).tolist()))
+    rows, cols, _, n, _ = graph.to_sparse_csr()
+    from scipy.sparse import csr_matrix
+
+    adj = csr_matrix(
+        (np.ones(len(rows), np.int8),
+         (rows.astype(np.int64), cols.astype(np.int64))),
+        shape=(n, n),
+    )
 
     queries: Dict[int, set] = {}
     for a, b in test_edges:
@@ -229,9 +236,11 @@ def _ranked_retrieval(graph, embeddings, test_edges, k):
     for src, true_targets in queries.items():
         sims = normed @ normed[src]
         sims[src] = -2.0
-        for other in range(len(sims)):
-            if (src, other) in existing and other not in true_targets:
-                sims[other] = -2.0
+        neighbors = adj.indices[adj.indptr[src]:adj.indptr[src + 1]]
+        mask = np.array(
+            [nb for nb in neighbors if nb not in true_targets], dtype=np.int64
+        )
+        sims[mask] = -2.0
         yield np.argsort(sims)[::-1][:k], true_targets
 
 
