@@ -92,8 +92,10 @@ class ANNIndex:
     (reference search.py:101-210)."""
 
     def __init__(self, graph, embeddings: np.ndarray, method: str = "hnsw"):
-        if method not in ("hnsw", "brute"):
-            raise ValueError(f"Unknown method: '{method}'. Use 'hnsw' or 'brute'.")
+        if method not in ("hnsw", "brute", "device"):
+            raise ValueError(
+                f"Unknown method: '{method}'. Use 'hnsw', 'brute', or 'device'."
+            )
         self._graph = graph
         self._embeddings = embeddings
         self._method = method
@@ -103,6 +105,20 @@ class ANNIndex:
         )
         self._hnsw_index = None
         self._ball_tree = None
+        self._device_table = None
+        if method == "device":
+            # exact cosine top-k on the accelerator: one matmul + lax.top_k;
+            # at 1 GB/s-scale tables this outruns host ANN construction
+            import jax
+            import jax.numpy as jnp
+
+            self._device_table = jnp.asarray(self._normalized)
+
+            def _topk(q, k):
+                sims = self._device_table @ q
+                return jax.lax.top_k(sims, k)
+
+            self._device_topk = jax.jit(_topk, static_argnums=1)
         if method == "hnsw":
             try:
                 import hnswlib
@@ -134,6 +150,13 @@ class ANNIndex:
 
     def _query_internal(self, query_vec: np.ndarray, top_k: int) -> List[Dict]:
         k = min(top_k, self._n)
+        if self._method == "device":
+            import jax.numpy as jnp
+
+            sims, idx = self._device_topk(
+                jnp.asarray(_unit(query_vec), dtype=self._device_table.dtype), k
+            )
+            return self._results(np.asarray(idx), np.asarray(sims))
         if self._method == "brute":
             sims = self._normalized @ _unit(query_vec)
             top = np.argpartition(sims, -k)[-k:]

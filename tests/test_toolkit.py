@@ -450,3 +450,19 @@ def test_cli_benchmark(capsys):
     assert "Benchmarking on Zachary's Karate Club" in out
     for name in ("cleora", "prone", "randne", "deepwalk", "node2vec"):
         assert name in out
+
+
+def test_search_device_method(setup):
+    from cleora_tpu.search import ANNIndex
+
+    g, emb, _ = setup
+    dev = ANNIndex(g, emb, method="device")
+    brute = ANNIndex(g, emb, method="brute")
+    for eid in ("0", "33"):
+        d = dev.query(eid, top_k=5)
+        b = brute.query(eid, top_k=5)
+        assert [r["entity_id"] for r in d] == [r["entity_id"] for r in b]
+        for rd, rb in zip(d, b):
+            assert rd["similarity"] == pytest.approx(rb["similarity"], abs=1e-5)
+    qv = dev.query_vector(emb[7], top_k=3)
+    assert len(qv) == 3
