@@ -240,6 +240,68 @@ def build_graph(
     token_index, entity_ids, entity_hashes, entity_column_ids = _index_entities(
         tokens, token_col_ids
     )
+    return _assemble(
+        descriptor, token_index, entity_ids, entity_hashes, entity_column_ids,
+        a_off, a_len, b_off, b_len, hyperedge_trim_n,
+    )
+
+
+def build_graph_pairs(
+    src: np.ndarray,
+    dst: np.ndarray,
+    columns: str = "complex::reflexive::node",
+    hyperedge_trim_n: int = 16,
+) -> GraphData:
+    """Direct integer-pair ingest: each (src[i], dst[i]) is one reflexive
+    2-node hyperedge with entity names str(id) — identical output to
+    ``build_graph(f"{s} {d}" for s, d in zip(src, dst))`` without
+    materializing the strings.  Names are hashed vectorized over UNIQUE ids
+    only, so ingest cost is O(nnz) integer work + O(n) hashing."""
+    cols = parse_fields(columns)
+    descriptor = create_relation_descriptor(cols)
+    if not (len(cols) == 1 and cols[0].reflexive):
+        raise ValueError(
+            "build_graph_pairs requires a single reflexive column spec"
+        )
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if src.shape != dst.shape or src.ndim != 1:
+        raise ValueError("src and dst must be 1-D arrays of equal length")
+    m = src.shape[0]
+    if m == 0:
+        raise ValueError("No valid hyperedge lines provided")
+
+    stream = np.empty(2 * m, dtype=np.int64)
+    stream[0::2] = src
+    stream[1::2] = dst
+
+    uniq, first_pos, inverse = np.unique(
+        stream, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_pos, kind="stable")  # first-seen order
+    rank_of_sorted = np.empty_like(order)
+    rank_of_sorted[order] = np.arange(order.shape[0])
+    token_index = rank_of_sorted[inverse].astype(np.int64)
+
+    ordered_ids = uniq[order]
+    entity_ids = [str(v) for v in ordered_ids]
+    entity_hashes = hash_entities(entity_ids)
+    entity_column_ids = np.zeros(len(entity_ids), dtype=np.uint8)
+
+    offs = np.arange(m, dtype=np.int64) * 2
+    lens = np.full(m, 2, dtype=np.int64)
+    return _assemble(
+        descriptor, token_index, entity_ids, entity_hashes, entity_column_ids,
+        offs, lens, offs, lens, hyperedge_trim_n,
+    )
+
+
+def _assemble(
+    descriptor, token_index, entity_ids, entity_hashes, entity_column_ids,
+    a_off, a_len, b_off, b_len, hyperedge_trim_n,
+) -> GraphData:
+    """Shared back half of the build: row stats + trimming + clique pairs +
+    dedupe-sum + Markov normalization (semantics in the module docstring)."""
     n_entities = len(entity_ids)
     nodes = token_index  # flat dense-index stream, same layout as tokens
 

@@ -91,6 +91,54 @@ class SparseMatrix:
         return SparseMatrix._from_graph_data(data)
 
     @staticmethod
+    def from_edge_arrays(
+        src,
+        dst,
+        columns: str = "complex::reflexive::node",
+        hyperedge_trim_n: int = 16,
+    ) -> "SparseMatrix":
+        """Build directly from integer edge arrays (e.g. SNAP/OGB loaders'
+        ``_LazyEdgeList.arrays()``), identical to feeding ``f"{s} {d}"``
+        lines without per-edge Python string objects.  Dispatches to the C++
+        core via one vectorized text buffer when available; otherwise uses
+        the pure-numpy pair builder."""
+        s = np.asarray(src)
+        d = np.asarray(dst)
+        if s.shape != d.shape or s.ndim != 1:
+            raise ValueError("src and dst must be 1-D arrays of equal length")
+        if s.shape[0] == 0:
+            raise ValueError("No valid hyperedge lines provided")
+        try:
+            from .graph.native import native_available
+
+            if native_available():
+                import numpy as _np
+
+                from .graph.columns import parse_fields
+
+                cols = parse_fields(columns)
+                if len(cols) == 1 and cols[0].reflexive:
+                    lines_arr = _np.char.add(
+                        _np.char.add(s.astype("U20"), " "), d.astype("U20")
+                    )
+                    buf = "\n".join(lines_arr.tolist())
+                    from .graph.native import build_graph_native
+
+                    return SparseMatrix._from_graph_data(
+                        build_graph_native([buf], columns, hyperedge_trim_n)
+                    )
+        except ValueError:
+            raise
+        except Exception:  # pragma: no cover - defensive fallback
+            pass
+
+        from .graph.builder import build_graph_pairs
+
+        return SparseMatrix._from_graph_data(
+            build_graph_pairs(src, dst, columns, hyperedge_trim_n)
+        )
+
+    @staticmethod
     def from_files(
         filepaths: Sequence[str],
         columns: str,

@@ -116,3 +116,31 @@ def test_trimming_drops_low_low_pairs():
 def test_entity_registration_order_is_first_seen():
     g = build_graph(["b a", "c a", "d b"], "complex::reflexive::node")
     assert g.entity_ids == ["b", "a", "c", "d"]
+
+
+def test_build_graph_pairs_matches_lines():
+    from cleora_tpu import SparseMatrix
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 500, 4000)
+    dst = rng.integers(0, 500, 4000)
+    g_arr = SparseMatrix.from_edge_arrays(src, dst)
+    lines = [f"{a} {b}" for a, b in zip(src, dst)]
+    g_str = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+    assert g_arr.entity_ids == g_str.entity_ids
+    assert np.array_equal(g_arr.data.entity_hashes, g_str.data.entity_hashes)
+    assert np.array_equal(g_arr.data.indptr, g_str.data.indptr)
+    assert np.array_equal(g_arr.data.indices, g_str.data.indices)
+    assert np.allclose(g_arr.data.left_vals, g_str.data.left_vals, atol=1e-6)
+    assert np.allclose(g_arr.data.sym_vals, g_str.data.sym_vals, atol=1e-6)
+
+
+def test_build_graph_pairs_validation():
+    from cleora_tpu import SparseMatrix
+
+    with pytest.raises(ValueError, match="single reflexive"):
+        SparseMatrix.from_edge_arrays([0], [1], columns="a b")
+    with pytest.raises(ValueError, match="equal length"):
+        SparseMatrix.from_edge_arrays([0, 1], [1])
+    with pytest.raises(ValueError, match="No valid"):
+        SparseMatrix.from_edge_arrays([], [])
