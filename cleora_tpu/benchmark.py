@@ -15,6 +15,22 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 
+def build_graph_for_dataset(ds: Dict):
+    """Build a SparseMatrix from a load_dataset() dict, taking the
+    zero-string integer-array fast path for _LazyEdgeList edges (the big
+    SNAP/OGB sets)."""
+    from .sparse import SparseMatrix
+
+    edges = ds["edges"]
+    if hasattr(edges, "arrays"):
+        try:
+            src, dst = edges.arrays()
+            return SparseMatrix.from_edge_arrays(src, dst, ds["columns"])
+        except ValueError:
+            pass  # non-reflexive column spec etc. — fall through
+    return SparseMatrix.from_iterator(iter(edges), ds["columns"])
+
+
 def benchmark_algorithms(
     graph,
     labels: Dict[str, int],
@@ -87,7 +103,7 @@ def benchmark_datasets(
         try:
             ds = load_dataset(ds_name)
             t0 = time.time()
-            graph = SparseMatrix.from_iterator(iter(ds["edges"]), ds["columns"])
+            graph = build_graph_for_dataset(ds)
             emb = embed_fn(graph)
             elapsed = time.time() - t0
             results[ds_name] = {

@@ -466,3 +466,21 @@ def test_search_device_method(setup):
             assert rd["similarity"] == pytest.approx(rb["similarity"], abs=1e-5)
     qv = dev.query_vector(emb[7], top_k=3)
     assert len(qv) == 3
+
+
+def test_build_graph_for_dataset_lazy_fast_path():
+    from cleora_tpu.benchmark import build_graph_for_dataset
+    from cleora_tpu.datasets import _LazyEdgeList
+
+    src = np.array([0, 1, 2, 0], dtype=np.int32)
+    dst = np.array([1, 2, 0, 3], dtype=np.int32)
+    ds = {"edges": _LazyEdgeList(src, dst),
+          "columns": "complex::reflexive::node"}
+    g_fast = build_graph_for_dataset(ds)
+    from cleora_tpu import SparseMatrix
+
+    g_ref = SparseMatrix.from_iterator(
+        iter(list(ds["edges"])), ds["columns"]
+    )
+    assert g_fast.entity_ids == g_ref.entity_ids
+    assert np.allclose(g_fast.data.left_vals, g_ref.data.left_vals)
