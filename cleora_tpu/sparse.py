@@ -118,8 +118,14 @@ class SparseMatrix:
 
                 cols = parse_fields(columns)
                 if len(cols) == 1 and cols[0].reflexive:
+                    # minimal decimal width keeps the U-array conversion cheap
+                    w = max(
+                        len(str(int(s.max()))), len(str(int(d.max()))),
+                        len(str(int(s.min()))), len(str(int(d.min()))),
+                    )
                     lines_arr = _np.char.add(
-                        _np.char.add(s.astype("U20"), " "), d.astype("U20")
+                        _np.char.add(s.astype(f"U{w}"), " "),
+                        d.astype(f"U{w}"),
                     )
                     buf = "\n".join(lines_arr.tolist())
                     from .graph.native import build_graph_native
