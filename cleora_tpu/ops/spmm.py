@@ -56,12 +56,19 @@ def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
     )
 
 
-# Edges per chunk when the (nnz, D) gather intermediate would not fit
-# comfortably in HBM: 2**22 edges × 256 dims × 4 B = 4 GiB per chunk.
-# Larger chunks amortize the (n_rows, D) accumulator read/write per chunk;
-# 4 GiB still leaves room for x, the output, and whitening temporaries on a
-# 16 GB chip.
-_CHUNK_EDGES = 1 << 22
+# Edge-chunking of the (nnz, D) gather intermediate.  The chunk byte budget
+# adapts to the embedding-state footprint: on a 16 GB chip, oversizing the
+# intermediate near the HBM limit makes XLA fall into a pathologically
+# serialized schedule (measured: 4 GiB chunks at 2M rows × 256 dims ran 28x
+# slower than 1 GiB chunks).  Larger chunks amortize the accumulator
+# read/write, so use the largest budget that stays comfortably clear.
+_CHUNK_EDGES = 1 << 22  # upper bound (4 GiB at D=256); kept for tests
+
+
+def _chunk_edges_for(n_rows: int, d: int) -> int:
+    state_bytes = 5 * n_rows * d * 4  # x double-buffered + y + whiten temps
+    budget = min(4 << 30, max(1 << 30, (10 << 30) - state_bytes))
+    return max(1 << 20, min(_CHUNK_EDGES, budget // (d * 4)))
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -85,20 +92,21 @@ def spmm_inner(rows, cols, vals, x, n_rows):
     acc_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
 
     nnz = rows.shape[0]
-    if nnz <= _CHUNK_EDGES:
+    chunk_edges = _chunk_edges_for(n_rows, x.shape[1])
+    if nnz <= chunk_edges:
         gathered = jnp.take(x, cols, axis=0).astype(acc_dtype)
         scaled = gathered * vals[:, None].astype(acc_dtype)
         return jax.ops.segment_sum(
             scaled, rows, num_segments=n_rows, indices_are_sorted=True
         )
 
-    if nnz % _CHUNK_EDGES != 0:
-        pad = _CHUNK_EDGES - nnz % _CHUNK_EDGES
+    if nnz % chunk_edges != 0:
+        pad = chunk_edges - nnz % chunk_edges
         rows = jnp.pad(rows, (0, pad), constant_values=n_rows - 1)
         cols = jnp.pad(cols, (0, pad))
         vals = jnp.pad(vals, (0, pad))
         nnz += pad
-    n_chunks = nnz // _CHUNK_EDGES
+    n_chunks = nnz // chunk_edges
 
     def body(acc, chunk):
         r, c, v = chunk
@@ -109,9 +117,9 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         ), None
 
     chunks = (
-        rows.reshape(n_chunks, _CHUNK_EDGES),
-        cols.reshape(n_chunks, _CHUNK_EDGES),
-        vals.reshape(n_chunks, _CHUNK_EDGES),
+        rows.reshape(n_chunks, chunk_edges),
+        cols.reshape(n_chunks, chunk_edges),
+        vals.reshape(n_chunks, chunk_edges),
     )
     out, _ = jax.lax.scan(
         body, jnp.zeros((n_rows, x.shape[1]), acc_dtype), chunks
