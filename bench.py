@@ -53,8 +53,8 @@ def main():
         n_nodes, n_und = 100_000, 276_000
         iters = 4
     else:
-        # half roadNet-CA scale so the working set fits a 16 GB-HBM chip
-        n_nodes, n_und = 1_000_000, 5_533_214
+        # the exact published roadNet-CA shape (README.md:274-276)
+        n_nodes, n_und = 1_965_206, 5_533_214
         iters = 40
     dim = 256
 
