@@ -46,7 +46,7 @@ def main():
     import jax.numpy as jnp
 
     from cleora_tpu.ops.loop import embed_loop
-    from cleora_tpu.ops.spmm import pad_coo
+    from cleora_tpu.ops.spmm import pad_coo, plan_banded_coo
 
     backend = jax.default_backend()
     if backend == "cpu":  # smoke-test scale off-TPU
@@ -60,8 +60,11 @@ def main():
 
     rows, cols, vals = synthetic_coo(n_nodes, n_und)
     nnz = rows.shape[0]
-    prow, pcol, pval = pad_coo(rows, cols, vals, n_nodes)
-    drow, dcol, dval = jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval)
+    # row-banded layout (accumulator-free SpMM); 1-D fallback for small/skewed
+    triple = plan_banded_coo(rows, cols, vals, n_nodes, d=dim)
+    if triple is None:
+        triple = pad_coo(rows, cols, vals, n_nodes)
+    drow, dcol, dval = (jnp.asarray(a) for a in triple)
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((n_nodes, dim)).astype(np.float32))

@@ -130,7 +130,7 @@ def embed(
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
 
-    rows, cols, vals = graph._device_coo(propagation)
+    rows, cols, vals = graph._device_coo(propagation, banded_dim=int(feature_dim))
     x0 = jnp.asarray(x0)
     if dtype == "bfloat16":
         x0 = x0.astype(jnp.bfloat16)
@@ -419,7 +419,7 @@ def embed_multiscale(
     from .ops.loop import embed_loop
 
     n = graph.num_entities
-    rows, cols, vals = graph._device_coo(propagation)
+    rows, cols, vals = graph._device_coo(propagation, banded_dim=int(feature_dim))
     x = jnp.asarray(graph.initialize_deterministically(feature_dim, seed))
 
     snapshots = []

@@ -71,6 +71,55 @@ def _chunk_edges_for(n_rows: int, d: int) -> int:
     return max(1 << 20, min(_CHUNK_EDGES, budget // (d * 4)))
 
 
+def _band_rows(n_rows: int, n_bands: int) -> int:
+    """Rows per band.  Shared by the host planner and the device kernel so the
+    local-row encoding (global_row = band·B + local_row) is consistent."""
+    return -(-n_rows // n_bands)
+
+
+_BAND_SKEW_LIMIT = 4.0
+
+
+def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                    n_rows: int, d: int = 256):
+    """Host-side row-banded COO layout for accumulator-free large-graph SpMM.
+
+    The chunked `lax.scan` path re-reads/rewrites the full (n_rows, D)
+    accumulator once per chunk — at roadNet-CA scale that is ~6 GB × 11
+    chunks × 2 directions per iteration, the dominant HBM traffic.  Because
+    `rows` is sorted, the edge stream can instead be cut at STATIC row-range
+    boundaries: band i owns output rows [i·B, (i+1)·B), every one of its
+    edges lands in that range, and the scan can emit each (B, D) partial sum
+    exactly once via ys-stacking — no carry, no re-read.
+
+    Returns (rows2d, cols2d, vals2d) with shape (n_bands, max_band_edges)
+    where rows2d holds band-local row indices, or None when the banded layout
+    doesn't pay (small graph, or degree skew would make padding explode —
+    the caller falls back to the 1-D layout).
+    """
+    nnz = rows.shape[0]
+    chunk = _chunk_edges_for(n_rows, d)
+    if nnz <= chunk:
+        return None  # single-shot path is already accumulator-free
+    n_bands = -(-nnz // chunk)
+    B = _band_rows(n_rows, n_bands)
+    bounds = np.searchsorted(rows, np.arange(0, (n_bands + 1) * B, B))
+    counts = np.diff(bounds)
+    max_e = int(counts.max())
+    if max_e > _BAND_SKEW_LIMIT * max(1, nnz // n_bands):
+        return None  # skewed degree distribution: padding would dominate
+    max_e = -(-max_e // 2048) * 2048
+    r2 = np.full((n_bands, max_e), B - 1, dtype=np.int32)
+    c2 = np.zeros((n_bands, max_e), dtype=np.int32)
+    v2 = np.zeros((n_bands, max_e), dtype=np.float32)
+    for i in range(n_bands):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        r2[i, : hi - lo] = rows[lo:hi].astype(np.int64) - i * B
+        c2[i, : hi - lo] = cols[lo:hi]
+        v2[i, : hi - lo] = vals[lo:hi]
+    return r2, c2, v2
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
          n_rows: int) -> jax.Array:
@@ -90,6 +139,22 @@ def spmm_inner(rows, cols, vals, x, n_rows):
     # storage may be bf16 (halves the gather table + read bytes); products
     # and the segment accumulation always run in float32
     acc_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+
+    if rows.ndim == 2:  # banded layout from plan_banded_coo
+        n_bands = rows.shape[0]
+        B = _band_rows(n_rows, n_bands)
+
+        def band_body(_, band):
+            r, c, v = band
+            gathered = jnp.take(x, c, axis=0).astype(acc_dtype)
+            scaled = gathered * v[:, None].astype(acc_dtype)
+            y = jax.ops.segment_sum(
+                scaled, r, num_segments=B, indices_are_sorted=True
+            )
+            return 0, y
+
+        _, ys = jax.lax.scan(band_body, 0, (rows, cols, vals))
+        return ys.reshape(n_bands * B, x.shape[1])[:n_rows]
 
     nnz = rows.shape[0]
     chunk_edges = _chunk_edges_for(n_rows, x.shape[1])
@@ -121,7 +186,10 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         cols.reshape(n_chunks, chunk_edges),
         vals.reshape(n_chunks, chunk_edges),
     )
-    out, _ = jax.lax.scan(
-        body, jnp.zeros((n_rows, x.shape[1]), acc_dtype), chunks
+    # init derives a zero from `vals` so the carry carries the same varying
+    # manual axes as the body output when running inside shard_map
+    acc0 = jnp.zeros((n_rows, x.shape[1]), acc_dtype) + (vals[0] * 0).astype(
+        acc_dtype
     )
+    out, _ = jax.lax.scan(body, acc0, chunks)
     return out

@@ -50,11 +50,13 @@ def _local_step(
         recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
         x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
 
-    # 2. local SpMM: every edge's output row is local; accumulate in f32
-    gathered = jnp.take(x_full, cols, axis=0).astype(jnp.float32) * vals[:, None]
-    y = jax.ops.segment_sum(
-        gathered, lrows, num_segments=rows_per_shard, indices_are_sorted=True
-    )
+    # 2. local SpMM: every edge's output row is local.  Reuses spmm_inner so
+    # the (nnz_local, D) gather intermediate is chunk-bounded at production
+    # scale and bf16 tables promote to f32 accumulation, same as single-chip.
+    from ..ops.spmm import spmm_inner
+
+    y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
+    y = y.astype(jnp.float32)
 
     # 3. residual + row normalization (purely local)
     if 0.0 < residual_weight < 1.0:

@@ -295,12 +295,19 @@ class SparseMatrix:
         return rows, cols, vals, n, n
 
     # ------------------------------------------------------------ device COO
-    def _device_coo(self, markov_type: str):
-        """Row-sorted padded COO on device, cached per markov type."""
-        key = ("coo", markov_type)
+    def _device_coo(self, markov_type: str, banded_dim: int = 0):
+        """Row-sorted padded COO on device, cached per markov type.
+
+        With ``banded_dim`` > 0 (the embedding width about to be propagated),
+        large graphs may come back in the row-banded 2-D layout of
+        ``plan_banded_coo`` — accumulator-free SpMM in the fused loops.
+        Falls back to the 1-D layout when banding doesn't pay.
+        """
+        dim_bucket = 1 << max(banded_dim - 1, 0).bit_length() if banded_dim else 0
+        key = ("coo", markov_type, dim_bucket)
         if key not in self._device_cache:
             jax, jnp = _require_jax()
-            from .ops.spmm import pad_coo
+            from .ops.spmm import pad_coo, plan_banded_coo
 
             data = self.data
             n = data.num_entities
@@ -308,12 +315,16 @@ class SparseMatrix:
                 np.arange(n, dtype=np.int32), np.diff(data.indptr).astype(np.int64)
             )
             vals = data.sym_vals if markov_type == "symmetric" else data.left_vals
-            prow, pcol, pval = pad_coo(rows, data.indices, vals, n)
-            self._device_cache[key] = (
-                jnp.asarray(prow),
-                jnp.asarray(pcol),
-                jnp.asarray(pval),
-            )
+            triple = None
+            if dim_bucket:
+                triple = plan_banded_coo(
+                    rows, data.indices, vals, n, d=dim_bucket
+                )
+            if triple is None:
+                if dim_bucket:  # banding declined — share the 1-D cache entry
+                    return self._device_coo(markov_type)
+                triple = pad_coo(rows, data.indices, vals, n)
+            self._device_cache[key] = tuple(jnp.asarray(a) for a in triple)
         return self._device_cache[key]
 
     # ------------------------------------------------------------- compute API
@@ -370,7 +381,7 @@ class SparseMatrix:
         from .ops.loop import embed_loop
 
         x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
-        rows, cols, vals = self._device_coo(mt)
+        rows, cols, vals = self._device_coo(mt, banded_dim=int(feature_dim))
         out = embed_loop(
             rows, cols, vals, x0,
             n_rows=self.num_entities,
@@ -396,7 +407,7 @@ class SparseMatrix:
         from .ops.loop import embed_loop_convergence
 
         x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
-        rows, cols, vals = self._device_coo(mt)
+        rows, cols, vals = self._device_coo(mt, banded_dim=int(feature_dim))
         out, iters = embed_loop_convergence(
             rows, cols, vals, x0,
             n_rows=self.num_entities,

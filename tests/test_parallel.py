@@ -157,3 +157,18 @@ def test_sharded_bfloat16(graph):
     assert np.min(cos) > 0.98
     with pytest.raises(ValueError, match="Unknown dtype"):
         embed_sharded(graph, dtype="float64")
+
+
+def test_sharded_chunked_local_spmm(graph, monkeypatch):
+    """The per-shard SpMM goes through spmm_inner; force its chunked-scan
+    branch (the production memory-bounded path) inside shard_map and check
+    parity with the single-device result."""
+    import cleora_tpu.ops.spmm as _s
+    import importlib
+
+    spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
+    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 128)
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False)
+    single = embed(graph, **kw)
+    sharded = embed_sharded(graph, **kw)
+    assert np.allclose(single, sharded, atol=2e-5)

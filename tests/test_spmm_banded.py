@@ -1,0 +1,125 @@
+"""Row-banded (accumulator-free) SpMM layout: plan_banded_coo + the 2-D
+dispatch in spmm_inner.
+
+Banding only engages above the chunk threshold (~1M edges), so these tests
+monkeypatch ``_chunk_edges_for`` down to toy sizes and check the banded
+result against a scipy oracle and against the 1-D layout bit-for-bit
+semantics (same math, different summation grouping → allclose).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import importlib
+
+spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
+from cleora_tpu.ops.spmm import pad_coo, plan_banded_coo, spmm
+
+
+def _random_coo(n_rows, nnz, seed=0, n_cols=None):
+    rng = np.random.default_rng(seed)
+    rows = np.sort(rng.integers(0, n_rows, nnz)).astype(np.int32)
+    cols = rng.integers(0, n_cols or n_rows, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return rows, cols, vals
+
+
+def _oracle(rows, cols, vals, x, n_rows):
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(n_rows, x.shape[0]))
+    return np.asarray(a @ x, dtype=np.float32)
+
+
+@pytest.fixture
+def tiny_chunks(monkeypatch):
+    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 64)
+
+
+@pytest.mark.parametrize("n_rows,nnz", [(100, 1000), (97, 531), (257, 2000)])
+def test_banded_matches_oracle(tiny_chunks, n_rows, nnz):
+    rows, cols, vals = _random_coo(n_rows, nnz, seed=n_rows)
+    x = np.random.default_rng(1).standard_normal((n_rows, 16)).astype(np.float32)
+    triple = plan_banded_coo(rows, cols, vals, n_rows, d=16)
+    assert triple is not None and triple[0].ndim == 2
+    import jax.numpy as jnp
+
+    out = np.asarray(spmm(*(jnp.asarray(a) for a in triple),
+                          jnp.asarray(x), n_rows=n_rows))
+    np.testing.assert_allclose(out, _oracle(rows, cols, vals, x, n_rows),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_banded_matches_1d_path(tiny_chunks):
+    n_rows, nnz = 120, 900
+    rows, cols, vals = _random_coo(n_rows, nnz, seed=3)
+    x = np.random.default_rng(2).standard_normal((n_rows, 8)).astype(np.float32)
+    import jax.numpy as jnp
+
+    banded = plan_banded_coo(rows, cols, vals, n_rows, d=8)
+    flat = pad_coo(rows, cols, vals, n_rows)
+    out_b = np.asarray(spmm(*(jnp.asarray(a) for a in banded),
+                            jnp.asarray(x), n_rows=n_rows))
+    out_f = np.asarray(spmm(*(jnp.asarray(a) for a in flat),
+                            jnp.asarray(x), n_rows=n_rows))
+    np.testing.assert_allclose(out_b, out_f, rtol=2e-5, atol=2e-5)
+
+
+def test_small_graph_declines():
+    rows, cols, vals = _random_coo(50, 200)
+    assert plan_banded_coo(rows, cols, vals, 50, d=16) is None
+
+
+def test_skewed_graph_declines(tiny_chunks):
+    # star graph: every edge lands on row 0 → one band would hold all edges
+    nnz, n_rows = 4096, 512
+    rows = np.zeros(nnz, dtype=np.int32)
+    cols = np.arange(nnz, dtype=np.int32) % n_rows
+    vals = np.ones(nnz, dtype=np.float32)
+    assert plan_banded_coo(rows, cols, vals, n_rows, d=16) is None
+
+
+def test_banded_bf16_storage(tiny_chunks):
+    n_rows, nnz = 64, 512
+    rows, cols, vals = _random_coo(n_rows, nnz, seed=9)
+    x = np.random.default_rng(4).standard_normal((n_rows, 8)).astype(np.float32)
+    import jax.numpy as jnp
+
+    banded = plan_banded_coo(rows, cols, vals, n_rows, d=8)
+    out = np.asarray(
+        spmm(*(jnp.asarray(a) for a in banded),
+             jnp.asarray(x).astype(jnp.bfloat16), n_rows=n_rows),
+        dtype=np.float32,
+    )
+    np.testing.assert_allclose(out, _oracle(rows, cols, vals, x, n_rows),
+                               rtol=0.05, atol=0.05)
+
+
+def test_device_coo_banded_cache(tiny_chunks):
+    """_device_coo(banded_dim=...) returns the 2-D layout for large graphs
+    and shares the 1-D cache entry when banding declines."""
+    from cleora_tpu import SparseMatrix
+
+    rng = np.random.default_rng(7)
+    lines = [f"{rng.integers(0, 200)} {rng.integers(0, 200)}"
+             for _ in range(600)]
+    g = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+    r2, _, _ = g._device_coo("left", banded_dim=16)
+    assert r2.ndim == 2
+    r1, _, _ = g._device_coo("left")
+    assert r1.ndim == 1
+
+
+def test_embed_banded_equals_unbanded(tiny_chunks):
+    """Full embed() through the banded layout matches the 1-D layout."""
+    from cleora_tpu import SparseMatrix, embed
+
+    rng = np.random.default_rng(11)
+    lines = [f"u{rng.integers(0, 40)}\tp{rng.integers(0, 60)}"
+             for _ in range(500)]
+    g1 = SparseMatrix.from_iterator(iter(lines), "user complex::product")
+    g2 = SparseMatrix.from_iterator(iter(lines), "user complex::product")
+    e_banded = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
+    # force the 1-D path by pre-populating the cache
+    g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
+    e_flat = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
+    np.testing.assert_allclose(e_banded, e_flat, rtol=2e-5, atol=2e-5)
