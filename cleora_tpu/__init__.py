@@ -130,6 +130,10 @@ def embed(
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
 
+    from .ops.memory import check_device_fit
+
+    check_device_fit(graph.num_entities, int(feature_dim),
+                     int(graph.data.indices.shape[0]), dtype)
     rows, cols, vals = graph._device_coo(propagation, banded_dim=int(feature_dim))
     x0 = jnp.asarray(x0)
     if dtype == "bfloat16":

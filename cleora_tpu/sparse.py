@@ -380,6 +380,10 @@ class SparseMatrix:
         jax, jnp = _require_jax()
         from .ops.loop import embed_loop
 
+        from .ops.memory import check_device_fit
+
+        check_device_fit(self.num_entities, int(feature_dim),
+                         int(self.data.indices.shape[0]))
         x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
         rows, cols, vals = self._device_coo(mt, banded_dim=int(feature_dim))
         out = embed_loop(
@@ -406,6 +410,10 @@ class SparseMatrix:
         jax, jnp = _require_jax()
         from .ops.loop import embed_loop_convergence
 
+        from .ops.memory import check_device_fit
+
+        check_device_fit(self.num_entities, int(feature_dim),
+                         int(self.data.indices.shape[0]))
         x0 = jnp.asarray(self.initialize_deterministically(feature_dim, seed))
         rows, cols, vals = self._device_coo(mt, banded_dim=int(feature_dim))
         out, iters = embed_loop_convergence(
