@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--algorithm", "-a", default="cleora",
                    choices=["cleora", "prone", "randne", "hope", "netmf",
                             "grarep", "deepwalk", "node2vec"])
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="Embedding storage dtype (bfloat16 halves HBM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", "-v", action="store_true")
 
@@ -96,7 +99,8 @@ def _cmd_embed(args):
     t0 = time.time()
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
-                                args.propagation, args.normalization, args.seed),
+                                args.propagation, args.normalization, args.seed,
+                                dtype=args.dtype),
         "prone": lambda: embed_prone(graph, args.dim, seed=args.seed),
         "randne": lambda: embed_randne(graph, args.dim, seed=args.seed),
         "hope": lambda: embed_hope(graph, args.dim),
