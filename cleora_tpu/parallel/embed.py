@@ -213,6 +213,7 @@ def embed_sharded(
     initial_embeddings: Optional[np.ndarray] = None,
     halo: Optional[bool] = None,
     dtype: str = "float32",
+    callback=None,
 ) -> np.ndarray:
     """Multi-device embed(): same semantics as cleora_tpu.embed, sharded.
 
@@ -245,6 +246,31 @@ def embed_sharded(
         import ml_dtypes
 
         x_padded = x_padded.astype(ml_dtypes.bfloat16)
+
+    from .._util import to_host as _to_host
+
+    if callback is not None:
+        # one jitted sharded step per iteration (compile cached across
+        # iterations); convergence checked on host, like cleora_tpu.embed
+        fn, place = build_sharded_embed(
+            mesh, sharded, feature_dim, 1,
+            residual_weight=residual_weight, normalization=normalization,
+            do_whiten=whiten, convergence_threshold=0.0, halo=plan,
+        )
+        placed = place(x_padded)
+        x, rest = placed[0], placed[1:]
+        prev_host = None
+        for i in range(int(num_iterations)):
+            x = fn(x, *rest)
+            host = _to_host(x.astype(jnp.float32))[: graph.num_entities]
+            callback(i, host)
+            if convergence_threshold > 0 and i > 0:
+                nd = host.shape[0] * host.shape[1]
+                rmse = float(np.sqrt(np.sum((host - prev_host) ** 2) / nd))
+                if rmse < convergence_threshold:
+                    break
+            prev_host = host
+        return host.copy()
 
     fn, place = build_sharded_embed(
         mesh, sharded, feature_dim, num_iterations,

@@ -172,3 +172,21 @@ def test_sharded_chunked_local_spmm(graph, monkeypatch):
     single = embed(graph, **kw)
     sharded = embed_sharded(graph, **kw)
     assert np.allclose(single, sharded, atol=2e-5)
+
+def test_sharded_callback_matches_fused(graph):
+    """Per-iteration callback path equals the fused sharded loop."""
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False)
+    fused = embed_sharded(graph, **kw)
+    seen = []
+    stepped = embed_sharded(graph, callback=lambda i, e: seen.append(i), **kw)
+    assert seen == [0, 1, 2, 3]
+    assert np.allclose(fused, stepped, atol=2e-5)
+
+
+def test_sharded_callback_convergence_early_stop(graph):
+    seen = []
+    embed_sharded(
+        graph, feature_dim=16, num_iterations=30, whiten=False,
+        convergence_threshold=0.5, callback=lambda i, e: seen.append(i),
+    )
+    assert 1 < len(seen) < 30  # stopped early, after the first check
