@@ -25,6 +25,7 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <memory>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -427,16 +428,32 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
   // ---- phase 2: first-seen dense indexing, sort-based (parallel):
   // sort (hash, pos); groups share a hash; group rank = order of min pos.
   int64_t n_tok = (int64_t)tokens.size();
-  std::vector<int64_t> tok_index(n_tok);
+  // write-once buffers stay UNINITIALIZED (new T[] default-init for PODs):
+  // zero-initializing gigabytes serially is the hot spot on hosts with lazy
+  // first-touch page backing; filling from worker threads both skips the
+  // redundant memset and faults the pages in parallel.
+  std::unique_ptr<int64_t[]> tok_index(new int64_t[(size_t)n_tok]);
   int64_t n_entities = 0;
   {
     struct HP {
       uint64_t hash;
       int64_t pos;
     };
-    std::vector<HP> hp((size_t)n_tok);
-    for (int64_t i = 0; i < n_tok; ++i) hp[(size_t)i] = {tokens[i].hash, i};
-    PSORT(hp.begin(), hp.end(), [](const HP& x, const HP& y) {
+    std::unique_ptr<HP[]> hp(new HP[(size_t)n_tok]);
+    {
+      int Wf = (int)std::min<int64_t>(num_workers, std::max<int64_t>(1, n_tok));
+      std::vector<std::thread> threads;
+      int64_t chunk = (n_tok + Wf - 1) / Wf;
+      for (int w = 0; w < Wf; ++w)
+        threads.emplace_back([&, w] {
+          int64_t lo = std::min(n_tok, w * chunk);
+          int64_t hi = std::min(n_tok, lo + chunk);
+          for (int64_t i = lo; i < hi; ++i)
+            hp[(size_t)i] = {tokens[(size_t)i].hash, i};
+        });
+      for (auto& t : threads) t.join();
+    }
+    PSORT(hp.get(), hp.get() + n_tok, [](const HP& x, const HP& y) {
       return x.hash != y.hash ? x.hash < y.hash : x.pos < y.pos;
     });
     // group starts and first positions
@@ -492,7 +509,10 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
     }
 
   std::vector<double> row_sum(n_entities, 0.0);
-  std::vector<KV> pairs;
+  std::vector<KV> pairs;          // trimming path (push_back)
+  std::unique_ptr<KV[]> pairs_raw;  // fast path (uninitialized, write-once)
+  KV* pr = nullptr;
+  size_t n_pairs = 0;
 
   if (!has_big) {
     // Fast path: no trimming anywhere -> no running occurrence counts needed;
@@ -501,11 +521,16 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
     std::vector<int64_t> offsets(n_edges_in + 1, 0);
     for (int64_t i = 0; i < n_edges_in; ++i)
       offsets[i + 1] = offsets[i] + edges[i].a_len * edges[i].b_len * 2;
-    pairs.resize((size_t)offsets[n_edges_in]);
+    lap("pairs:offs");
+    n_pairs = (size_t)offsets[n_edges_in];
+    pairs_raw.reset(new KV[n_pairs]);  // no zero pass; workers write every slot
+    pr = pairs_raw.get();
+    lap("pairs:alloc");
 
     int W2 = num_workers;
     std::vector<std::vector<double>> partials(
         (size_t)W2, std::vector<double>((size_t)n_entities, 0.0));
+    lap("pairs:partial");
     {
       std::vector<std::thread> threads;
       int64_t chunk = (n_edges_in + W2 - 1) / W2;
@@ -519,7 +544,7 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
             double inv_b = (double)(1.0f / (float)e.b_len);
             double inv_a = (double)(1.0f / (float)e.a_len);
             double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
-            KV* out = pairs.data() + offsets[ei];
+            KV* out = pr + offsets[ei];
             for (int64_t i = 0; i < e.a_len; ++i) {
               int64_t a = tok_index[e.a_off + i];
               rs[(size_t)a] += inv_b;
@@ -615,24 +640,27 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
       }
     }
   }
+  if (!pr) {  // trimming path built a vector
+    pr = pairs.data();
+    n_pairs = pairs.size();
+  }
   lap("pairs");
 
   // ---- phase 5: sort by packed key, merge duplicates, normalize
   // (parallel comparison sort; a 16-bit-pass radix variant measured 4-5x
   // SLOWER here — the 64K-bucket scatter thrashes cache/TLB on this host)
-  PSORT(pairs.begin(), pairs.end(),
-        [](const KV& x, const KV& y) { return x.key < y.key; });
+  PSORT(pr, pr + n_pairs, [](const KV& x, const KV& y) { return x.key < y.key; });
   lap("sort");
 
   res->indptr.assign((size_t)n_entities + 1, 0);
-  size_t np = pairs.size();
+  size_t np = n_pairs;
   res->indices.reserve(np / 2);
   res->left_vals.reserve(np / 2);
   res->sym_vals.reserve(np / 2);
   for (size_t i = 0; i < np;) {
-    uint64_t k = pairs[i].key;
+    uint64_t k = pr[i].key;
     double s = 0.0;
-    while (i < np && pairs[i].key == k) s += pairs[i++].val;
+    while (i < np && pr[i].key == k) s += pr[i++].val;
     size_t r = (size_t)(k >> 32);
     size_t c = (size_t)(uint32_t)k;
     res->indices.push_back((int32_t)c);
