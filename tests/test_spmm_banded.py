@@ -123,3 +123,41 @@ def test_embed_banded_equals_unbanded(tiny_chunks):
     g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
     e_flat = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
     np.testing.assert_allclose(e_banded, e_flat, rtol=2e-5, atol=2e-5)
+
+
+def test_boundary_nnz_at_chunk(monkeypatch):
+    """nnz == chunk stays 1-D; nnz == chunk+1 bands; tiny n_rows works."""
+    import importlib
+
+    spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
+    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 100)
+    rows, cols, vals = _random_coo(50, 100, seed=1)
+    assert plan_banded_coo(rows, cols, vals, 50, d=8) is None
+    rows, cols, vals = _random_coo(50, 101, seed=1)
+    t = plan_banded_coo(rows, cols, vals, 50, d=8)
+    assert t is not None and t[0].shape[0] == 2
+
+    # n_rows < n_bands: B == 1; every band holds one row's edges
+    import jax.numpy as jnp
+
+    rows = np.sort(np.random.default_rng(2).integers(0, 3, 300)).astype(np.int32)
+    cols = np.random.default_rng(3).integers(0, 3, 300).astype(np.int32)
+    vals = np.ones(300, dtype=np.float32)
+    t = plan_banded_coo(rows, cols, vals, 3, d=8)
+    if t is not None:  # may decline on skew; if planned, must be correct
+        x = np.random.default_rng(4).standard_normal((3, 8)).astype(np.float32)
+        out = np.asarray(spmm(*(jnp.asarray(a) for a in t),
+                              jnp.asarray(x), n_rows=3))
+        np.testing.assert_allclose(out, _oracle(rows, cols, vals, x, 3),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_band_rows_shared_formula():
+    """Planner and device derive B identically: local rows stay in range."""
+    import importlib
+
+    spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
+    for n_rows, n_bands in [(100, 7), (97, 3), (8, 8), (1000, 13)]:
+        B = spmm_mod._band_rows(n_rows, n_bands)
+        assert n_bands * B >= n_rows
+        assert (n_bands - 1) * B < n_rows  # no all-empty trailing band
