@@ -64,7 +64,11 @@ def main():
     triple = plan_banded_coo(rows, cols, vals, n_nodes, d=dim)
     if triple is None:
         triple = pad_coo(rows, cols, vals, n_nodes)
-    drow, dcol, dval = (jnp.asarray(a) for a in triple)
+    drow, dcol, dval = (
+        tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
+        else jnp.asarray(a)
+        for a in triple
+    )
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((n_nodes, dim)).astype(np.float32))

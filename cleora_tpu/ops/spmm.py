@@ -77,7 +77,11 @@ def _band_rows(n_rows: int, n_bands: int) -> int:
     return -(-n_rows // n_bands)
 
 
-_BAND_SKEW_LIMIT = 4.0
+# Bands are capped at this multiple of the mean band load; edges beyond the
+# cap spill to the 1-D residual stream.  The cap bounds banded-slot padding
+# (wasted gather work) at ~25% while keeping the residual small for
+# realistic power-law skew.
+_BAND_CAP_FACTOR = 1.25
 
 
 def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
@@ -93,9 +97,13 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     exactly once via ys-stacking — no carry, no re-read.
 
     Returns (rows2d, cols2d, vals2d) with shape (n_bands, max_band_edges)
-    where rows2d holds band-local row indices, or None when the banded layout
-    doesn't pay (small graph, or degree skew would make padding explode —
-    the caller falls back to the 1-D layout).
+    where rows2d holds band-local row indices.  For degree-skewed graphs
+    (power-law hubs — the realistic e-commerce shape), bands are CAPPED and
+    the overflow edges spill into a small 1-D residual stream: the return is
+    then ((rows2d, rows1d), (cols2d, cols1d), (vals2d, vals1d)) and
+    spmm_inner adds segment-sums of the two streams.  Returns None when the
+    banded layout doesn't pay (small graph, or so extreme a skew that the
+    residual would dominate — the caller falls back to the 1-D layout).
     """
     nnz = rows.shape[0]
     chunk = _chunk_edges_for(n_rows, d)
@@ -106,18 +114,42 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     bounds = np.searchsorted(rows, np.arange(0, (n_bands + 1) * B, B))
     counts = np.diff(bounds)
     max_e = int(counts.max())
-    if max_e > _BAND_SKEW_LIMIT * max(1, nnz // n_bands):
-        return None  # skewed degree distribution: padding would dominate
-    max_e = -(-max_e // 2048) * 2048
-    r2 = np.full((n_bands, max_e), B - 1, dtype=np.int32)
-    c2 = np.zeros((n_bands, max_e), dtype=np.int32)
-    v2 = np.zeros((n_bands, max_e), dtype=np.float32)
+    cap = int(_BAND_CAP_FACTOR * max(1, nnz // n_bands))
+    cap = -(-cap // 128) * 128
+
+    if max_e <= cap:  # near-uniform: pure banded layout
+        max_e = -(-max_e // 2048) * 2048
+        r2 = np.full((n_bands, max_e), B - 1, dtype=np.int32)
+        c2 = np.zeros((n_bands, max_e), dtype=np.int32)
+        v2 = np.zeros((n_bands, max_e), dtype=np.float32)
+        for i in range(n_bands):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            r2[i, : hi - lo] = rows[lo:hi].astype(np.int64) - i * B
+            c2[i, : hi - lo] = cols[lo:hi]
+            v2[i, : hi - lo] = vals[lo:hi]
+        return r2, c2, v2
+
+    spill = int(np.maximum(counts - cap, 0).sum())
+    if spill * 2 > nnz:
+        return None  # residual would dominate: 1-D chunked handles it better
+    r2 = np.full((n_bands, cap), B - 1, dtype=np.int32)
+    c2 = np.zeros((n_bands, cap), dtype=np.int32)
+    v2 = np.zeros((n_bands, cap), dtype=np.float32)
+    res = []
     for i in range(n_bands):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        r2[i, : hi - lo] = rows[lo:hi].astype(np.int64) - i * B
-        c2[i, : hi - lo] = cols[lo:hi]
-        v2[i, : hi - lo] = vals[lo:hi]
-    return r2, c2, v2
+        keep = min(hi - lo, cap)
+        r2[i, :keep] = rows[lo:lo + keep].astype(np.int64) - i * B
+        c2[i, :keep] = cols[lo:lo + keep]
+        v2[i, :keep] = vals[lo:lo + keep]
+        if hi - lo > cap:
+            res.append(slice(lo + cap, hi))
+    # spilled slices concatenate in band (= row) order → still row-sorted
+    r1 = np.concatenate([rows[s] for s in res])
+    c1 = np.concatenate([cols[s] for s in res])
+    v1 = np.concatenate([vals[s] for s in res])
+    r1, c1, v1 = pad_coo(r1, c1, v1, n_rows)
+    return (r2, r1), (c2, c1), (v2, v1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -136,6 +168,13 @@ def spmm_inner(rows, cols, vals, x, n_rows):
     (the padding contract keeps trailing chunks valid: padded edges have
     vals == 0 and rows == n_rows-1).
     """
+    if isinstance(rows, (tuple, list)):
+        # hybrid layout for skewed graphs: capped bands + 1-D residual stream
+        (rb, rr), (cb, cr), (vb, vr) = rows, cols, vals
+        return spmm_inner(rb, cb, vb, x, n_rows) + spmm_inner(
+            rr, cr, vr, x, n_rows
+        )
+
     # storage may be bf16 (halves the gather table + read bytes); products
     # and the segment accumulation always run in float32
     acc_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype

@@ -324,7 +324,13 @@ class SparseMatrix:
                 if dim_bucket:  # banding declined — share the 1-D cache entry
                     return self._device_coo(markov_type)
                 triple = pad_coo(rows, data.indices, vals, n)
-            self._device_cache[key] = tuple(jnp.asarray(a) for a in triple)
+
+            def _dev(a):  # hybrid (banded, residual) leaves are tuples
+                if isinstance(a, tuple):
+                    return tuple(jnp.asarray(x) for x in a)
+                return jnp.asarray(a)
+
+            self._device_cache[key] = tuple(_dev(a) for a in triple)
         return self._device_cache[key]
 
     # ------------------------------------------------------------- compute API
