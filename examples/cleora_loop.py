@@ -19,8 +19,8 @@ if files:
     graph = SparseMatrix.from_files(files, "complex::reflexive::name")
 else:
     rng = np.random.default_rng(0)
-    lines = [f"n{rng.integers(0, 5000)} n{rng.integers(0, 5000)}"
-             for _ in range(50_000)]
+    lines = [f"n{rng.integers(0, 1000)} n{rng.integers(0, 1000)}"
+             for _ in range(10_000)]
     graph = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::name")
 
 print("Entities n", len(graph.entity_ids))
@@ -30,7 +30,7 @@ for i in range(40):
     embeddings = graph.left_markov_propagate(embeddings)
     embeddings /= np.linalg.norm(embeddings, ord=2, axis=-1, keepdims=True)
     embeddings = whiten_embeddings(embeddings)
-    print(f"Iter {i} finished")
+    pass  # per-iteration hook point
 
 print(graph.entity_ids[:10])
 print(f"Took {time.time() - start_time} seconds ")

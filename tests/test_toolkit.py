@@ -484,3 +484,19 @@ def test_build_graph_for_dataset_lazy_fast_path():
     )
     assert g_fast.entity_ids == g_ref.entity_ids
     assert np.allclose(g_fast.data.left_vals, g_ref.data.left_vals)
+
+
+def test_examples_run(tmp_path):
+    """Every examples/ script executes end-to-end on CPU."""
+    import runpy
+    import sys
+
+    import cleora_tpu  # noqa: F401 — ensure package importable first
+
+    for ex in sorted(__import__("pathlib").Path("examples").glob("*.py")):
+        argv = sys.argv
+        sys.argv = [str(ex)]
+        try:
+            runpy.run_path(str(ex), run_name="__main__")
+        finally:
+            sys.argv = argv
