@@ -5,7 +5,11 @@ The canonical workload driven by hand: build → deterministic init → 40 ×
 cleora_tpu.embed(), which fuses the whole loop into one device dispatch.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

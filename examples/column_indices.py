@@ -1,5 +1,11 @@
 """Column masks on a bipartite graph (reference: examples/column_indices.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from cleora_tpu import SparseMatrix

@@ -8,7 +8,11 @@ Usage: python examples/from_iterator.py [edge_file ...]
 (with no arguments, a small synthetic edge set is used)
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

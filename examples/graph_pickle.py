@@ -1,5 +1,11 @@
 """Graph pickle round-trip (reference: examples/graph_pickle.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import pickle
 
 import numpy as np

@@ -6,7 +6,11 @@ left-Markov, L2, whitening) at the given dim and iteration count.
 Usage: python examples/predefined_cleora_loop.py [edge_file ...]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 import time
 

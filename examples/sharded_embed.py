@@ -5,6 +5,12 @@ Run on a pod slice, or simulate N devices on CPU:
       python examples/sharded_embed.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import jax
 import numpy as np
 
