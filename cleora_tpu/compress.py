@@ -48,6 +48,7 @@ class PQIndex:
         self._num_subspaces = num_subspaces
         self._subspace_dim = subspace_dim
         self._original_shape = original_shape
+        self._adc_jit = None  # lazily-built jitted batched ADC kernel
 
     def reconstruct(self, indices: Optional[np.ndarray] = None) -> np.ndarray:
         codes = self._codes if indices is None else self._codes[indices]
@@ -80,6 +81,87 @@ class PQIndex:
         top = np.argpartition(scores, -k)[-k:]
         top = top[np.argsort(scores[top])[::-1]]
         return {"indices": top, "scores": scores[top]}
+
+    # --- batched ADC on the accelerator (serving path; beyond reference) ---
+
+    def _normalized_codebooks(self) -> np.ndarray:
+        cb = self._codebooks
+        return cb / np.maximum(
+            np.linalg.norm(cb, axis=2, keepdims=True), 1e-10
+        )
+
+    def search_batch(self, queries: np.ndarray, top_k: int = 10,
+                     backend: str = "device") -> Dict:
+        """Batched asymmetric-distance search: same scoring as ``search``
+        (normalized query vs normalized codebook entries, summed per
+        subspace), for a (Q, dim) block of queries at once.
+
+        ``backend="device"`` runs table build (einsum), code gather, and
+        top-k in one jitted XLA program — the TPU serving path; ``"host"``
+        is a vectorized numpy equivalent.  Returns {"indices": (Q, k),
+        "scores": (Q, k)} sorted descending per row.
+        """
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            raise ValueError("queries must be a (Q, dim) 2D array")
+        m, d = self._num_subspaces, self._subspace_dim
+        if queries.shape[1] != m * d:
+            raise ValueError(
+                f"query dimension ({queries.shape[1]}) does not match index "
+                f"dimension ({m * d})"
+            )
+        norms = np.linalg.norm(queries, axis=1, keepdims=True)
+        qn = np.where(norms > 1e-10, queries / np.maximum(norms, 1e-10),
+                      queries)
+        qsub = qn.reshape(-1, m, d)
+        k = min(top_k, self._codes.shape[0])
+
+        if backend == "host":
+            tables = np.einsum(
+                "qmd,mcd->qmc", qsub, self._normalized_codebooks()
+            ).astype(np.float32)
+            scores = np.zeros((queries.shape[0], self._codes.shape[0]),
+                              dtype=np.float32)
+            for i in range(m):
+                scores += tables[:, i, self._codes[:, i]]
+            top = np.argpartition(scores, -k, axis=1)[:, -k:]
+            row_scores = np.take_along_axis(scores, top, axis=1)
+            order = np.argsort(row_scores, axis=1)[:, ::-1]
+            return {
+                "indices": np.take_along_axis(top, order, axis=1),
+                "scores": np.take_along_axis(row_scores, order, axis=1),
+            }
+        if backend != "device":
+            raise ValueError(
+                f"Unknown backend: '{backend}'. Use 'device' or 'host'."
+            )
+
+        import jax
+
+        if getattr(self, "_adc_jit", None) is None:
+            import jax.numpy as jnp
+
+            codes_dev = jnp.asarray(self._codes.astype(np.int32))
+            cb_dev = jnp.asarray(self._normalized_codebooks())
+
+            def _adc(qsub, k):
+                # (Q, M, C) inner-product tables — one MXU einsum
+                tables = jnp.einsum(
+                    "qmd,mcd->qmc", qsub, cb_dev,
+                    preferred_element_type=jnp.float32,
+                )
+                # score accumulation: M gathers of (Q, N) from the tables
+                scores = tables[:, 0, :][:, codes_dev[:, 0]]
+                for i in range(1, codes_dev.shape[1]):
+                    scores = scores + tables[:, i, :][:, codes_dev[:, i]]
+                return jax.lax.top_k(scores, k)
+
+            self._adc_jit = jax.jit(_adc, static_argnums=1)
+
+        scores, idx = self._adc_jit(qsub, k)
+        return {"indices": np.asarray(idx), "scores": np.asarray(scores)}
 
 
 def product_quantize(

@@ -148,6 +148,60 @@ class ANNIndex:
             raise ValueError(f"top_k must be positive, got {top_k}")
         return self._query_internal(vector, top_k)
 
+    def query_batch(self, vectors: np.ndarray, top_k: int = 10) -> List[List[Dict]]:
+        """Top-k for a (Q, dim) block of query vectors at once (serving path).
+
+        The "device" method runs one (Q, D)·(D, N) MXU matmul + top_k in a
+        single XLA dispatch; "brute" is vectorized numpy; "hnsw" uses the
+        library's native batch knn.  Returns one result list per query row.
+        """
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self._dim:
+            raise ValueError(
+                f"vectors must have shape (Q, {self._dim}), got {vectors.shape}"
+            )
+        k = min(top_k, self._n)
+        qn = vectors / np.maximum(
+            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-10
+        )
+        if self._method == "device":
+            import jax
+            import jax.numpy as jnp
+
+            if getattr(self, "_device_topk_batch", None) is None:
+                def _topk_batch(q, kk):
+                    sims = jnp.dot(
+                        q, self._device_table.T,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return jax.lax.top_k(sims, kk)
+
+                self._device_topk_batch = jax.jit(_topk_batch, static_argnums=1)
+            sims, idx = self._device_topk_batch(
+                jnp.asarray(qn, dtype=self._device_table.dtype), k
+            )
+            sims, idx = np.asarray(sims), np.asarray(idx)
+            return [self._results(idx[i], sims[i]) for i in range(len(qn))]
+        if self._method == "brute":
+            sims = qn @ self._normalized.T  # (Q, N)
+            top = np.argpartition(sims, -k, axis=1)[:, -k:]
+            rs = np.take_along_axis(sims, top, axis=1)
+            order = np.argsort(rs, axis=1)[:, ::-1]
+            top = np.take_along_axis(top, order, axis=1)
+            rs = np.take_along_axis(rs, order, axis=1)
+            return [self._results(top[i], rs[i]) for i in range(len(qn))]
+        if self._hnsw_index is not None:
+            labels, distances = self._hnsw_index.knn_query(qn, k=k)
+            return [
+                self._results(labels[i], 1.0 - distances[i])
+                for i in range(len(qn))
+            ]
+        return [
+            self._results(*self._ball_tree.query(v, k)) for v in vectors
+        ]
+
     def _query_internal(self, query_vec: np.ndarray, top_k: int) -> List[Dict]:
         k = min(top_k, self._n)
         if self._method == "device":

@@ -1,0 +1,100 @@
+"""TPU perf probe: hybrid (capped bands + residual) SpMM on a skewed graph.
+
+The hybrid layout (`plan_banded_coo` returning tuples) is CPU-validated for
+correctness; this measures it on the real chip against the 1-D chunked
+fallback on the SAME degree-skewed graph (roadNet-CA scale, zipf hubs at low
+ids — first-seen order correlates with popularity in real ingest).
+
+    PYTHONPATH=. python scripts/skew_probe.py [--iters N]
+
+Results print incrementally (hybrid first) so a partial run still records
+the unknown number.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from cleora_tpu.ops.loop import embed_loop
+from cleora_tpu.ops.spmm import pad_coo, plan_banded_coo
+
+N_NODES, N_UND = 1_965_206, 5_533_214  # roadNet-CA scale (bench.py shape)
+DIM = 256
+ITERS = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 40
+
+
+def skewed_coo(alpha=1.3, hub_frac=0.3, seed=7):
+    """Symmetric COO with a zipf hub head at low row ids + uniform tail."""
+    rng = np.random.default_rng(seed)
+    n_hub = int(N_UND * hub_frac)
+    src_h = np.minimum(rng.zipf(alpha, size=n_hub) - 1, N_NODES - 1)
+    src_u = rng.integers(0, N_NODES, size=N_UND - n_hub)
+    src = np.concatenate([src_h, src_u])
+    dst = rng.integers(0, N_NODES, size=N_UND)
+    rows = np.concatenate([src, dst])
+    cols = np.concatenate([dst, src])
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    deg = np.bincount(rows, minlength=N_NODES).astype(np.float64)
+    vals = (1.0 / np.maximum(deg, 1.0))[rows].astype(np.float32)
+    return rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def measure(label, triple, nnz, x0):
+    drow, dcol, dval = (
+        tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
+        else jnp.asarray(a)
+        for a in triple
+    )
+
+    def run():
+        return embed_loop(
+            drow, dcol, dval, x0, n_rows=N_NODES, num_iterations=ITERS,
+            normalization="l2", do_whiten=True,
+        )
+
+    t0 = time.perf_counter()
+    float(run()[0, 0])  # compile + warm (scalar fetch: tunnel-safe)
+    print(f"{label}: compiled+warm in {time.perf_counter() - t0:.1f} s",
+          flush=True)
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        float(run()[0, 0])
+        best = min(best, time.perf_counter() - t)
+    rate = nnz * ITERS / best / 1e6
+    print(f"{label}: {rate:.1f} M edge-ops/s ({best:.2f} s / {ITERS} iters)",
+          flush=True)
+    return rate
+
+
+def main():
+    rows, cols, vals = skewed_coo()
+    nnz = rows.shape[0]
+    hybrid = plan_banded_coo(rows, cols, vals, N_NODES, d=DIM)
+    assert hybrid is not None and isinstance(hybrid[0], tuple), \
+        "expected the hybrid (capped bands + residual) layout"
+    res_frac = hybrid[0][1].shape[0] / nnz
+    print(f"nnz={nnz} bands={hybrid[0][0].shape} "
+          f"residual={res_frac * 100:.1f}%", flush=True)
+
+    x0 = jnp.asarray(np.random.default_rng(0)
+                     .standard_normal((N_NODES, DIM)).astype(np.float32))
+
+    r_h = measure("hybrid", hybrid, nnz, x0)
+    r_f = measure("flat-1d", pad_coo(rows, cols, vals, N_NODES), nnz, x0)
+    print(f"hybrid/flat speedup: {r_h / r_f:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -260,6 +260,28 @@ def test_compress_parity(setup):
         cp.product_quantize(emb, num_subspaces=5)
 
 
+def test_pq_search_batch(setup):
+    """Batched ADC (device and host backends) agrees with per-row search."""
+    import cleora_tpu.compress as cp
+
+    _, emb, _ = setup
+    pq = cp.product_quantize(emb, num_subspaces=4, num_centroids=16, seed=7)
+    queries = emb[[5, 0, 11]]
+    single = [pq.search(q, top_k=5) for q in queries]
+    for backend in ("device", "host"):
+        batch = pq.search_batch(queries, top_k=5, backend=backend)
+        assert batch["indices"].shape == (3, 5)
+        for qi, s in enumerate(single):
+            # ranked scores must match; indices may permute only within ties
+            assert np.allclose(batch["scores"][qi], s["scores"], atol=1e-5)
+            if len(np.unique(np.round(s["scores"], 5))) == len(s["scores"]):
+                assert np.array_equal(batch["indices"][qi], s["indices"])
+    with pytest.raises(ValueError, match="backend"):
+        pq.search_batch(queries, top_k=5, backend="gpu")
+    with pytest.raises(ValueError, match="dimension"):
+        pq.search_batch(queries[:, :-1], top_k=5)
+
+
 # ------------------------------------------------------------------ io_utils
 def test_io_roundtrips(setup, tmp_path):
     import cleora_tpu.io_utils as io
@@ -466,6 +488,25 @@ def test_search_device_method(setup):
             assert rd["similarity"] == pytest.approx(rb["similarity"], abs=1e-5)
     qv = dev.query_vector(emb[7], top_k=3)
     assert len(qv) == 3
+
+
+def test_search_query_batch(setup):
+    """query_batch agrees with per-row query_vector for every method."""
+    from cleora_tpu.search import ANNIndex
+
+    g, emb, _ = setup
+    queries = emb[[7, 0, 12]]
+    for method in ("device", "brute", "hnsw"):
+        idx = ANNIndex(g, emb, method=method)
+        batch = idx.query_batch(queries, top_k=4)
+        assert len(batch) == 3
+        for qi, q in enumerate(queries):
+            single = idx.query_vector(q, top_k=4)
+            assert [r["similarity"] for r in batch[qi]] == pytest.approx(
+                [r["similarity"] for r in single], abs=1e-5
+            )
+    with pytest.raises(ValueError, match="shape"):
+        ANNIndex(g, emb, method="brute").query_batch(queries[:, :-1])
 
 
 def test_build_graph_for_dataset_lazy_fast_path():
