@@ -85,7 +85,7 @@ _BAND_CAP_FACTOR = 1.25
 
 
 def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
-                    n_rows: int, d: int = 256):
+                    n_rows: int, d: int = 256, hybrid: bool = False):
     """Host-side row-banded COO layout for accumulator-free large-graph SpMM.
 
     The chunked `lax.scan` path re-reads/rewrites the full (n_rows, D)
@@ -97,13 +97,20 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     exactly once via ys-stacking — no carry, no re-read.
 
     Returns (rows2d, cols2d, vals2d) with shape (n_bands, max_band_edges)
-    where rows2d holds band-local row indices.  For degree-skewed graphs
-    (power-law hubs — the realistic e-commerce shape), bands are CAPPED and
-    the overflow edges spill into a small 1-D residual stream: the return is
-    then ((rows2d, rows1d), (cols2d, cols1d), (vals2d, vals1d)) and
-    spmm_inner adds segment-sums of the two streams.  Returns None when the
-    banded layout doesn't pay (small graph, or so extreme a skew that the
-    residual would dominate — the caller falls back to the 1-D layout).
+    where rows2d holds band-local row indices.  Returns None when the banded
+    layout doesn't pay and the caller should fall back to the 1-D layout:
+    small graph (single-shot path is already accumulator-free), or a
+    degree-skewed graph whose hub rows overflow the band cap.
+
+    ``hybrid=True`` enables the experimental skewed-graph variant — capped
+    bands plus a 1-D residual stream for the overflow, returned as
+    ((rows2d, rows1d), ...) tuples that spmm_inner sums.  MEASURED SLOWER
+    than the flat 1-D fallback on v5e (zipf graph at roadNet scale, 12%
+    residual: 29.9 vs 33.1 M edge-ops/s — scripts/skew_probe.py): the
+    residual stream re-introduces a full (N, D) accumulator pass plus a
+    final add, costing more than the banded stream saves.  Kept for
+    experimentation only; the default declines so production skew falls
+    back to flat-1d.
     """
     nnz = rows.shape[0]
     chunk = _chunk_edges_for(n_rows, d)
@@ -129,6 +136,8 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
             v2[i, : hi - lo] = vals[lo:hi]
         return r2, c2, v2
 
+    if not hybrid:
+        return None  # skew: flat-1d measured faster than the hybrid layout
     spill = int(np.maximum(counts - cap, 0).sum())
     if spill * 2 > nnz:
         return None  # residual would dominate: 1-D chunked handles it better

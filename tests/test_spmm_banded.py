@@ -178,7 +178,8 @@ def test_hybrid_skewed_matches_oracle(tiny_chunks):
     cols = rng.integers(0, n_rows, nnz).astype(np.int32)
     vals = rng.standard_normal(nnz).astype(np.float32)
     x = rng.standard_normal((n_rows, 8)).astype(np.float32)
-    t = plan_banded_coo(rows, cols, vals, n_rows, d=8)
+    assert plan_banded_coo(rows, cols, vals, n_rows, d=8) is None  # default
+    t = plan_banded_coo(rows, cols, vals, n_rows, d=8, hybrid=True)
     assert t is not None and isinstance(t[0], tuple)  # hybrid engaged
 
     def dev(a):
@@ -192,16 +193,18 @@ def test_hybrid_skewed_matches_oracle(tiny_chunks):
 
 
 def test_extreme_skew_declines(tiny_chunks):
-    """Star graph: residual would dominate -> plan declines entirely."""
+    """Star graph: plan declines (default and hybrid — residual dominates)."""
     nnz, n_rows = 4096, 512
     rows = np.zeros(nnz, dtype=np.int32)
     cols = np.arange(nnz, dtype=np.int32) % n_rows
     vals = np.ones(nnz, dtype=np.float32)
     assert plan_banded_coo(rows, cols, vals, n_rows, d=16) is None
+    assert plan_banded_coo(rows, cols, vals, n_rows, d=16, hybrid=True) is None
 
 
 def test_embed_hybrid_end_to_end(tiny_chunks):
-    """embed() through the hybrid layout matches the forced 1-D layout."""
+    """embed() on a skewed graph (default layout, now flat-1d for skew)
+    matches a pre-cached forced 1-D layout."""
     from cleora_tpu import SparseMatrix, embed
 
     rng = np.random.default_rng(17)
@@ -229,7 +232,7 @@ def test_embed_loop_accepts_hybrid_triple(tiny_chunks):
     cols = rng.integers(0, n_rows, nnz).astype(np.int32)
     deg = np.bincount(rows, minlength=n_rows).astype(np.float64)
     vals = (1.0 / np.maximum(deg, 1.0))[rows].astype(np.float32)
-    t = plan_banded_coo(rows, cols, vals, n_rows, d=8)
+    t = plan_banded_coo(rows, cols, vals, n_rows, d=8, hybrid=True)
     assert t is not None and isinstance(t[0], tuple)
 
     def dev(a):
