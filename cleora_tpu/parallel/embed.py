@@ -24,7 +24,15 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import SHARD_AXIS, make_mesh
-from .shard import HaloPlan, ShardedCoo, pad_rows, plan_halo, shard_graph
+from .shard import (
+    BandedShards,
+    HaloPlan,
+    ShardedCoo,
+    band_shards,
+    pad_rows,
+    plan_halo,
+    shard_graph,
+)
 
 
 def _local_step(
@@ -107,6 +115,10 @@ def _shard_loop_fn(
 ):
     if send_idx is not None:
         send_idx = send_idx.reshape(send_idx.shape[-2:])  # drop shard dim
+    if lrows.ndim == 3:  # banded per-shard layout: (1, n_bands, max_e) block
+        lrows = lrows.reshape(lrows.shape[-2:])
+        cols = cols.reshape(cols.shape[-2:])
+        vals = vals.reshape(vals.shape[-2:])
     step = functools.partial(
         _local_step,
         lrows=lrows, cols=cols, vals=vals,
@@ -144,13 +156,16 @@ def build_sharded_embed(
     do_whiten: bool = False,
     convergence_threshold: float = 0.0,
     halo: Optional["HaloPlan"] = None,
+    banded: Optional["BandedShards"] = None,
 ):
     """Compile the full multi-device embed loop for a given sharded graph.
 
     Returns (fn, place) where fn(*place(x_padded)) -> x_out and ``place``
     device_puts host arrays with the right NamedShardings.  With a
     ``halo`` plan, each iteration exchanges only boundary rows via
-    all_to_all instead of all-gathering the full table.
+    all_to_all instead of all-gathering the full table.  With a ``banded``
+    layout (build it over ``halo.remapped_cols`` when both are used), the
+    local SpMM runs accumulator-free per row band.
     """
     axis = SHARD_AXIS
     row_spec = P(axis, None)
@@ -166,7 +181,8 @@ def build_sharded_embed(
         convergence_threshold=convergence_threshold,
         axis=axis,
     )
-    in_specs = [row_spec, P(axis), P(axis), P(axis)]
+    edge_spec = P(axis, None, None) if banded is not None else P(axis)
+    in_specs = [row_spec, edge_spec, edge_spec, edge_spec]
     if halo is not None:
         in_specs.append(P(axis, None, None))
     mapped = jax.shard_map(
@@ -177,15 +193,20 @@ def build_sharded_embed(
     )
     jitted = jax.jit(mapped)
 
-    cols = halo.remapped_cols if halo is not None else sharded.cols
+    if banded is not None:
+        edge_arrays = (banded.local_rows, banded.cols, banded.vals)
+    else:
+        cols = halo.remapped_cols if halo is not None else sharded.cols
+        edge_arrays = (
+            sharded.local_rows.reshape(-1),
+            cols.reshape(-1),
+            sharded.vals.reshape(-1),
+        )
 
     def place(x_padded: np.ndarray):
         xs = jax.device_put(x_padded, NamedSharding(mesh, row_spec))
-        lr = jax.device_put(
-            sharded.local_rows.reshape(-1), NamedSharding(mesh, P(axis))
-        )
-        cc = jax.device_put(cols.reshape(-1), NamedSharding(mesh, P(axis)))
-        vv = jax.device_put(sharded.vals.reshape(-1), NamedSharding(mesh, P(axis)))
+        sh = NamedSharding(mesh, edge_spec)
+        lr, cc, vv = (jax.device_put(a, sh) for a in edge_arrays)
         out = [xs, lr, cc, vv]
         if halo is not None:
             out.append(
@@ -212,6 +233,7 @@ def embed_sharded(
     n_devices: Optional[int] = None,
     initial_embeddings: Optional[np.ndarray] = None,
     halo: Optional[bool] = None,
+    banded=None,
     dtype: str = "float32",
     callback=None,
 ) -> np.ndarray:
@@ -219,8 +241,12 @@ def embed_sharded(
 
     ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
     its per-device gather table is smaller than the all-gathered full table;
-    True/False force the choice.  ``dtype="bfloat16"`` stores and exchanges
-    the state in bf16 (half HBM and half interconnect bytes, f32 compute).
+    True/False force the choice.  ``banded=None`` (auto) switches each
+    device's local SpMM to the accumulator-free row-banded layout when the
+    per-shard edge count exceeds one memory-budget chunk (same heuristics as
+    single-chip); False disables, an int forces that band count.
+    ``dtype="bfloat16"`` stores and exchanges the state in bf16 (half HBM
+    and half interconnect bytes, f32 compute).
     """
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(
@@ -241,6 +267,15 @@ def embed_sharded(
         feature_dim = x0.shape[1]
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
+
+    banded_plan = None
+    if banded is not False:
+        banded_plan = band_shards(
+            sharded,
+            d=feature_dim,
+            cols=plan.remapped_cols if plan is not None else None,
+            n_bands=None if banded in (None, True) else int(banded),
+        )
     x_padded = pad_rows(x0, sharded.n_rows_padded)
     if dtype == "bfloat16":
         import ml_dtypes
@@ -256,6 +291,7 @@ def embed_sharded(
             mesh, sharded, feature_dim, 1,
             residual_weight=residual_weight, normalization=normalization,
             do_whiten=whiten, convergence_threshold=0.0, halo=plan,
+            banded=banded_plan,
         )
         placed = place(x_padded)
         x, rest = placed[0], placed[1:]
@@ -276,7 +312,7 @@ def embed_sharded(
         mesh, sharded, feature_dim, num_iterations,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=whiten, convergence_threshold=convergence_threshold,
-        halo=plan,
+        halo=plan, banded=banded_plan,
     )
     out = fn(*place(x_padded))
     if out.dtype != jnp.float32:

@@ -95,6 +95,85 @@ def shard_graph(graph, markov_type: str, n_shards: int, **kw) -> ShardedCoo:
 
 
 @dataclass
+class BandedShards:
+    """Row-banded per-shard COO: the multi-chip form of the accumulator-free
+    layout (`ops/spmm.py:plan_banded_coo`).
+
+    Within each shard, the (row-sorted) edge stream is cut at static
+    band boundaries of ``band_rows`` local rows; every band's partial sum is
+    emitted exactly once via ``lax.scan`` ys-stacking instead of re-reading a
+    (rows_per_shard, D) accumulator per edge chunk — the same ~2×
+    HBM-traffic win measured single-chip (RESULTS.md), applied to each
+    device's local SpMM.  All arrays are (P, n_bands, max_e) so the layout
+    shards uniformly under ``shard_map``; ``local_rows`` holds BAND-local
+    indices (global_local_row = band·band_rows + entry).
+    """
+
+    local_rows: np.ndarray  # int32 (P, n_bands, max_e)
+    cols: np.ndarray  # int32 (P, n_bands, max_e) — gather-table indices
+    vals: np.ndarray  # float32 (P, n_bands, max_e), zero for padding
+    n_bands: int
+    band_rows: int
+
+
+def band_shards(
+    sharded: ShardedCoo,
+    d: int = 256,
+    cols: np.ndarray | None = None,
+    n_bands: int | None = None,
+    max_overhead: float = 1.5,
+) -> BandedShards | None:
+    """Band each shard's edges at static local-row boundaries.
+
+    ``cols`` overrides the gather indices (pass ``HaloPlan.remapped_cols``
+    to compose banding with the halo exchange — banding only permutes/pads
+    the edge stream, so any per-edge column encoding carries through).
+    ``n_bands=None`` sizes bands from the chunked path's memory budget and
+    returns None when banding doesn't pay: per-shard edges already fit one
+    chunk, or intra-shard skew would pad the bands more than
+    ``max_overhead``× the flat layout (the caller falls back to 1-D).  An
+    explicit ``n_bands`` forces the layout (tests, tuning).
+    """
+    from ..ops.spmm import _band_rows, _chunk_edges_for
+
+    P, E = sharded.local_rows.shape
+    rps = sharded.rows_per_shard
+    if cols is None:
+        cols = sharded.cols
+    auto = n_bands is None
+    if auto:
+        chunk = _chunk_edges_for(rps, d)
+        if E <= chunk:
+            return None  # single-shot local SpMM is already accumulator-free
+        n_bands = -(-E // chunk)
+    if n_bands <= 1:
+        return None
+    B = _band_rows(rps, n_bands)
+    bounds = np.stack([
+        np.searchsorted(sharded.local_rows[k], np.arange(n_bands + 1) * B)
+        for k in range(P)
+    ])
+    max_e = int(np.diff(bounds, axis=1).max())
+    max_e = max(-(-max_e // 128) * 128, 128)
+    if auto and n_bands * max_e > max_overhead * E:
+        return None  # intra-shard skew: banded padding would dominate
+    lr = np.full((P, n_bands, max_e), B - 1, dtype=np.int32)
+    cc = np.zeros((P, n_bands, max_e), dtype=np.int32)
+    vv = np.zeros((P, n_bands, max_e), dtype=np.float32)
+    for k in range(P):
+        for i in range(n_bands):
+            lo, hi = int(bounds[k, i]), int(bounds[k, i + 1])
+            lr[k, i, : hi - lo] = (
+                sharded.local_rows[k, lo:hi].astype(np.int64) - i * B
+            )
+            cc[k, i, : hi - lo] = cols[k, lo:hi]
+            vv[k, i, : hi - lo] = sharded.vals[k, lo:hi]
+    return BandedShards(
+        local_rows=lr, cols=cc, vals=vv, n_bands=n_bands, band_rows=B
+    )
+
+
+@dataclass
 class HaloPlan:
     """Boundary-row exchange plan: who sends which rows to whom.
 

@@ -170,8 +170,60 @@ def test_sharded_chunked_local_spmm(graph, monkeypatch):
     monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 128)
     kw = dict(feature_dim=16, num_iterations=4, whiten=False)
     single = embed(graph, **kw)
-    sharded = embed_sharded(graph, **kw)
+    sharded = embed_sharded(graph, banded=False, **kw)
     assert np.allclose(single, sharded, atol=2e-5)
+
+
+def test_band_shards_roundtrip(graph):
+    """Banded per-shard layout holds exactly the 1-D layout's edge triples."""
+    from cleora_tpu.parallel.shard import band_shards
+
+    sharded = shard_graph(graph, "left", 8)
+    banded = band_shards(sharded, n_bands=4)
+    assert banded is not None and banded.local_rows.shape[:2] == (8, 4)
+    for k in range(8):
+        want = {
+            (int(r), int(c), np.float32(v).tobytes())
+            for r, c, v in zip(
+                sharded.local_rows[k], sharded.cols[k], sharded.vals[k]
+            )
+            if v != 0.0
+        }
+        got = {
+            (int(banded.local_rows[k, i, e]) + i * banded.band_rows, int(c),
+             np.float32(v).tobytes())
+            for i in range(banded.n_bands)
+            for e, (c, v) in enumerate(zip(banded.cols[k, i],
+                                           banded.vals[k, i]))
+            if v != 0.0
+        }
+        assert got == want
+
+
+def test_sharded_banded_matches_single(graph):
+    """Forced banded local SpMM (allgather and halo) equals single-device."""
+    kw = dict(feature_dim=16, num_iterations=5, whiten=False)
+    single = embed(graph, **kw)
+    for halo in (False, True):
+        out = embed_sharded(graph, banded=4, halo=halo, **kw)
+        assert np.allclose(single, out, atol=2e-5)
+
+
+def test_sharded_banded_whiten_and_bf16(graph):
+    """Banded layout composes with whitening and bf16 state."""
+    a = embed_sharded(graph, feature_dim=16, num_iterations=4, whiten=True,
+                      banded=4)
+    b = embed_sharded(graph, feature_dim=16, num_iterations=4, whiten=True,
+                      banded=False)
+    assert np.allclose(a @ a.T, b @ b.T, atol=1e-3)
+    f32 = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                        whiten=False, banded=4)
+    bf16 = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                         whiten=False, banded=4, dtype="bfloat16")
+    cos = np.sum(f32 * bf16, axis=1) / np.maximum(
+        np.linalg.norm(f32, axis=1) * np.linalg.norm(bf16, axis=1), 1e-10
+    )
+    assert np.min(cos) > 0.98
 
 def test_sharded_callback_matches_fused(graph):
     """Per-iteration callback path equals the fused sharded loop."""
