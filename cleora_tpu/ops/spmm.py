@@ -161,6 +161,89 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     return (r2, r1), (c2, c1), (v2, v1)
 
 
+@jax.tree_util.register_pytree_node_class
+class EdgeCutBands:
+    """Equal-edge-count bands with per-band row offsets — the skew-proof
+    variant of the row-banded layout.
+
+    Where ``plan_banded_coo`` cuts the sorted edge stream at fixed ROW
+    boundaries (hub rows overflow a band), this cuts at fixed EDGE counts:
+    every band holds exactly ``chunk`` edges, covers whatever row range
+    [offsets[b], offsets[b] + band_height) those edges span, and a row cut
+    by a band boundary simply yields partial sums in both bands.  The scan
+    emits (band_height, D) partials per band; one final segment-sum over
+    the ``offsets[b] + arange(H)`` slot ids combines them into (n_rows, D).
+    Those ids are only locally sorted (band ranges overlap at hubs), but
+    they are HOST-STATIC — the planner pre-sorts them, so the combine is a
+    gather (``perm``) + sorted segment-sum instead of a scatter-add: one
+    extra O(N·D) pass, versus the flat layout's accumulator re-read per
+    CHUNK.  Measured on v5e at the zipf/roadNet shape: 37.2 M edge-ops/s
+    (scatter combine) vs flat-1d 33.1 M (scripts/skew_probe.py).
+    """
+
+    def __init__(self, local_rows, offsets, band_height: int,
+                 perm=None, sorted_ids=None):
+        self.local_rows = local_rows  # (n_bands, chunk) band-local row ids
+        self.offsets = offsets  # (n_bands,) first global row of each band
+        self.band_height = band_height  # static: max rows any band spans
+        self.perm = perm  # (n_bands·H,) sorts the combine slot ids
+        self.sorted_ids = sorted_ids  # (n_bands·H,) global row per slot
+
+    def tree_flatten(self):
+        return (
+            (self.local_rows, self.offsets, self.perm, self.sorted_ids),
+            self.band_height,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, band_height, children):
+        return cls(children[0], children[1], band_height, *children[2:])
+
+    def device(self):
+        return EdgeCutBands(
+            jnp.asarray(self.local_rows), jnp.asarray(self.offsets),
+            self.band_height, jnp.asarray(self.perm),
+            jnp.asarray(self.sorted_ids),
+        )
+
+
+def plan_edgecut_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                     n_rows: int, d: int = 256):
+    """Host-side equal-edge-cut banded layout (see EdgeCutBands).
+
+    Returns (EdgeCutBands, cols2d, vals2d) or None when the single-shot
+    path suffices (nnz within one chunk).  Unlike ``plan_banded_coo`` this
+    never declines on skew — band padding is structurally zero (every band
+    is exactly full) and hub rows just span multiple bands.
+    """
+    nnz = rows.shape[0]
+    chunk = _chunk_edges_for(n_rows, d)
+    if nnz <= chunk:
+        return None
+    n_bands = -(-nnz // chunk)
+    pad = n_bands * chunk - nnz
+    if pad:
+        # padding repeats the last row with zero values — sortedness and
+        # band-local ranges are preserved
+        rows = np.concatenate([rows, np.full(pad, rows[-1], rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+        vals = np.concatenate([vals, np.zeros(pad, np.float32)])
+    r2 = rows.reshape(n_bands, chunk).astype(np.int64)
+    offsets = r2[:, 0].astype(np.int32)
+    local = (r2 - offsets[:, None]).astype(np.int32)
+    band_height = int(local.max()) + 1
+    slot_rows = (
+        offsets.astype(np.int64)[:, None] + np.arange(band_height)
+    ).reshape(-1)
+    perm = np.argsort(slot_rows, kind="stable").astype(np.int32)
+    sorted_ids = np.minimum(slot_rows[perm], n_rows - 1).astype(np.int32)
+    return (
+        EdgeCutBands(local, offsets, band_height, perm, sorted_ids),
+        np.ascontiguousarray(cols.reshape(n_bands, chunk), dtype=np.int32),
+        np.ascontiguousarray(vals.reshape(n_bands, chunk), dtype=np.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
          n_rows: int) -> jax.Array:
@@ -182,6 +265,32 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         (rb, rr), (cb, cr), (vb, vr) = rows, cols, vals
         return spmm_inner(rb, cb, vb, x, n_rows) + spmm_inner(
             rr, cr, vr, x, n_rows
+        )
+
+    if isinstance(rows, EdgeCutBands):
+        # equal-edge-cut bands: per-band partial sums, scatter-add combine
+        local, offsets, H = rows.local_rows, rows.offsets, rows.band_height
+        n_bands = local.shape[0]
+        acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+
+        def cut_body(_, band):
+            r, c, v = band
+            gathered = jnp.take(x, c, axis=0).astype(acc)
+            scaled = gathered * v[:, None].astype(acc)
+            return 0, jax.ops.segment_sum(
+                scaled, r, num_segments=H, indices_are_sorted=True
+            )
+
+        _, ys = jax.lax.scan(cut_body, 0, (local, cols, vals))
+        # host-pre-sorted combine: gather slots into row order, then one
+        # sorted segment-sum (ids pre-clamped; out-of-range tail slots hold
+        # zero sums by construction)
+        ys_sorted = jnp.take(
+            ys.reshape(n_bands * H, x.shape[1]), rows.perm, axis=0
+        )
+        return jax.ops.segment_sum(
+            ys_sorted, rows.sorted_ids, num_segments=n_rows,
+            indices_are_sorted=True,
         )
 
     # storage may be bf16 (halves the gather table + read bytes); products

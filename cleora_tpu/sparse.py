@@ -307,7 +307,12 @@ class SparseMatrix:
         key = ("coo", markov_type, dim_bucket)
         if key not in self._device_cache:
             jax, jnp = _require_jax()
-            from .ops.spmm import pad_coo, plan_banded_coo
+            from .ops.spmm import (
+                EdgeCutBands,
+                pad_coo,
+                plan_banded_coo,
+                plan_edgecut_coo,
+            )
 
             data = self.data
             n = data.num_entities
@@ -320,12 +325,20 @@ class SparseMatrix:
                 triple = plan_banded_coo(
                     rows, data.indices, vals, n, d=dim_bucket
                 )
+                if triple is None:
+                    # row-banding declined (degree skew) — the equal-edge-cut
+                    # layout handles hubs by splitting rows across bands
+                    triple = plan_edgecut_coo(
+                        rows, data.indices, vals, n, d=dim_bucket
+                    )
             if triple is None:
                 if dim_bucket:  # banding declined — share the 1-D cache entry
                     return self._device_coo(markov_type)
                 triple = pad_coo(rows, data.indices, vals, n)
 
             def _dev(a):  # hybrid (banded, residual) leaves are tuples
+                if isinstance(a, EdgeCutBands):
+                    return a.device()
                 if isinstance(a, tuple):
                     return tuple(jnp.asarray(x) for x in a)
                 return jnp.asarray(a)

@@ -26,7 +26,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from cleora_tpu.ops.loop import embed_loop
-from cleora_tpu.ops.spmm import pad_coo, plan_banded_coo
+from cleora_tpu.ops.spmm import (
+    EdgeCutBands,
+    pad_coo,
+    plan_banded_coo,
+    plan_edgecut_coo,
+)
 
 N_NODES, N_UND = 1_965_206, 5_533_214  # roadNet-CA scale (bench.py shape)
 DIM = 256
@@ -52,7 +57,8 @@ def skewed_coo(alpha=1.3, hub_frac=0.3, seed=7):
 
 def measure(label, triple, nnz, x0):
     drow, dcol, dval = (
-        tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
+        a.device() if isinstance(a, EdgeCutBands)
+        else tuple(jnp.asarray(x) for x in a) if isinstance(a, tuple)
         else jnp.asarray(a)
         for a in triple
     )
@@ -79,21 +85,34 @@ def measure(label, triple, nnz, x0):
 
 
 def main():
+    layouts = (sys.argv[sys.argv.index("--layouts") + 1].split(",")
+               if "--layouts" in sys.argv else ["hybrid", "flat", "edgecut"])
     rows, cols, vals = skewed_coo()
     nnz = rows.shape[0]
-    hybrid = plan_banded_coo(rows, cols, vals, N_NODES, d=DIM)
-    assert hybrid is not None and isinstance(hybrid[0], tuple), \
-        "expected the hybrid (capped bands + residual) layout"
-    res_frac = hybrid[0][1].shape[0] / nnz
-    print(f"nnz={nnz} bands={hybrid[0][0].shape} "
-          f"residual={res_frac * 100:.1f}%", flush=True)
-
     x0 = jnp.asarray(np.random.default_rng(0)
                      .standard_normal((N_NODES, DIM)).astype(np.float32))
-
-    r_h = measure("hybrid", hybrid, nnz, x0)
-    r_f = measure("flat-1d", pad_coo(rows, cols, vals, N_NODES), nnz, x0)
-    print(f"hybrid/flat speedup: {r_h / r_f:.2f}x", flush=True)
+    rates = {}
+    for name in layouts:
+        if name == "hybrid":
+            t = plan_banded_coo(rows, cols, vals, N_NODES, d=DIM, hybrid=True)
+            assert t is not None and isinstance(t[0], tuple), \
+                "expected the hybrid (capped bands + residual) layout"
+            res_frac = t[0][1].shape[0] / nnz
+            print(f"nnz={nnz} bands={t[0][0].shape} "
+                  f"residual={res_frac * 100:.1f}%", flush=True)
+        elif name == "edgecut":
+            t = plan_edgecut_coo(rows, cols, vals, N_NODES, d=DIM)
+            print(f"edgecut bands={t[0].local_rows.shape} "
+                  f"H={t[0].band_height} ({t[0].local_rows.shape[0]}"
+                  f"×{t[0].band_height} slots vs {N_NODES} rows)", flush=True)
+        else:
+            t = pad_coo(rows, cols, vals, N_NODES)
+        rates[name] = measure(name, t, nnz, x0)
+    if "flat" in rates:
+        for name, r in rates.items():
+            if name != "flat":
+                print(f"{name}/flat speedup: {r / rates['flat']:.2f}x",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -250,3 +250,89 @@ def test_embed_loop_accepts_hybrid_triple(tiny_chunks):
         n_rows=n_rows, num_iterations=4, normalization="l2", do_whiten=True,
     ))
     np.testing.assert_allclose(out_h @ out_h.T, out_f @ out_f.T, atol=1e-3)
+
+
+# ---------------------------------------------------------- equal-edge-cut
+
+
+@pytest.mark.parametrize("skew", [False, True])
+def test_edgecut_matches_oracle(tiny_chunks, skew):
+    """Equal-edge-cut bands equal the oracle on uniform and hub graphs."""
+    from cleora_tpu.ops.spmm import EdgeCutBands, plan_edgecut_coo
+
+    rng = np.random.default_rng(31)
+    n_rows, nnz = 180, 3000
+    if skew:  # a few hub rows spanning many bands
+        rows = np.sort(np.concatenate([
+            rng.integers(0, n_rows, 1000), rng.integers(0, 3, 2000),
+        ])).astype(np.int32)
+    else:
+        rows = np.sort(rng.integers(0, n_rows, nnz)).astype(np.int32)
+    cols = rng.integers(0, n_rows, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    x = rng.standard_normal((n_rows, 8)).astype(np.float32)
+
+    t = plan_edgecut_coo(rows, cols, vals, n_rows, d=8)
+    assert t is not None and isinstance(t[0], EdgeCutBands)
+    assert t[0].local_rows.shape == t[1].shape == t[2].shape
+    import jax.numpy as jnp
+
+    out = np.asarray(spmm(t[0].device(), jnp.asarray(t[1]), jnp.asarray(t[2]),
+                          jnp.asarray(x), n_rows=n_rows))
+    np.testing.assert_allclose(out, _oracle(rows, cols, vals, x, n_rows),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_edgecut_declines_small():
+    from cleora_tpu.ops.spmm import plan_edgecut_coo
+
+    rows, cols, vals = _random_coo(50, 100, seed=1)
+    assert plan_edgecut_coo(rows, cols, vals, 50, d=8) is None
+
+
+def test_embed_loop_accepts_edgecut(tiny_chunks):
+    """The fused loop runs the EdgeCutBands pytree; parity with flat 1-D."""
+    from cleora_tpu.ops.loop import embed_loop
+    from cleora_tpu.ops.spmm import plan_edgecut_coo
+
+    rng = np.random.default_rng(41)
+    n_rows, nnz = 150, 3000
+    rows = np.sort(np.concatenate([
+        rng.integers(0, n_rows, 2200), rng.integers(0, 4, 800),
+    ])).astype(np.int32)
+    cols = rng.integers(0, n_rows, nnz).astype(np.int32)
+    deg = np.bincount(rows, minlength=n_rows).astype(np.float64)
+    vals = (1.0 / np.maximum(deg, 1.0))[rows].astype(np.float32)
+    x0 = rng.standard_normal((n_rows, 8)).astype(np.float32)
+    import jax.numpy as jnp
+
+    t = plan_edgecut_coo(rows, cols, vals, n_rows, d=8)
+    out_e = np.asarray(embed_loop(
+        t[0].device(), jnp.asarray(t[1]), jnp.asarray(t[2]), jnp.asarray(x0),
+        n_rows=n_rows, num_iterations=4, normalization="l2", do_whiten=True,
+    ))
+    f = pad_coo(rows, cols, vals, n_rows)
+    out_f = np.asarray(embed_loop(
+        *(jnp.asarray(a) for a in f), jnp.asarray(x0),
+        n_rows=n_rows, num_iterations=4, normalization="l2", do_whiten=True,
+    ))
+    np.testing.assert_allclose(out_e @ out_e.T, out_f @ out_f.T, atol=1e-3)
+
+
+def test_embed_edgecut_end_to_end(tiny_chunks):
+    """embed() on a skewed graph routes through EdgeCutBands and matches
+    the forced 1-D layout."""
+    from cleora_tpu import SparseMatrix, embed
+    from cleora_tpu.ops.spmm import EdgeCutBands
+
+    rng = np.random.default_rng(17)
+    lines = [f"a{(rng.zipf(1.4) - 1) % 60} a{rng.integers(0, 60)}"
+             for _ in range(1200)]
+    g1 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
+    g2 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
+    e_c = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
+    cached = g1._device_cache[("coo", "left", 16)]
+    assert isinstance(cached[0], EdgeCutBands)  # skew -> edge-cut engaged
+    g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
+    e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
+    np.testing.assert_allclose(e_c, e_f, rtol=2e-5, atol=2e-5)
