@@ -91,9 +91,11 @@ def _extract(lib, handle, descriptor) -> GraphData:
             import warnings
 
             # parity: the reference warns per malformed line
-            # (src/pipeline.rs:71-78); the native path reports the count
+            # (src/pipeline.rs:71-78); the native path reports the count.
+            # In file mode the counter also covers invalid-UTF-8 lines.
             warnings.warn(
-                f"Skipped {skipped} line(s) with the wrong number of columns"
+                f"Skipped {skipped} malformed line(s) "
+                "(column mismatch or invalid UTF-8)"
             )
 
         n = lib.ct_num_entities(handle)
@@ -166,6 +168,14 @@ def _split_blob(blob: np.ndarray, lens: np.ndarray) -> List[str]:
     out = []
     off = 0
     for L in lens:
-        out.append(raw[off:off + L].decode("utf-8"))
+        try:
+            out.append(raw[off:off + L].decode("utf-8"))
+        except UnicodeDecodeError as e:  # pragma: no cover - validator bug
+            # Raise a non-ValueError so sparse.py's dispatch falls back to
+            # the numpy builder (which skips bad lines) rather than treating
+            # this as a user-facing validation error and aborting ingest.
+            raise RuntimeError(
+                f"native builder produced a non-UTF-8 entity id: {e}"
+            ) from e
         off += int(L)
     return out

@@ -161,6 +161,16 @@ static bool utf8_valid(const char* b, const char* e) {
     if (end - p <= cont) return false;
     for (int i = 1; i <= cont; ++i)
       if ((p[i] & 0xC0) != 0x80) return false;
+    // second-byte range restrictions: reject overlong 3/4-byte forms,
+    // UTF-16 surrogates (ED A0-BF), and > U+10FFFF (F4 90+) — Python's
+    // .decode('utf-8') rejects these, so accepting them here would turn
+    // one bad line into a UnicodeDecodeError aborting the whole ingest
+    unsigned char c1 = p[1];
+    if ((c == 0xE0 && c1 < 0xA0) ||   // overlong 3-byte
+        (c == 0xED && c1 > 0x9F) ||   // surrogate
+        (c == 0xF0 && c1 < 0x90) ||   // overlong 4-byte
+        (c == 0xF4 && c1 > 0x8F))     // > U+10FFFF
+      return false;
     p += cont + 1;
   }
   return true;

@@ -26,7 +26,23 @@ from jax import lax
 
 from .normalize import l2_normalize, normalize
 from .spmm import spmm_inner
+from .spmm_ell import EllPlan
 from .whiten import whiten
+
+
+def _to_relabeled(rows, x0):
+    """Sliced-ELL layouts keep the state in degree-relabeled row space for
+    the whole loop (all per-iteration ops are permutation-invariant); the
+    wrappers permute once on entry and once on exit."""
+    if isinstance(rows, EllPlan):
+        return jnp.take(x0, rows.order, axis=0)
+    return x0
+
+
+def _from_relabeled(rows, x):
+    if isinstance(rows, EllPlan):
+        return jnp.take(x, rows.rank, axis=0)
+    return x
 
 
 def _step(rows, cols, vals, x, n_rows, residual_weight, normalization, do_whiten):
@@ -55,7 +71,8 @@ def embed_loop(rows, cols, vals, x0, *, n_rows, num_iterations,
         return _step(rows, cols, vals, x, n_rows, residual_weight, normalization,
                      do_whiten)
 
-    return lax.fori_loop(0, num_iterations, body, x0)
+    out = lax.fori_loop(0, num_iterations, body, _to_relabeled(rows, x0))
+    return _from_relabeled(rows, out)
 
 
 @functools.partial(
@@ -88,8 +105,10 @@ def embed_loop_convergence(rows, cols, vals, x0, *, n_rows, max_iterations,
         done = jnp.logical_and(i > 0, rmse < convergence_threshold)
         return (i + 1, y, done)
 
-    i, x, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, jnp.bool_(False)))
-    return x, i
+    i, x, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), _to_relabeled(rows, x0), jnp.bool_(False))
+    )
+    return _from_relabeled(rows, x), i
 
 
 @functools.partial(
@@ -99,5 +118,6 @@ def embed_loop_convergence(rows, cols, vals, x0, *, n_rows, max_iterations,
 def embed_step(rows, cols, vals, x, *, n_rows, residual_weight=0.0,
                normalization="l2", do_whiten=False):
     """Single jitted iteration (used when a per-iteration callback is set)."""
-    return _step(rows, cols, vals, x, n_rows, residual_weight, normalization,
-                 do_whiten)
+    y = _step(rows, cols, vals, _to_relabeled(rows, x), n_rows,
+              residual_weight, normalization, do_whiten)
+    return _from_relabeled(rows, y)

@@ -5,10 +5,11 @@ kernel of the framework (reference semantics: ``spmm_kernel``,
 /root/reference/src/embedding.rs:52-86).
 
 TPU-native design: the transition matrix is a row-sorted COO triple
-(rows, cols, vals).  The baseline path is gather + scale + segment-sum, which
-XLA fuses into a tight HBM-bandwidth-bound loop.  A Pallas kernel variant
-(see ops/spmm_pallas.py) fuses the gather with the accumulation to avoid
-materializing the (nnz, D) intermediate.
+(rows, cols, vals).  The baseline path is gather + scale + segment-sum;
+large graphs use the banded layouts below (`plan_banded_coo`,
+`plan_edgecut_coo`) to avoid re-reading a full (n_rows, D) accumulator per
+chunk.  The fixed-width sliced-ELL layout (ops/spmm_ell.py) removes the
+(nnz, D) HBM intermediate entirely by making the output dense per row.
 
 Padding contract: rows/cols/vals may be padded at the END with
 (rows=n_rows-1, cols=anything, vals=0.0) so row-sortedness is preserved and
@@ -232,6 +233,14 @@ def plan_edgecut_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     offsets = r2[:, 0].astype(np.int32)
     local = (r2 - offsets[:, None]).astype(np.int32)
     band_height = int(local.max()) + 1
+    # band_height is a band's row SPAN — gap rows (a hub band followed by a
+    # long sparse tail) inflate it.  The ys/slot combine buffers are
+    # (n_bands·band_height, D); unbounded they can exceed HBM by orders of
+    # magnitude on hub+sparse-tail graphs even when the embedding itself
+    # fits.  Decline (→ flat 1-D chunked fallback) unless the slot count
+    # stays within a small multiple of n_rows.
+    if n_bands * band_height > 4 * max(n_rows, 1):
+        return None
     slot_rows = (
         offsets.astype(np.int64)[:, None] + np.arange(band_height)
     ).reshape(-1)
@@ -266,6 +275,13 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         return spmm_inner(rb, cb, vb, x, n_rows) + spmm_inner(
             rr, cr, vr, x, n_rows
         )
+
+    from .spmm_ell import EllPlan, spmm_ell
+
+    if isinstance(rows, EllPlan):
+        # sliced-ELL layout: x and the result are in RELABELED row space
+        # (the loop wrappers permute once at entry/exit)
+        return spmm_ell(rows, x)
 
     if isinstance(rows, EdgeCutBands):
         # equal-edge-cut bands: per-band partial sums, scatter-add combine

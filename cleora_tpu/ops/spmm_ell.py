@@ -1,0 +1,260 @@
+"""Sliced-ELL SpMM: fixed-width rows, dense output, no HBM intermediate.
+
+Reference semantics: ``spmm_kernel`` (/root/reference/src/embedding.rs:52-86)
+— ``out[i] = Σ_{edges (i→j)} value · x[j]``.  The reference accumulates per
+row in registers; the XLA COO paths (ops/spmm.py) cannot, because a
+segment-sum (scatter) does not fuse with its gather producer, so they
+materialize a (chunk, D) scaled intermediate in HBM — roughly doubling
+traffic (measured: 47 M edge-ops/s vs 106 M rows/s for the gather alone).
+
+TPU-native fix: make the output DENSE per row.  Rows are relabeled by
+degree (a host-side, once-per-graph permutation), grouped into buckets of
+fixed edge width k, and each row's edges padded to k with (col=0, val=0).
+Per bucket the propagate is
+
+    out_b[i] = Σ_j  x[cols_b[i, j]] · vals_b[i, j]
+
+— gather → multiply → sum over a static axis, which XLA fuses into ONE
+kernel: x rows stream from HBM straight into a register accumulator and
+``out_b`` is written exactly once.  No scatter, no intermediate.  Rows with
+degree > the max width are split into "virtual" rows combined by one small
+sorted segment-sum (hubs only).
+
+The embedding state lives in RELABELED space for the whole iteration loop
+(L2/L1/spectral normalization, whitening, residual and RMSE convergence are
+all permutation-invariant), so the relabel costs two O(N·D) passes total,
+not per iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Max edges per (virtual) row; rows beyond split into virtual rows.
+_K_MAX = 64
+
+# A bucket narrower than this fraction of total rows merges into the next
+# wider one — keeps the kernel count small without meaningful padding cost.
+_MIN_BUCKET_FRAC = 0.01
+
+
+@jax.tree_util.register_pytree_node_class
+class EllPlan:
+    """Degree-bucketed fixed-width edge layout (see module docstring).
+
+    Attributes
+    ----------
+    buckets : tuple of (cols, vals) — cols/vals are (n_b, k_b) arrays in
+        RELABELED column space; bucket rows are contiguous in relabeled row
+        order (ascending degree), starting after ``n_zero`` all-zero rows.
+    hub : None, or (cols, vals, seg_ids, n_hub) — width-_K_MAX virtual rows
+        for degree>_K_MAX rows (placed last), combined by a sorted
+        segment-sum over seg_ids.
+    order : (n_rows,) int32 — old row index for each new position
+        (x_relabeled = x[order]).
+    rank : (n_rows,) int32 — new position of each old row
+        (out_old = out_new[rank]).
+    """
+
+    def __init__(self, buckets, hub, order, rank, n_zero: int, n_rows: int,
+                 nnz: int):
+        self.buckets = tuple(buckets)
+        self.hub = hub
+        self.order = order
+        self.rank = rank
+        self.n_zero = int(n_zero)
+        self.n_rows = int(n_rows)
+        self.nnz = int(nnz)
+
+    def tree_flatten(self):
+        return (
+            (self.buckets, self.hub, self.order, self.rank),
+            (self.n_zero, self.n_rows, self.nnz),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buckets, hub, order, rank = children
+        return cls(buckets, hub, order, rank, *aux)
+
+    def device(self):
+        return jax.tree_util.tree_map(jnp.asarray, self)
+
+    @property
+    def slots(self) -> int:
+        """Total gather slots (padding overhead = slots / nnz)."""
+        s = sum(int(np.prod(np.shape(c))) for c, _ in self.buckets)
+        if self.hub is not None:
+            s += int(np.prod(np.shape(self.hub[0])))
+        return s
+
+
+def _widths_for(degrees: np.ndarray) -> list:
+    """Pick bucket widths from the degree histogram: exact widths for small
+    degrees, coarser steps above, tiny buckets merged upward."""
+    present = np.unique(degrees)
+    present = present[(present > 0) & (present <= _K_MAX)]
+    widths = []
+    for d in present.tolist():
+        if d <= 8:
+            w = d
+        elif d <= 32:
+            w = -(-d // 4) * 4
+        else:
+            w = -(-d // 8) * 8
+        if not widths or widths[-1] != w:
+            widths.append(w)
+    # merge buckets holding < _MIN_BUCKET_FRAC of rows into the next wider
+    n = degrees.shape[0]
+    counts = [
+        int(((degrees > (widths[i - 1] if i else 0))
+             & (degrees <= w)).sum())
+        for i, w in enumerate(widths)
+    ]
+    merged = []
+    carry = 0
+    for w, c in zip(widths, counts):
+        carry += c
+        if carry >= max(1, int(_MIN_BUCKET_FRAC * n)) or w == widths[-1]:
+            merged.append(w)
+            carry = 0
+    return merged
+
+
+def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+             n_rows: int, d: int = 256, max_waste: float = 2.0):
+    """Build the sliced-ELL layout.  Returns EllPlan, or None when padding
+    would exceed ``max_waste`` × nnz (caller falls back to a COO layout).
+
+    rows must be sorted ascending (the standard COO contract in this repo).
+    """
+    nnz = int(rows.shape[0])
+    if nnz == 0 or n_rows == 0:
+        return None
+    rows = np.asarray(rows, dtype=np.int64)
+    degrees = np.bincount(rows, minlength=n_rows).astype(np.int64)
+
+    # relabel: ascending degree, stable (preserves id locality per degree)
+    order = np.argsort(degrees, kind="stable").astype(np.int32)
+    rank = np.empty(n_rows, dtype=np.int32)
+    rank[order] = np.arange(n_rows, dtype=np.int32)
+
+    deg_sorted = degrees[order]
+    n_zero = int(np.searchsorted(deg_sorted, 1))
+    n_hub_rows = int(n_rows - np.searchsorted(deg_sorted, _K_MAX + 1))
+
+    widths = _widths_for(deg_sorted[n_zero:n_rows - n_hub_rows if n_hub_rows
+                                    else n_rows])
+    # slot budget check before building anything heavy
+    slots = 0
+    lo_deg = 0
+    for w in widths:
+        mask = (deg_sorted > lo_deg) & (deg_sorted <= w)
+        slots += int(mask.sum()) * w
+        lo_deg = w
+    if n_hub_rows:
+        hub_deg = deg_sorted[n_rows - n_hub_rows:]
+        slots += int(np.ceil(hub_deg / _K_MAX).sum()) * _K_MAX
+    if slots > max_waste * nnz:
+        return None
+
+    # per-edge new row id, then sort edges by (new_row) to group per bucket;
+    # rows is sorted by old row so within a new row edges stay contiguous
+    new_rows = rank[rows]
+    eorder = np.argsort(new_rows, kind="stable")
+    er = new_rows[eorder]
+    ec = rank[np.asarray(cols, dtype=np.int64)].astype(np.int32)[eorder]
+    ev = np.asarray(vals, dtype=np.float32)[eorder]
+    # CSR pointers over new rows
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(er, minlength=n_rows), out=indptr[1:])
+
+    def _fill(first_row, n_b, k):
+        """Pack rows [first_row, first_row+n_b) into an (n_b, k) slab."""
+        c = np.zeros((n_b, k), dtype=np.int32)
+        v = np.zeros((n_b, k), dtype=np.float32)
+        starts = indptr[first_row:first_row + n_b]
+        counts = (indptr[first_row + 1:first_row + n_b + 1] - starts)
+        # vectorized ragged scatter: slot (i, j) for j < counts[i]
+        i_idx = np.repeat(np.arange(n_b, dtype=np.int64), counts)
+        j_idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        src = np.repeat(starts, counts) + j_idx
+        c[i_idx, j_idx] = ec[src]
+        v[i_idx, j_idx] = ev[src]
+        return c, v
+
+    buckets = []
+    row_cursor = n_zero
+    lo_deg = 0
+    for w in widths:
+        hi = int(np.searchsorted(deg_sorted, w + 1))
+        hi = min(hi, n_rows - n_hub_rows)
+        n_b = hi - row_cursor
+        if n_b > 0:
+            buckets.append(_fill(row_cursor, n_b, w))
+            row_cursor = hi
+        lo_deg = w
+
+    hub = None
+    if n_hub_rows:
+        first = n_rows - n_hub_rows
+        hub_deg = deg_sorted[first:]
+        vcounts = np.ceil(hub_deg / _K_MAX).astype(np.int64)
+        n_virt = int(vcounts.sum())
+        hc = np.zeros((n_virt, _K_MAX), dtype=np.int32)
+        hv = np.zeros((n_virt, _K_MAX), dtype=np.float32)
+        seg = np.repeat(np.arange(n_hub_rows, dtype=np.int32), vcounts)
+        vrow = 0
+        for i in range(n_hub_rows):
+            s, e = int(indptr[first + i]), int(indptr[first + i + 1])
+            for off in range(s, e, _K_MAX):
+                take = min(_K_MAX, e - off)
+                hc[vrow, :take] = ec[off:off + take]
+                hv[vrow, :take] = ev[off:off + take]
+                vrow += 1
+        hub = (hc, hv, seg, n_hub_rows)
+
+    return EllPlan(buckets, hub, order, rank, n_zero, n_rows, nnz)
+
+
+# Bucket propagate formulation: "reduce" = single gather + reshape + sum
+# (one HLO chain XLA fuses end-to-end); "unroll" = k separate column
+# gathers summed (fallback if the fused reduce regresses on some backend).
+FORMULATION = "reduce"
+
+
+def _bucket_out(x, cols_b, vals_b, acc_dtype):
+    n_b, k = cols_b.shape
+    if k == 0:
+        return jnp.zeros((n_b, x.shape[1]), acc_dtype)
+    if FORMULATION == "unroll":
+        out = (jnp.take(x, cols_b[:, 0], axis=0).astype(acc_dtype)
+               * vals_b[:, 0:1].astype(acc_dtype))
+        for j in range(1, k):
+            out = out + (jnp.take(x, cols_b[:, j], axis=0).astype(acc_dtype)
+                         * vals_b[:, j:j + 1].astype(acc_dtype))
+        return out
+    g = jnp.take(x, cols_b.reshape(-1), axis=0).astype(acc_dtype)
+    g = g.reshape(n_b, k, x.shape[1])
+    return jnp.sum(g * vals_b[:, :, None].astype(acc_dtype), axis=1)
+
+
+def spmm_ell(plan: EllPlan, x: jax.Array) -> jax.Array:
+    """out = A @ x with A in sliced-ELL layout; x and out in RELABELED space."""
+    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    parts = []
+    if plan.n_zero:
+        parts.append(jnp.zeros((plan.n_zero, x.shape[1]), acc))
+    for cols_b, vals_b in plan.buckets:
+        parts.append(_bucket_out(x, cols_b, vals_b, acc))
+    if plan.hub is not None:
+        hc, hv, seg, n_hub = plan.hub
+        raw = _bucket_out(x, hc, hv, acc)
+        parts.append(jax.ops.segment_sum(
+            raw, seg, num_segments=n_hub, indices_are_sorted=True
+        ))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

@@ -296,6 +296,9 @@ def embed_sharded(
         placed = place(x_padded)
         x, rest = placed[0], placed[1:]
         prev_host = None
+        # num_iterations == 0 runs no steps: return the initial embeddings,
+        # matching the non-callback path
+        host = _to_host(x.astype(jnp.float32))[: graph.num_entities]
         for i in range(int(num_iterations)):
             x = fn(x, *rest)
             host = _to_host(x.astype(jnp.float32))[: graph.num_entities]

@@ -143,3 +143,22 @@ def test_invalid_utf8_lines_skipped(tmp_path):
     finally:
         os.environ.pop("CLEORA_TPU_NATIVE", None)
         nat._lib, nat._load_failed = None, False
+
+
+def test_surrogate_and_overlong_utf8_skipped(tmp_path):
+    """UTF-16 surrogates (ED A0-BF) and overlong forms (E0 80-9F, F0 80-8F,
+    F4 90+) must be rejected by the native validator — Python's .decode
+    raises on them, and one bad line must not abort the whole ingest."""
+    from cleora_tpu import SparseMatrix
+
+    p = tmp_path / "surr.tsv"
+    p.write_bytes(
+        b"a b\n"
+        b"\xed\xa0\x80 c\n"      # UTF-16 surrogate D800
+        b"\xe0\x80\xaf d\n"      # overlong 3-byte
+        b"\xf0\x80\x80\xaf e\n"  # overlong 4-byte
+        b"\xf4\x90\x80\x80 f\n"  # > U+10FFFF
+        b"g h\n"
+    )
+    g = SparseMatrix.from_files([str(p)], "complex::reflexive::n")
+    assert g.entity_ids == ["a", "b", "g", "h"]

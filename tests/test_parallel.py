@@ -242,3 +242,19 @@ def test_sharded_callback_convergence_early_stop(graph):
         convergence_threshold=0.5, callback=lambda i, e: seen.append(i),
     )
     assert 1 < len(seen) < 30  # stopped early, after the first check
+
+
+def test_sharded_zero_iterations_callback(graph):
+    """num_iterations=0 with a callback returns the initial embeddings, like
+    the non-callback path (regression: `host` was unbound)."""
+    x0 = np.random.default_rng(3).standard_normal(
+        (graph.num_entities, 8)
+    ).astype(np.float32)
+    calls = []
+    out_cb = embed_sharded(graph, num_iterations=0, whiten=False,
+                           initial_embeddings=x0,
+                           callback=lambda i, e: calls.append(i))
+    out_plain = embed_sharded(graph, num_iterations=0, whiten=False,
+                              initial_embeddings=x0)
+    assert calls == []
+    assert np.allclose(out_cb, out_plain, atol=1e-6)

@@ -336,3 +336,22 @@ def test_embed_edgecut_end_to_end(tiny_chunks):
     g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
     e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
     np.testing.assert_allclose(e_c, e_f, rtol=2e-5, atol=2e-5)
+
+
+def test_edgecut_declines_on_hub_plus_sparse_tail(tiny_chunks):
+    """A hub band followed by a long sparse tail inflates band_height (row
+    SPAN, including gap rows); the ys/slot combine buffers are
+    (n_bands·band_height, D) and must stay bounded — the planner declines
+    rather than planning a buffer far larger than the embedding itself."""
+    from cleora_tpu.ops.spmm import plan_edgecut_coo
+
+    n_rows = 20_000
+    # 960 edges on row 0 (hub), then one edge each on rows spread over the
+    # whole id range: the second band spans ~n_rows rows
+    tail_rows = np.linspace(1, n_rows - 1, 64).astype(np.int32)
+    rows = np.sort(np.concatenate([
+        np.zeros(960, dtype=np.int32), tail_rows,
+    ]))
+    cols = np.zeros(rows.shape[0], dtype=np.int32)
+    vals = np.ones(rows.shape[0], dtype=np.float32)
+    assert plan_edgecut_coo(rows, cols, vals, n_rows, d=16) is None
