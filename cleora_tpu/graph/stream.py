@@ -1,0 +1,277 @@
+"""Out-of-core (streaming) graph build + disk-backed graph access.
+
+For graphs whose pair stream exceeds RAM (BASELINE.json targets 1B+ edges)
+the native streaming core (cleora_tpu/native/stream.cpp) ingests
+newline-terminated chunks under a RAM cap, spilling sorted duplicate-summed
+runs to disk and k-way-merging them into on-disk CSR arrays.  Reference
+analogs: the streaming file pipeline (/root/reference/src/pipeline.rs:81-104)
+and the legacy mmap persistence (/root/reference/legacy/src/persistence.rs).
+
+Result ordering, trimming and Markov numerics are identical to the in-RAM
+builder: chunks are consumed in input order, so first-seen entity indexing
+and the running-occurrence trimming see the same sequence
+(src/sparse_matrix_builder.rs:188-207 semantics).
+
+The output directory holds flat binary arrays (indices.bin int32,
+left_vals.bin/sym_vals.bin float32, indptr.bin int64, hashes.bin uint64,
+column_ids.bin uint8, row_sums.bin float32, id_lens.bin uint32, id_blob.bin
+raw bytes) plus meta.json — loadable with ``DiskGraph`` which memory-maps
+everything, or materialized into a regular ``SparseMatrix`` when it fits.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..native import get_lib
+from .columns import create_relation_descriptor, parse_fields
+
+_META = "meta.json"
+
+
+class DiskGraph:
+    """Memory-mapped view of a streamed build's output directory.
+
+    Arrays have the same meaning as GraphData's; everything is np.memmap so
+    opening a 1B-edge graph costs no RAM.  ``row_range(lo, hi)`` yields COO
+    slices for shard loaders; ``to_sparse_matrix()`` materializes (small
+    graphs / tests).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, _META)) as f:
+            self.meta = json.load(f)
+        mm = lambda name, dtype: np.memmap(
+            os.path.join(path, name), dtype=dtype, mode="r"
+        )
+        self.indptr = mm("indptr.bin", np.int64)
+        self.indices = mm("indices.bin", np.int32)
+        self.left_vals = mm("left_vals.bin", np.float32)
+        self.sym_vals = mm("sym_vals.bin", np.float32)
+        self.entity_hashes = mm("hashes.bin", np.uint64)
+        self.column_ids = mm("column_ids.bin", np.uint8)
+        self.row_sums = mm("row_sums.bin", np.float32)
+        self.id_lens = mm("id_lens.bin", np.uint32)
+        self.id_blob = mm("id_blob.bin", np.uint8)
+
+    @property
+    def num_entities(self) -> int:
+        return int(self.meta["num_entities"])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.meta["num_edges"])
+
+    @property
+    def columns(self) -> str:
+        return self.meta["columns"]
+
+    def entity_id(self, index: int) -> str:
+        lens = self.id_lens
+        # offsets computed lazily once (n ints of RAM, acceptable)
+        if not hasattr(self, "_id_offs"):
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            self._id_offs = offs
+        lo, hi = int(self._id_offs[index]), int(self._id_offs[index + 1])
+        return bytes(self.id_blob[lo:hi]).decode("utf-8")
+
+    def entity_ids_range(self, lo: int, hi: int) -> List[str]:
+        return [self.entity_id(i) for i in range(lo, hi)]
+
+    def row_range(self, lo: int, hi: int, markov_type: str = "left"):
+        """COO slice (rows, cols, vals) for output rows [lo, hi) — the shard
+        loader primitive for multi-host row-partitioned embedding."""
+        s, e = int(self.indptr[lo]), int(self.indptr[hi])
+        counts = np.diff(self.indptr[lo:hi + 1]).astype(np.int64)
+        rows = np.repeat(np.arange(lo, hi, dtype=np.int64), counts)
+        vals = self.sym_vals if markov_type == "symmetric" else self.left_vals
+        return rows, np.asarray(self.indices[s:e]), np.asarray(vals[s:e])
+
+    def to_sparse_matrix(self):
+        """Materialize into a regular in-RAM SparseMatrix (must fit)."""
+        from .builder import GraphData
+        from ..sparse import SparseMatrix
+
+        cols = parse_fields(self.columns)
+        data = GraphData(
+            descriptor=create_relation_descriptor(cols),
+            entity_ids=self.entity_ids_range(0, self.num_entities),
+            entity_hashes=np.asarray(self.entity_hashes),
+            column_ids=np.asarray(self.column_ids),
+            row_sums=np.asarray(self.row_sums),
+            indptr=np.asarray(self.indptr),
+            indices=np.asarray(self.indices),
+            left_vals=np.asarray(self.left_vals),
+            sym_vals=np.asarray(self.sym_vals),
+        )
+        return SparseMatrix._from_graph_data(data)
+
+    def __repr__(self):
+        return (f"DiskGraph(path={self.path!r}, entities={self.num_entities}, "
+                f"edges={self.num_edges})")
+
+
+def _open_stream(lib, columns: str, hyperedge_trim_n: int,
+                 num_workers: Optional[int], out_dir: str,
+                 ram_cap_bytes: int):
+    cols = parse_fields(columns)
+    create_relation_descriptor(cols)  # validates: exactly one relation
+    ncols = len(cols)
+    complex_flags = (ctypes.c_uint8 * ncols)(*[int(c.complex) for c in cols])
+    reflexive_flags = (ctypes.c_uint8 * ncols)(*[int(c.reflexive) for c in cols])
+    handle = lib.ct_stream_open(
+        ncols, complex_flags, reflexive_flags, int(hyperedge_trim_n),
+        int(num_workers or 0), out_dir.encode(), int(ram_cap_bytes),
+    )
+    return handle, cols
+
+
+def _finish(lib, handle, columns: str, out_dir: str,
+            skipped_warn: bool = True) -> DiskGraph:
+    if lib.ct_stream_finish(handle):
+        err = lib.ct_stream_error(handle)
+        msg = err.decode() if err else "streaming build failed"
+        lib.ct_stream_free(handle)
+        raise ValueError(msg)
+    skipped = lib.ct_stream_skipped(handle)
+    if skipped and skipped_warn:
+        import warnings
+
+        warnings.warn(
+            f"Skipped {skipped} malformed line(s) "
+            "(column mismatch or invalid UTF-8)"
+        )
+    meta = {
+        "format": "cleora_tpu.disk_graph.v1",
+        "columns": columns,
+        "num_entities": int(lib.ct_stream_num_entities(handle)),
+        "num_edges": int(lib.ct_stream_num_edges(handle)),
+        "pairs_emitted": int(lib.ct_stream_pairs_emitted(handle)),
+        "skipped_lines": int(skipped),
+    }
+    lib.ct_stream_free(handle)
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return DiskGraph(out_dir)
+
+
+def build_graph_streaming(
+    source: Union[Sequence[str], Iterable[str]],
+    columns: str,
+    out_dir: str,
+    *,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+    ram_cap_bytes: int = 2 << 30,
+    chunk_bytes: int = 64 << 20,
+    files: bool = False,
+) -> DiskGraph:
+    """Stream-build a graph into ``out_dir`` under a pair-buffer RAM cap.
+
+    ``source`` is an iterable of hyperedge lines (like from_iterator), or —
+    with ``files=True`` — a list of file paths read in 64 MB slices (invalid
+    UTF-8 / blank lines skipped, matching from_files).  The entity table
+    (hashes, ids, row sums) stays in RAM; the pair stream is spilled to
+    sorted runs in ``out_dir`` and merged to on-disk CSR.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "streaming build requires the native builder "
+            "(CLEORA_TPU_NATIVE=0 disables it)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
+                             out_dir, ram_cap_bytes)
+
+    def _feed(buf: bytes, file_mode: bool):
+        if lib.ct_stream_feed(handle, buf, len(buf), int(file_mode)):
+            err = lib.ct_stream_error(handle)
+            msg = err.decode() if err else "streaming feed failed"
+            lib.ct_stream_free(handle)
+            raise ValueError(msg)
+
+    if files:
+        for path in source:
+            try:
+                f = open(path, "rb")
+            except OSError as e:
+                import warnings
+
+                warnings.warn(f"Cannot open file '{path}': {e}")
+                continue
+            with f:
+                carry = b""
+                while True:
+                    block = f.read(chunk_bytes)
+                    if not block:
+                        if carry:
+                            _feed(carry + b"\n", True)
+                        break
+                    block = carry + block
+                    cut = block.rfind(b"\n")
+                    if cut == -1:
+                        carry = block
+                        continue
+                    _feed(block[: cut + 1], True)
+                    carry = block[cut + 1:]
+    else:
+        batch: List[str] = []
+        size = 0
+        for line in source:
+            if not isinstance(line, str):
+                lib.ct_stream_free(handle)
+                raise ValueError("Iterator must yield strings")
+            batch.append(line)
+            size += len(line) + 1
+            if size >= chunk_bytes:
+                _feed(("\n".join(batch) + "\n").encode("utf-8"), False)
+                batch, size = [], 0
+        if batch:
+            _feed(("\n".join(batch) + "\n").encode("utf-8"), False)
+
+    return _finish(lib, handle, columns, out_dir)
+
+
+def build_graph_streaming_pairs(
+    pair_chunks: Iterable,
+    columns: str,
+    out_dir: str,
+    *,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+    ram_cap_bytes: int = 2 << 30,
+) -> DiskGraph:
+    """Stream-build from (src, dst) int64 array chunks — the zero-text fast
+    path for synthetic scale tests and _LazyEdgeList ingestion.  Ids are
+    formatted as decimal strings natively, so the result is identical to
+    feeding ``f"{s} {d}"`` lines.  Requires a single complex::reflexive
+    column spec."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("streaming build requires the native builder")
+    os.makedirs(out_dir, exist_ok=True)
+    handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
+                             out_dir, ram_cap_bytes)
+    for src, dst in pair_chunks:
+        src = np.ascontiguousarray(src, dtype=np.int64)
+        dst = np.ascontiguousarray(dst, dtype=np.int64)
+        if src.shape != dst.shape:
+            lib.ct_stream_free(handle)
+            raise ValueError("src/dst chunk shapes differ")
+        if lib.ct_stream_feed_pairs(
+            handle, src.ctypes.data_as(ctypes.c_void_p),
+            dst.ctypes.data_as(ctypes.c_void_p), src.shape[0],
+        ):
+            err = lib.ct_stream_error(handle)
+            msg = err.decode() if err else "streaming feed failed"
+            lib.ct_stream_free(handle)
+            raise ValueError(msg)
+    return _finish(lib, handle, columns, out_dir)

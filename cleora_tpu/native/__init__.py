@@ -16,6 +16,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "builder.cpp")
+_SRC_EXTRA = (os.path.join(_DIR, "stream.cpp"),)  # #included into builder.cpp
 _LIB = os.path.join(_DIR, "libcleora_native.so")
 
 _lock = threading.Lock()
@@ -66,6 +67,30 @@ def _bind(lib):
     lib.ct_id_bytes.argtypes = [c.c_void_p, c.c_void_p]
     lib.ct_free.restype = None
     lib.ct_free.argtypes = [c.c_void_p]
+    # ---- streaming (out-of-core) build
+    lib.ct_stream_open.restype = c.c_void_p
+    lib.ct_stream_open.argtypes = [
+        c.c_int, c.POINTER(c.c_uint8), c.POINTER(c.c_uint8), c.c_int,
+        c.c_int, c.c_char_p, c.c_int64,
+    ]
+    lib.ct_stream_feed.restype = c.c_int
+    lib.ct_stream_feed.argtypes = [c.c_void_p, c.c_char_p, c.c_int64, c.c_int]
+    lib.ct_stream_feed_pairs.restype = c.c_int
+    lib.ct_stream_feed_pairs.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+    ]
+    lib.ct_stream_finish.restype = c.c_int
+    lib.ct_stream_finish.argtypes = [c.c_void_p]
+    lib.ct_stream_error.restype = c.c_char_p
+    lib.ct_stream_error.argtypes = [c.c_void_p]
+    for fn in ("ct_stream_num_entities", "ct_stream_num_edges",
+               "ct_stream_skipped", "ct_stream_pairs_emitted"):
+        getattr(lib, fn).restype = c.c_int64
+        getattr(lib, fn).argtypes = [c.c_void_p]
+    lib.ct_stream_num_runs.restype = c.c_int
+    lib.ct_stream_num_runs.argtypes = [c.c_void_p]
+    lib.ct_stream_free.restype = None
+    lib.ct_stream_free.argtypes = [c.c_void_p]
     return lib
 
 
@@ -81,9 +106,11 @@ def get_lib():
         if _lib is not None or _load_failed:
             return _lib
         try:
+            srcs = [p for p in (_SRC,) + _SRC_EXTRA if os.path.exists(p)]
             needs_build = not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+                srcs
+                and max(os.path.getmtime(p) for p in srcs)
+                > os.path.getmtime(_LIB)
             )
             if needs_build and not _compile():
                 _load_failed = True

@@ -793,3 +793,7 @@ void ct_id_bytes(void* h, char* blob) {
 void ct_free(void* h) { delete (BuildResult*)h; }
 
 }  // extern "C"
+
+// Out-of-core streaming build (same translation unit: reuses the parser,
+// hashing, trimming and KV machinery above).
+#include "stream.cpp"

@@ -1,0 +1,742 @@
+// Out-of-core (streaming) graph build: bounded-RAM ingest for graphs whose
+// pair stream exceeds memory (reference analogs: streaming file pipeline
+// /root/reference/src/pipeline.rs:81-104 and the legacy mmap persistence
+// /root/reference/legacy/src/persistence.rs; scale target BASELINE.json 1B+
+// edges).
+//
+// Shape: the caller feeds newline-terminated text chunks (or raw integer
+// pair arrays) in order.  Per chunk: parallel parse+hash, then a SEQUENTIAL
+// incremental first-seen indexer + row stats + trimming + pair emission —
+// sequential order is what makes the result bitwise-identical to the
+// in-RAM builder (first-seen entity order and the running-occurrence
+// trimming are input-order-dependent, src/sparse_matrix_builder.rs:188-207).
+// Emitted (row,col,val) pairs accumulate in a bounded buffer; at the cap the
+// buffer is sorted, duplicate-summed (f64) and spilled as a sorted run.
+// finish() k-way-merges the runs and streams the final CSR
+// (indices/left/sym) straight to disk files; only the entity table,
+// row_sums, indptr and bounded buffers ever live in RAM.
+//
+// This file is #included into builder.cpp (single translation unit — it
+// reuses xxh64 / parse_line / KV / pack / PSORT / trim-side logic).
+
+namespace {
+
+struct GrowTable {
+  // FirstSeenTable with growth (streaming can't pre-size).
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  uint64_t mask;
+  size_t used = 0;
+
+  GrowTable() : keys(1 << 16), vals(1 << 16, -1), mask((1 << 16) - 1) {}
+
+  void grow() {
+    size_t ncap = keys.size() * 2;
+    std::vector<uint64_t> nk(ncap);
+    std::vector<int64_t> nv(ncap, -1);
+    uint64_t nm = ncap - 1;
+    for (size_t i = 0; i < keys.size(); ++i) {
+      if (vals[i] == -1) continue;
+      uint64_t slot = keys[i] & nm;
+      while (nv[slot] != -1) slot = (slot + 1) & nm;
+      nk[slot] = keys[i];
+      nv[slot] = vals[i];
+    }
+    keys.swap(nk);
+    vals.swap(nv);
+    mask = nm;
+  }
+
+  inline std::pair<int64_t, bool> insert(uint64_t h, int64_t next_index) {
+    if (used * 2 >= keys.size()) grow();
+    uint64_t slot = h & mask;
+    for (;;) {
+      int64_t v = vals[slot];
+      if (v == -1) {
+        keys[slot] = h;
+        vals[slot] = next_index;
+        ++used;
+        return {next_index, true};
+      }
+      if (keys[slot] == h) return {v, false};
+      slot = (slot + 1) & mask;
+    }
+  }
+};
+
+struct RunEntry {
+  uint64_t key;
+  double val;
+};
+
+// row_sum and occurrence interleaved: every edge updates both for the same
+// entity, so one struct keeps it to a single cache-line touch per token.
+struct RowStat {
+  double row_sum;
+  int64_t occurrence;
+};
+
+struct StreamState {
+  int ncols = 0;
+  ColumnSpec cols[64];
+  bool reflexive_single = false;
+  int trim_n = 16;
+  int num_workers = 1;
+  std::string dir;          // spill + output directory
+  size_t run_pairs = 0;     // pending-buffer flush threshold (entries)
+
+  // entity registry (stays in RAM; proportional to n_entities)
+  GrowTable table;
+  std::vector<uint64_t> hashes;
+  std::vector<uint8_t> column_ids;
+  std::vector<uint32_t> id_len;
+  std::vector<int64_t> id_off;   // into the id arena
+  std::string id_arena;          // concatenated id bytes (first-seen order)
+  std::vector<RowStat> stats;
+
+  // pending pair buffer: raw (no zero-init, unchecked writes); slack above
+  // run_pairs absorbs one edge's worst-case emission between flush checks
+  std::unique_ptr<KV[]> pending;
+  size_t pend_n = 0;
+  size_t pend_cap = 0;
+  int n_runs = 0;
+  int64_t n_pairs_emitted = 0;
+  int64_t n_edges_out = -1;  // set by finish
+  int64_t skipped = 0;
+  std::string error;
+  bool finished = false;
+
+  // reused scratch (one chunk at a time)
+  std::vector<int64_t> tok_index;
+  std::vector<int64_t> hi_a, lo_a, hi_b, lo_b, order;
+  std::vector<KV> scratch_kv;
+};
+
+static std::string run_path(StreamState* st, int i) {
+  return st->dir + "/run_" + std::to_string(i) + ".bin";
+}
+
+struct StreamLap {
+  bool on;
+  double t0;
+  static double now() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+  }
+  StreamLap() : on(std::getenv("CLEORA_NATIVE_DEBUG") != nullptr), t0(now()) {}
+  void operator()(const char* what) {
+    if (on) {
+      std::fprintf(stderr, "[stream] %-14s %.3fs\n", what, now() - t0);
+      t0 = now();
+    }
+  }
+};
+
+static bool flush_run(StreamState* st) {
+  if (st->pend_n == 0) return true;
+  StreamLap lap;
+  KV* p = st->pending.get();
+  size_t n = st->pend_n;
+  PSORT(p, p + n, [](const KV& x, const KV& y) { return x.key < y.key; });
+  lap("  run:sort");
+  std::string path = run_path(st, st->n_runs);
+  FILE* f = std::fopen(path.c_str(), "wb");
+  if (!f) {
+    st->error = "cannot open spill file " + path;
+    return false;
+  }
+  std::vector<RunEntry> out;
+  out.reserve(1 << 16);
+  for (size_t i = 0; i < n;) {
+    uint64_t k = p[i].key;
+    double s = 0.0;
+    while (i < n && p[i].key == k) s += p[i++].val;
+    out.push_back({k, s});
+    if (out.size() == (1 << 16)) {
+      std::fwrite(out.data(), sizeof(RunEntry), out.size(), f);
+      out.clear();
+    }
+  }
+  if (!out.empty()) std::fwrite(out.data(), sizeof(RunEntry), out.size(), f);
+  std::fclose(f);
+  lap("  run:dedup+io");
+  ++st->n_runs;
+  st->pend_n = 0;
+  return true;
+}
+
+// Sequential per-chunk pipeline step: incremental first-seen indexing, row
+// stats, running-occurrence trimming, pair emission into st->pending with
+// cap-triggered spills.  `tokens`/`edges` are the stitched chunk output.
+static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
+                           const std::vector<Edge>& edges) {
+  StreamLap lap;
+  int64_t n_tok = (int64_t)tokens.size();
+  st->tok_index.resize((size_t)n_tok);
+  for (int64_t i = 0; i < n_tok; ++i) {
+    const Token& t = tokens[(size_t)i];
+    auto [idx, fresh] = st->table.insert(t.hash, (int64_t)st->hashes.size());
+    if (fresh) {
+      st->hashes.push_back(t.hash);
+      st->column_ids.push_back(t.col_id);
+      st->id_off.push_back((int64_t)st->id_arena.size());
+      st->id_len.push_back(t.len);
+      st->id_arena.append(t.ptr, t.len);
+      st->stats.push_back({0.0, 0});
+    }
+    st->tok_index[(size_t)i] = idx;
+  }
+  lap("index");
+  if ((int64_t)st->hashes.size() > (int64_t)INT32_MAX) {
+    st->error = "entity count exceeds int32 CSR index range";
+    return false;
+  }
+
+  auto& tok_index = st->tok_index;
+  RowStat* stats = st->stats.data();
+  int trim_n = st->trim_n;
+  KV* pend = st->pending.get();
+
+  // Fast path: when no hyperedge in this chunk exceeds trim_n, emission
+  // order does not matter (pairs get sorted; stat += commutes) — split the
+  // edge range across threads with prefix-summed output offsets, flushing
+  // between slabs whenever the pending buffer would overflow (mirrors the
+  // in-RAM builder's no-trim fast path).  Occurrence still accumulates so a
+  // later trimming chunk sees correct running counts.
+  bool has_big = false;
+  for (const Edge& e : edges)
+    if (e.a_len > trim_n || e.b_len > trim_n) {
+      has_big = true;
+      break;
+    }
+  if (!has_big) {
+    int64_t n_edges = (int64_t)edges.size();
+    int W = st->num_workers;
+    std::vector<RowStat> partials;  // W * n_ent would be huge; use atomic-free
+    // per-thread sparse accumulation is overkill here: stats updates are
+    // plain += on doubles/ints — do them sequentially (cheap relative to
+    // pair writes), emission in parallel.
+    int64_t i = 0;
+    while (i < n_edges) {
+      // how many edges fit in the pending buffer from here?
+      size_t room = st->pend_cap - st->pend_n;
+      int64_t j = i;
+      size_t need = 0;
+      std::vector<int64_t> offs;
+      offs.reserve((size_t)(n_edges - i) + 1);
+      offs.push_back(0);
+      while (j < n_edges) {
+        const Edge& e = edges[(size_t)j];
+        size_t emit_n = (size_t)(e.a_len * e.b_len) * 2;
+        if (need + emit_n > room) break;
+        need += emit_n;
+        offs.push_back((int64_t)need);
+        ++j;
+      }
+      if (j == i) {  // buffer full before one edge fits
+        st->n_pairs_emitted += (int64_t)st->pend_n;
+        if (!flush_run(st)) return false;
+        continue;
+      }
+      KV* base = pend + st->pend_n;
+      int64_t slab = j - i;
+      int Wt = (int)std::min<int64_t>(W, slab);
+      std::vector<std::thread> threads;
+      int64_t per = (slab + Wt - 1) / Wt;
+      for (int w = 0; w < Wt; ++w) {
+        threads.emplace_back([&, w] {
+          int64_t lo = std::min(slab, w * per);
+          int64_t hi = std::min(slab, lo + per);
+          for (int64_t k = lo; k < hi; ++k) {
+            const Edge& e = edges[(size_t)(i + k)];
+            if (e.a_len == 0 || e.b_len == 0) continue;
+            double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
+            KV* out = base + offs[(size_t)k];
+            for (int64_t x = 0; x < e.a_len; ++x) {
+              int64_t a = tok_index[(size_t)(e.a_off + x)];
+              for (int64_t y = 0; y < e.b_len; ++y) {
+                int64_t b = tok_index[(size_t)(e.b_off + y)];
+                *out++ = {pack(a, b), val};
+                *out++ = {pack(b, a), val};
+              }
+            }
+          }
+        });
+      }
+      // stats sequentially on the main thread, overlapping the pair writes
+      for (int64_t k = i; k < j; ++k) {
+        const Edge& e = edges[(size_t)k];
+        if (e.a_len == 0 || e.b_len == 0) continue;
+        double inv_b = (double)(1.0f / (float)e.b_len);
+        double inv_a = (double)(1.0f / (float)e.a_len);
+        for (int64_t x = 0; x < e.a_len; ++x) {
+          RowStat& rs = stats[tok_index[(size_t)(e.a_off + x)]];
+          rs.occurrence += e.b_len;
+          rs.row_sum += inv_b;
+        }
+        for (int64_t y = 0; y < e.b_len; ++y) {
+          RowStat& rs = stats[tok_index[(size_t)(e.b_off + y)]];
+          rs.occurrence += e.a_len;
+          rs.row_sum += inv_a;
+        }
+      }
+      for (auto& t : threads) t.join();
+      st->pend_n += need;
+      i = j;
+      if (st->pend_n >= st->run_pairs) {
+        lap("emit");
+        st->n_pairs_emitted += (int64_t)st->pend_n;
+        if (!flush_run(st)) return false;
+        lap("spill");
+      }
+    }
+    lap("emit");
+    return true;
+  }
+
+  for (const Edge& e : edges) {
+    if (e.a_len == 0 || e.b_len == 0) continue;
+    double inv_b = (double)(1.0f / (float)e.b_len);
+    double inv_a = (double)(1.0f / (float)e.a_len);
+    for (int64_t i = 0; i < e.a_len; ++i) {
+      RowStat& rs = stats[tok_index[(size_t)(e.a_off + i)]];
+      rs.occurrence += e.b_len;
+      rs.row_sum += inv_b;
+    }
+    for (int64_t i = 0; i < e.b_len; ++i) {
+      RowStat& rs = stats[tok_index[(size_t)(e.b_off + i)]];
+      rs.occurrence += e.a_len;
+      rs.row_sum += inv_a;
+    }
+    double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
+
+    auto trim_side = [&](int64_t off, int64_t len, std::vector<int64_t>& hi,
+                         std::vector<int64_t>& lo) {
+      hi.clear();
+      lo.clear();
+      if (len <= trim_n) {
+        for (int64_t i = 0; i < len; ++i)
+          hi.push_back(tok_index[(size_t)(off + i)]);
+        return;
+      }
+      auto& order = st->order;
+      order.resize((size_t)len);
+      for (int64_t i = 0; i < len; ++i) order[(size_t)i] = i;
+      std::stable_sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
+        return stats[tok_index[(size_t)(off + x)]].occurrence >
+               stats[tok_index[(size_t)(off + y)]].occurrence;
+      });
+      for (int64_t i = 0; i < len; ++i) {
+        int64_t n = tok_index[(size_t)(off + order[(size_t)i])];
+        (i < trim_n ? hi : lo).push_back(n);
+      }
+    };
+
+    if (e.a_len <= trim_n && e.b_len <= trim_n) {
+      KV* out = pend + st->pend_n;
+      for (int64_t i = 0; i < e.a_len; ++i) {
+        int64_t a = tok_index[(size_t)(e.a_off + i)];
+        for (int64_t j = 0; j < e.b_len; ++j) {
+          int64_t b = tok_index[(size_t)(e.b_off + j)];
+          *out++ = {pack(a, b), val};
+          *out++ = {pack(b, a), val};
+        }
+      }
+      st->pend_n = (size_t)(out - pend);
+    } else {
+      // rare path: emit via a scratch vector, then copy into the buffer
+      auto& scratch = st->scratch_kv;
+      scratch.clear();
+      trim_side(e.a_off, e.a_len, st->hi_a, st->lo_a);
+      trim_side(e.b_off, e.b_len, st->hi_b, st->lo_b);
+      emit_cartesian(st->hi_a.data(), (int64_t)st->hi_a.size(),
+                     st->hi_b.data(), (int64_t)st->hi_b.size(), val, scratch);
+      emit_cartesian(st->hi_a.data(), (int64_t)st->hi_a.size(),
+                     st->lo_b.data(), (int64_t)st->lo_b.size(), val, scratch);
+      emit_cartesian(st->lo_a.data(), (int64_t)st->lo_a.size(),
+                     st->hi_b.data(), (int64_t)st->hi_b.size(), val, scratch);
+      for (size_t i = 0; i < scratch.size();) {
+        size_t room = st->pend_cap - st->pend_n;
+        size_t take = std::min(room, scratch.size() - i);
+        std::memcpy(pend + st->pend_n, scratch.data() + i, take * sizeof(KV));
+        st->pend_n += take;
+        i += take;
+        if (st->pend_n >= st->run_pairs) {
+          st->n_pairs_emitted += (int64_t)st->pend_n;
+          if (!flush_run(st)) return false;
+        }
+      }
+    }
+    if (st->pend_n >= st->run_pairs) {
+      lap("emit");
+      st->n_pairs_emitted += (int64_t)st->pend_n;
+      if (!flush_run(st)) return false;
+      lap("spill");
+    }
+  }
+  lap("emit");
+  return true;
+}
+
+// K-way merge of sorted runs with buffered readers.
+struct RunReader {
+  FILE* f = nullptr;
+  std::vector<RunEntry> buf;
+  size_t pos = 0, have = 0;
+  bool done = false;
+
+  bool refill() {
+    have = std::fread(buf.data(), sizeof(RunEntry), buf.size(), f);
+    pos = 0;
+    if (have == 0) {
+      done = true;
+      return false;
+    }
+    return true;
+  }
+  bool next(RunEntry& e) {
+    if (pos == have && (done || !refill())) return false;
+    e = buf[pos++];
+    return true;
+  }
+};
+
+struct BufWriter {
+  FILE* f = nullptr;
+  std::vector<char> buf;
+  size_t pos = 0;
+
+  bool open(const std::string& p) {
+    f = std::fopen(p.c_str(), "wb");
+    buf.resize(4 << 20);
+    pos = 0;
+    return f != nullptr;
+  }
+  inline void put(const void* p, size_t n) {
+    if (pos + n > buf.size()) {
+      std::fwrite(buf.data(), 1, pos, f);
+      pos = 0;
+    }
+    std::memcpy(buf.data() + pos, p, n);
+    pos += n;
+  }
+  void close() {
+    if (f) {
+      std::fwrite(buf.data(), 1, pos, f);
+      std::fclose(f);
+      f = nullptr;
+    }
+  }
+};
+
+static bool stream_finish(StreamState* st) {
+  if (st->hashes.empty()) {
+    st->error = "No valid hyperedge lines provided";
+    return false;
+  }
+  st->n_pairs_emitted += (int64_t)st->pend_n;
+  if (!flush_run(st)) return false;
+
+  int64_t n_ent = (int64_t)st->hashes.size();
+  int K = st->n_runs;
+  std::vector<RunReader> readers((size_t)K);
+  // heap of (key, run) — run index breaks ties so merging is deterministic
+  using HeapItem = std::pair<uint64_t, int>;
+  std::vector<HeapItem> heap;
+  std::vector<RunEntry> heads((size_t)K);
+  size_t per_run_buf = std::max<size_t>(1 << 12, (64 << 20) / std::max(K, 1) /
+                                                     sizeof(RunEntry));
+  for (int k = 0; k < K; ++k) {
+    readers[(size_t)k].f = std::fopen(run_path(st, k).c_str(), "rb");
+    if (!readers[(size_t)k].f) {
+      st->error = "cannot reopen spill file";
+      return false;
+    }
+    readers[(size_t)k].buf.resize(per_run_buf);
+    if (readers[(size_t)k].next(heads[(size_t)k]))
+      heap.push_back({heads[(size_t)k].key, k});
+  }
+  auto cmp = [](const HeapItem& a, const HeapItem& b) { return a > b; };
+  std::make_heap(heap.begin(), heap.end(), cmp);
+
+  BufWriter w_idx, w_left, w_sym;
+  if (!w_idx.open(st->dir + "/indices.bin") ||
+      !w_left.open(st->dir + "/left_vals.bin") ||
+      !w_sym.open(st->dir + "/sym_vals.bin")) {
+    st->error = "cannot open output file in " + st->dir;
+    return false;
+  }
+  std::vector<int64_t> indptr((size_t)n_ent + 1, 0);
+  const RowStat* rs = st->stats.data();
+  int64_t n_out = 0;
+
+  uint64_t cur_key = 0;
+  double cur_sum = 0.0;
+  bool any = false;
+  auto emit = [&]() {
+    size_t r = (size_t)(cur_key >> 32);
+    size_t c = (size_t)(uint32_t)cur_key;
+    int32_t ci = (int32_t)c;
+    float lv = (float)(cur_sum / rs[r].row_sum);
+    float sv = (float)(cur_sum / std::sqrt(rs[r].row_sum * rs[c].row_sum));
+    w_idx.put(&ci, 4);
+    w_left.put(&lv, 4);
+    w_sym.put(&sv, 4);
+    ++indptr[r + 1];
+    ++n_out;
+  };
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    int k = heap.back().second;
+    heap.pop_back();
+    RunEntry e = heads[(size_t)k];
+    if (any && e.key != cur_key) {
+      emit();
+      cur_sum = 0.0;
+    }
+    cur_key = e.key;
+    cur_sum += e.val;
+    any = true;
+    if (readers[(size_t)k].next(heads[(size_t)k])) {
+      heap.push_back({heads[(size_t)k].key, k});
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  if (any) emit();
+  w_idx.close();
+  w_left.close();
+  w_sym.close();
+  for (auto& r : readers)
+    if (r.f) std::fclose(r.f);
+  for (int k = 0; k < K; ++k) std::remove(run_path(st, k).c_str());
+
+  for (int64_t i = 0; i < n_ent; ++i) indptr[(size_t)i + 1] += indptr[(size_t)i];
+
+  // entity-table + indptr outputs
+  auto dump = [&](const char* name, const void* p, size_t bytes) {
+    FILE* f = std::fopen((st->dir + "/" + name).c_str(), "wb");
+    if (!f) return false;
+    if (bytes) std::fwrite(p, 1, bytes, f);
+    std::fclose(f);
+    return true;
+  };
+  std::vector<float> rs32((size_t)n_ent);
+  for (int64_t i = 0; i < n_ent; ++i)
+    rs32[(size_t)i] = (float)rs[(size_t)i].row_sum;
+  bool ok = dump("indptr.bin", indptr.data(), indptr.size() * 8) &&
+            dump("hashes.bin", st->hashes.data(), st->hashes.size() * 8) &&
+            dump("column_ids.bin", st->column_ids.data(),
+                 st->column_ids.size()) &&
+            dump("row_sums.bin", rs32.data(), rs32.size() * 4) &&
+            dump("id_lens.bin", st->id_len.data(), st->id_len.size() * 4) &&
+            dump("id_blob.bin", st->id_arena.data(), st->id_arena.size());
+  if (!ok) {
+    st->error = "cannot write output arrays in " + st->dir;
+    return false;
+  }
+  st->n_edges_out = n_out;
+  st->finished = true;
+  st->pending.reset();  // release the pair buffer
+  st->pend_cap = st->pend_n = 0;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ct_stream_open(int ncols, const uint8_t* complex_flags,
+                     const uint8_t* reflexive_flags, int trim_n,
+                     int num_workers, const char* spill_dir,
+                     int64_t ram_cap_bytes) {
+  auto* st = new StreamState();
+  st->ncols = ncols;
+  for (int i = 0; i < ncols && i < 64; ++i)
+    st->cols[i] = {complex_flags[i], reflexive_flags[i]};
+  st->reflexive_single = (ncols == 1);
+  st->trim_n = trim_n;
+  st->num_workers =
+      num_workers > 0 ? num_workers
+                      : (int)std::max(1u, std::thread::hardware_concurrency());
+  st->dir = spill_dir;
+  // pending KV entries are 16 B; leave half the cap for sort scratch + chunk
+  int64_t cap = std::max<int64_t>(ram_cap_bytes, 64 << 20);
+  st->run_pairs = (size_t)(cap / 2 / (int64_t)sizeof(KV));
+  // slack: the untrimmed fast path writes one edge (<= trim capped sides of
+  // 64 each in practice, but a no-trim build can have wider lines; 1M slots
+  // of slack covers sides up to ~700x700) between flush checks
+  st->pend_cap = st->run_pairs + (1u << 20);
+  st->pending.reset(new KV[st->pend_cap]);
+  return st;
+}
+
+// Feed one newline-terminated text chunk (must not split a line across
+// feeds).  is_file_mode=1 applies the file-path semantics: skip empty and
+// invalid-UTF-8 lines.  Returns 0 on success.
+int ct_stream_feed(void* h, const char* buf, int64_t len, int is_file_mode) {
+  auto* st = (StreamState*)h;
+  if (!st->error.empty() || st->finished) return 1;
+
+  std::vector<std::pair<const char*, const char*>> lines;
+  split(buf, buf + len, '\n', [&](const char* s, const char* t) {
+    if (!is_file_mode || t > s) lines.emplace_back(s, t);
+  });
+  // feed boundaries are line boundaries, so a trailing "" from a final
+  // newline is dropped even in iterator mode (it was not a real line)
+  if (!is_file_mode && !lines.empty() && len > 0 && buf[len - 1] == '\n')
+    lines.pop_back();
+  int64_t n_lines = (int64_t)lines.size();
+  if (n_lines == 0) return 0;
+
+  int W = (int)std::min<int64_t>(st->num_workers, n_lines);
+  std::vector<WorkerOut> outs((size_t)W);
+  {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_lines + W - 1) / W;
+    for (int w = 0; w < W; ++w) {
+      threads.emplace_back([&, w] {
+        int64_t lo = std::min(n_lines, w * chunk);
+        int64_t hi = std::min(n_lines, lo + chunk);
+        auto& out = outs[(size_t)w];
+        for (int64_t i = lo; i < hi; ++i) {
+          if (is_file_mode &&
+              !utf8_valid(lines[(size_t)i].first, lines[(size_t)i].second)) {
+            ++out.skipped;
+            continue;
+          }
+          if (!parse_line(lines[(size_t)i].first, lines[(size_t)i].second,
+                          st->ncols, st->cols, st->reflexive_single, out))
+            ++out.skipped;
+        }
+      });
+    }
+    for (auto& t : threads) t.join();
+  }
+  std::vector<Token> tokens;
+  std::vector<Edge> edges;
+  {
+    size_t tt = 0, te = 0;
+    for (auto& o : outs) {
+      tt += o.tokens.size();
+      te += o.edges.size();
+      st->skipped += o.skipped;
+    }
+    tokens.reserve(tt);
+    edges.reserve(te);
+    for (auto& o : outs) {
+      int64_t base = (int64_t)tokens.size();
+      tokens.insert(tokens.end(), o.tokens.begin(), o.tokens.end());
+      for (auto e : o.edges) {
+        e.a_off += base;
+        e.b_off += base;
+        edges.push_back(e);
+      }
+    }
+  }
+  return stream_consume(st, tokens, edges) ? 0 : 1;
+}
+
+// Feed raw integer pairs (the synthetic-scale and from_edge_arrays path).
+// Ids are formatted as decimal strings internally, so hashing, the entity
+// table and the output are bitwise-identical to feeding "src dst" text.
+int ct_stream_feed_pairs(void* h, const int64_t* src, const int64_t* dst,
+                         int64_t n) {
+  auto* st = (StreamState*)h;
+  StreamLap lap;
+  if (!st->error.empty() || st->finished) return 1;
+  if (st->ncols != 1 || !st->reflexive_single) {
+    st->error = "pair feed requires a single complex::reflexive column";
+    return 1;
+  }
+  int W = (int)std::min<int64_t>(st->num_workers, std::max<int64_t>(1, n));
+  std::vector<WorkerOut> outs((size_t)W);
+  std::vector<std::string> arenas((size_t)W);
+  {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + W - 1) / W;
+    for (int w = 0; w < W; ++w) {
+      threads.emplace_back([&, w] {
+        int64_t lo = std::min(n, w * chunk);
+        int64_t hi = std::min(n, lo + chunk);
+        auto& out = outs[(size_t)w];
+        auto& arena = arenas[(size_t)w];
+        out.tokens.reserve((size_t)(hi - lo) * 2);
+        out.edges.reserve((size_t)(hi - lo));
+        arena.reserve((size_t)(hi - lo) * 14);
+        char tmp[24];
+        auto put = [&](int64_t v) {
+          int m = std::snprintf(tmp, sizeof tmp, "%lld", (long long)v);
+          size_t off = arena.size();
+          arena.append(tmp, (size_t)m);
+          // ptr fixed up after the arena stops growing (below)
+          out.tokens.push_back({0, (const char*)off, (uint32_t)m, 0});
+        };
+        for (int64_t i = lo; i < hi; ++i) {
+          int64_t off = (int64_t)out.tokens.size();
+          put(src[i]);
+          put(dst[i]);
+          out.edges.push_back({off, 2, off, 2});
+        }
+        // resolve offsets → stable pointers, then hash
+        for (auto& t : out.tokens) {
+          t.ptr = arena.data() + (size_t)(uintptr_t)t.ptr;
+          t.hash = xxh64(t.ptr, t.len);
+        }
+      });
+    }
+    for (auto& t : threads) t.join();
+  }
+  lap("itoa+hash");
+  std::vector<Token> tokens;
+  std::vector<Edge> edges;
+  size_t tt = 0, te = 0;
+  for (auto& o : outs) {
+    tt += o.tokens.size();
+    te += o.edges.size();
+  }
+  tokens.reserve(tt);
+  edges.reserve(te);
+  for (auto& o : outs) {
+    int64_t base = (int64_t)tokens.size();
+    tokens.insert(tokens.end(), o.tokens.begin(), o.tokens.end());
+    for (auto e : o.edges) {
+      e.a_off += base;
+      e.b_off += base;
+      edges.push_back(e);
+    }
+  }
+  lap("stitch");
+  return stream_consume(st, tokens, edges) ? 0 : 1;
+}
+
+int ct_stream_finish(void* h) {
+  auto* st = (StreamState*)h;
+  if (!st->error.empty()) return 1;
+  return stream_finish(st) ? 0 : 1;
+}
+
+const char* ct_stream_error(void* h) {
+  auto* st = (StreamState*)h;
+  return st->error.empty() ? nullptr : st->error.c_str();
+}
+
+int64_t ct_stream_num_entities(void* h) {
+  return (int64_t)((StreamState*)h)->hashes.size();
+}
+
+int64_t ct_stream_num_edges(void* h) {
+  return ((StreamState*)h)->n_edges_out;
+}
+
+int64_t ct_stream_skipped(void* h) { return ((StreamState*)h)->skipped; }
+
+int64_t ct_stream_pairs_emitted(void* h) {
+  return ((StreamState*)h)->n_pairs_emitted;
+}
+
+int ct_stream_num_runs(void* h) { return ((StreamState*)h)->n_runs; }
+
+void ct_stream_free(void* h) { delete (StreamState*)h; }
+
+}  // extern "C"

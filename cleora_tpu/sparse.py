@@ -299,9 +299,12 @@ class SparseMatrix:
         """Row-sorted padded COO on device, cached per markov type.
 
         With ``banded_dim`` > 0 (the embedding width about to be propagated),
-        large graphs may come back in the row-banded 2-D layout of
-        ``plan_banded_coo`` — accumulator-free SpMM in the fused loops.
-        Falls back to the 1-D layout when banding doesn't pay.
+        large graphs come back in the sliced-ELL layout of
+        ``ops.spmm_ell.plan_ell`` (dense-output fixed-width rows — no HBM
+        intermediate; 88.3 M edge-ops/s on v5e vs 49.2 M row-banded at the
+        bench shape).  Falls back to the row-banded / equal-edge-cut COO
+        layouts when ELL padding would exceed its waste bound, and to the
+        flat 1-D layout below the chunk threshold.
         """
         dim_bucket = 1 << max(banded_dim - 1, 0).bit_length() if banded_dim else 0
         key = ("coo", markov_type, dim_bucket)
@@ -313,6 +316,7 @@ class SparseMatrix:
                 plan_banded_coo,
                 plan_edgecut_coo,
             )
+            from .ops.spmm_ell import plan_ell
 
             data = self.data
             n = data.num_entities
@@ -322,11 +326,19 @@ class SparseMatrix:
             vals = data.sym_vals if markov_type == "symmetric" else data.left_vals
             triple = None
             if dim_bucket:
-                triple = plan_banded_coo(
-                    rows, data.indices, vals, n, d=dim_bucket
-                )
+                nnz = rows.shape[0]
+                from .ops.spmm import _chunk_edges_for
+
+                if nnz > _chunk_edges_for(n, dim_bucket):
+                    plan = plan_ell(rows, data.indices, vals, n, d=dim_bucket)
+                    if plan is not None:
+                        triple = (plan, (), ())
                 if triple is None:
-                    # row-banding declined (degree skew) — the equal-edge-cut
+                    triple = plan_banded_coo(
+                        rows, data.indices, vals, n, d=dim_bucket
+                    )
+                if triple is None:
+                    # banding declined (degree skew) — the equal-edge-cut
                     # layout handles hubs by splitting rows across bands
                     triple = plan_edgecut_coo(
                         rows, data.indices, vals, n, d=dim_bucket
@@ -336,8 +348,10 @@ class SparseMatrix:
                     return self._device_coo(markov_type)
                 triple = pad_coo(rows, data.indices, vals, n)
 
+            from .ops.spmm_ell import EllPlan
+
             def _dev(a):  # hybrid (banded, residual) leaves are tuples
-                if isinstance(a, EdgeCutBands):
+                if isinstance(a, (EdgeCutBands, EllPlan)):
                     return a.device()
                 if isinstance(a, tuple):
                     return tuple(jnp.asarray(x) for x in a)

@@ -95,18 +95,35 @@ def test_banded_bf16_storage(tiny_chunks):
 
 
 def test_device_coo_banded_cache(tiny_chunks):
-    """_device_coo(banded_dim=...) returns the 2-D layout for large graphs
-    and shares the 1-D cache entry when banding declines."""
+    """_device_coo(banded_dim=...) returns the sliced-ELL layout for large
+    graphs (the preferred fused-loop layout) and the 1-D layout without
+    banded_dim."""
     from cleora_tpu import SparseMatrix
+    from cleora_tpu.ops.spmm_ell import EllPlan
 
     rng = np.random.default_rng(7)
     lines = [f"{rng.integers(0, 200)} {rng.integers(0, 200)}"
              for _ in range(600)]
     g = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
     r2, _, _ = g._device_coo("left", banded_dim=16)
-    assert r2.ndim == 2
+    assert isinstance(r2, EllPlan)
     r1, _, _ = g._device_coo("left")
     assert r1.ndim == 1
+
+
+def test_device_coo_banded_fallback(tiny_chunks, monkeypatch):
+    """When plan_ell declines (waste bound), the row-banded 2-D layout is
+    the fallback."""
+    import cleora_tpu.ops.spmm_ell as se
+    from cleora_tpu import SparseMatrix
+
+    monkeypatch.setattr(se, "plan_ell", lambda *a, **k: None)
+    rng = np.random.default_rng(7)
+    lines = [f"{rng.integers(0, 200)} {rng.integers(0, 200)}"
+             for _ in range(600)]
+    g = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+    r2, _, _ = g._device_coo("left", banded_dim=16)
+    assert hasattr(r2, "ndim") and r2.ndim == 2
 
 
 def test_embed_banded_equals_unbanded(tiny_chunks):
@@ -319,12 +336,14 @@ def test_embed_loop_accepts_edgecut(tiny_chunks):
     np.testing.assert_allclose(out_e @ out_e.T, out_f @ out_f.T, atol=1e-3)
 
 
-def test_embed_edgecut_end_to_end(tiny_chunks):
-    """embed() on a skewed graph routes through EdgeCutBands and matches
-    the forced 1-D layout."""
+def test_embed_edgecut_end_to_end(tiny_chunks, monkeypatch):
+    """embed() on a skewed graph with ELL declined routes through
+    EdgeCutBands and matches the forced 1-D layout."""
+    import cleora_tpu.ops.spmm_ell as se
     from cleora_tpu import SparseMatrix, embed
     from cleora_tpu.ops.spmm import EdgeCutBands
 
+    monkeypatch.setattr(se, "plan_ell", lambda *a, **k: None)
     rng = np.random.default_rng(17)
     lines = [f"a{(rng.zipf(1.4) - 1) % 60} a{rng.integers(0, 60)}"
              for _ in range(1200)]
