@@ -441,9 +441,6 @@ static bool stream_finish(StreamState* st) {
   int64_t n_ent = (int64_t)st->hashes.size();
   int K = st->n_runs;
   std::vector<RunReader> readers((size_t)K);
-  // heap of (key, run) — run index breaks ties so merging is deterministic
-  using HeapItem = std::pair<uint64_t, int>;
-  std::vector<HeapItem> heap;
   std::vector<RunEntry> heads((size_t)K);
   size_t per_run_buf = std::max<size_t>(1 << 12, (64 << 20) / std::max(K, 1) /
                                                      sizeof(RunEntry));
@@ -454,11 +451,52 @@ static bool stream_finish(StreamState* st) {
       return false;
     }
     readers[(size_t)k].buf.resize(per_run_buf);
-    if (readers[(size_t)k].next(heads[(size_t)k]))
-      heap.push_back({heads[(size_t)k].key, k});
   }
-  auto cmp = [](const HeapItem& a, const HeapItem& b) { return a > b; };
-  std::make_heap(heap.begin(), heap.end(), cmp);
+  // Loser tree over the K run heads: next winner in O(log K) comparisons
+  // with no per-entry heap churn.  Exhausted runs hold key UINT64_MAX
+  // (padding keys are < 2^62, so the sentinel never collides).
+  constexpr uint64_t DONE_KEY = ~0ULL;
+  int P = 1;
+  while (P < std::max(K, 1)) P <<= 1;
+  std::vector<uint64_t> head_key((size_t)P, DONE_KEY);
+  for (int k = 0; k < K; ++k)
+    head_key[(size_t)k] =
+        readers[(size_t)k].next(heads[(size_t)k]) ? heads[(size_t)k].key
+                                                  : DONE_KEY;
+  // tree[1] is the overall winner; tree[i] holds the loser of the match at
+  // internal node i.  Rebuild cost O(P) once; per-advance O(log P).
+  std::vector<int> tree((size_t)(2 * P), -1);
+  auto replay = [&](int leaf) {
+    int winner = leaf;
+    for (int node = (P + leaf) >> 1; node >= 1; node >>= 1) {
+      int& held = tree[(size_t)node];
+      if (held >= 0 &&
+          (head_key[(size_t)held] < head_key[(size_t)winner] ||
+           (head_key[(size_t)held] == head_key[(size_t)winner] &&
+            held < winner)))
+        std::swap(held, winner);
+    }
+    return winner;
+  };
+  int winner = -1;
+  {
+    // initialize: insert leaves one by one
+    for (int leaf = 0; leaf < P; ++leaf) {
+      int w = leaf;
+      for (int node = (P + leaf) >> 1; node >= 1; node >>= 1) {
+        int& held = tree[(size_t)node];
+        if (held < 0) {
+          held = w;
+          w = -1;
+          break;
+        }
+        if (head_key[(size_t)held] < head_key[(size_t)w] ||
+            (head_key[(size_t)held] == head_key[(size_t)w] && held < w))
+          std::swap(held, w);
+      }
+      if (w >= 0) winner = w;
+    }
+  }
 
   BufWriter w_idx, w_left, w_sym;
   if (!w_idx.open(st->dir + "/indices.bin") ||
@@ -468,7 +506,14 @@ static bool stream_finish(StreamState* st) {
     return false;
   }
   std::vector<int64_t> indptr((size_t)n_ent + 1, 0);
-  const RowStat* rs = st->stats.data();
+  // compact per-row reciprocals: 4 B random accesses during the merge
+  // instead of 16 B RowStat lines (the merge is cache-miss-bound on rs[c])
+  std::vector<double> inv_rs((size_t)n_ent), inv_sqrt_rs((size_t)n_ent);
+  for (int64_t i = 0; i < n_ent; ++i) {
+    double v = st->stats[(size_t)i].row_sum;
+    inv_rs[(size_t)i] = 1.0 / v;
+    inv_sqrt_rs[(size_t)i] = 1.0 / std::sqrt(v);
+  }
   int64_t n_out = 0;
 
   uint64_t cur_key = 0;
@@ -478,29 +523,44 @@ static bool stream_finish(StreamState* st) {
     size_t r = (size_t)(cur_key >> 32);
     size_t c = (size_t)(uint32_t)cur_key;
     int32_t ci = (int32_t)c;
-    float lv = (float)(cur_sum / rs[r].row_sum);
-    float sv = (float)(cur_sum / std::sqrt(rs[r].row_sum * rs[c].row_sum));
+    float lv = (float)(cur_sum * inv_rs[r]);
+    float sv = (float)(cur_sum * (inv_sqrt_rs[r] * inv_sqrt_rs[c]));
     w_idx.put(&ci, 4);
     w_left.put(&lv, 4);
     w_sym.put(&sv, 4);
     ++indptr[r + 1];
     ++n_out;
   };
-  while (!heap.empty()) {
-    std::pop_heap(heap.begin(), heap.end(), cmp);
-    int k = heap.back().second;
-    heap.pop_back();
-    RunEntry e = heads[(size_t)k];
-    if (any && e.key != cur_key) {
+  if (K == 1) {
+    // single run: keys are already unique (per-run dedup) — stream it
+    // (the tree init pre-read the first entry into heads[0])
+    if (head_key[0] != DONE_KEY) {
+      cur_key = heads[0].key;
+      cur_sum = heads[0].val;
       emit();
-      cur_sum = 0.0;
+      RunEntry e;
+      while (readers[0].next(e)) {
+        cur_key = e.key;
+        cur_sum = e.val;
+        emit();
+      }
     }
-    cur_key = e.key;
-    cur_sum += e.val;
-    any = true;
-    if (readers[(size_t)k].next(heads[(size_t)k])) {
-      heap.push_back({heads[(size_t)k].key, k});
-      std::push_heap(heap.begin(), heap.end(), cmp);
+    any = false;
+  } else {
+    while (winner >= 0 && head_key[(size_t)winner] != DONE_KEY) {
+      int k = winner;
+      RunEntry e = heads[(size_t)k];
+      if (any && e.key != cur_key) {
+        emit();
+        cur_sum = 0.0;
+      }
+      cur_key = e.key;
+      cur_sum += e.val;
+      any = true;
+      head_key[(size_t)k] = readers[(size_t)k].next(heads[(size_t)k])
+                                ? heads[(size_t)k].key
+                                : DONE_KEY;
+      winner = replay(k);
     }
   }
   if (any) emit();
@@ -523,7 +583,7 @@ static bool stream_finish(StreamState* st) {
   };
   std::vector<float> rs32((size_t)n_ent);
   for (int64_t i = 0; i < n_ent; ++i)
-    rs32[(size_t)i] = (float)rs[(size_t)i].row_sum;
+    rs32[(size_t)i] = (float)st->stats[(size_t)i].row_sum;
   bool ok = dump("indptr.bin", indptr.data(), indptr.size() * 8) &&
             dump("hashes.bin", st->hashes.data(), st->hashes.size() * 8) &&
             dump("column_ids.bin", st->column_ids.data(),
@@ -563,6 +623,8 @@ void* ct_stream_open(int ncols, const uint8_t* complex_flags,
   // pending KV entries are 16 B; leave half the cap for sort scratch + chunk
   int64_t cap = std::max<int64_t>(ram_cap_bytes, 64 << 20);
   st->run_pairs = (size_t)(cap / 2 / (int64_t)sizeof(KV));
+  if (const char* ov = std::getenv("CLEORA_STREAM_RUN_PAIRS"))
+    st->run_pairs = (size_t)std::max(1024LL, std::atoll(ov));  // tests only
   // slack: the untrimmed fast path writes one edge (<= trim capped sides of
   // 64 each in practice, but a no-trim build can have wider lines; 1M slots
   // of slack covers sides up to ~700x700) between flush checks
@@ -645,8 +707,12 @@ int ct_stream_feed_pairs(void* h, const int64_t* src, const int64_t* dst,
   auto* st = (StreamState*)h;
   StreamLap lap;
   if (!st->error.empty() || st->finished) return 1;
-  if (st->ncols != 1 || !st->reflexive_single) {
-    st->error = "pair feed requires a single complex::reflexive column";
+  // single complex::reflexive column (clique incl. self-loops), or two
+  // columns (directed pair per line, tokens tagged with their column)
+  bool two_col = (st->ncols == 2);
+  if (!two_col && !(st->ncols == 1 && st->reflexive_single)) {
+    st->error =
+        "pair feed requires complex::reflexive single-column or two columns";
     return 1;
   }
   int W = (int)std::min<int64_t>(st->num_workers, std::max<int64_t>(1, n));
@@ -676,12 +742,19 @@ int ct_stream_feed_pairs(void* h, const int64_t* src, const int64_t* dst,
           int64_t off = (int64_t)out.tokens.size();
           put(src[i]);
           put(dst[i]);
-          out.edges.push_back({off, 2, off, 2});
+          if (two_col)
+            out.edges.push_back({off, 1, off + 1, 1});
+          else
+            out.edges.push_back({off, 2, off, 2});
         }
-        // resolve offsets → stable pointers, then hash
+        // resolve offsets → stable pointers, then hash; 2-col mode tags
+        // alternating tokens with their column id
+        size_t ti = 0;
         for (auto& t : out.tokens) {
           t.ptr = arena.data() + (size_t)(uintptr_t)t.ptr;
           t.hash = xxh64(t.ptr, t.len);
+          if (two_col) t.col_id = (uint8_t)(ti & 1);
+          ++ti;
         }
       });
     }

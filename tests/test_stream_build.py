@@ -156,3 +156,34 @@ def test_stream_non_string_rejects(tmp_path):
     with pytest.raises(ValueError, match="Iterator must yield strings"):
         build_graph_streaming(iter([b"a b"]), "complex::reflexive::n",
                               str(tmp_path / "g"))
+
+
+def test_stream_loser_tree_many_runs(tmp_path, monkeypatch):
+    """Force many small spilled runs (CLEORA_STREAM_RUN_PAIRS) so the
+    loser-tree k-way merge actually merges >2 runs, including hub keys that
+    appear in every run."""
+    monkeypatch.setenv("CLEORA_STREAM_RUN_PAIRS", "4096")
+    rng = np.random.default_rng(11)
+    n_pairs = 40_000
+    src = np.concatenate([rng.integers(0, 800, n_pairs // 2),
+                          np.zeros(n_pairs // 2, dtype=np.int64)])  # hub 0
+    dst = rng.integers(0, 800, n_pairs)
+    lines = [f"{s} {t}" for s, t in zip(src, dst)]
+    cols = "complex::reflexive::n"
+    ref = build_graph_native(lines, cols, 16)
+    dg = build_graph_streaming_pairs([(src, dst)], cols, str(tmp_path / "g"))
+    assert dg.meta["pairs_emitted"] >= 4096 * 4  # several runs spilled
+    _assert_matches(dg, ref)
+
+
+def test_stream_two_column_pair_feed(tmp_path):
+    """feed_pairs with a two-column spec emits one directed pair per line
+    (the roadNet-style ingest), matching text ingest of the same lines."""
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 400, 10_000)
+    dst = rng.integers(0, 400, 10_000)
+    lines = [f"{s}\t{t}" for s, t in zip(src, dst)]
+    cols = "complex::a complex::b"
+    ref = build_graph_native(lines, cols, 16)
+    dg = build_graph_streaming_pairs([(src, dst)], cols, str(tmp_path / "g"))
+    _assert_matches(dg, ref)
