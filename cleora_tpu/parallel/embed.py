@@ -167,7 +167,9 @@ def build_sharded_embed(
     layout (build it over ``halo.remapped_cols`` when both are used), the
     local SpMM runs accumulator-free per row band.
     """
-    axis = SHARD_AXIS
+    from .mesh import shard_axes
+
+    axis = shard_axes(mesh)  # ("host","chip") on hierarchical meshes
     row_spec = P(axis, None)
 
     fn = functools.partial(
@@ -253,7 +255,17 @@ def embed_sharded(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
         )
     if mesh is None:
-        mesh = make_mesh(n_devices)
+        import jax as _jax
+
+        if _jax.process_count() > 1 and n_devices is None:
+            # multi-host production path: hierarchical ("host","chip") mesh
+            # over ALL devices; every process calls embed_sharded with the
+            # same graph and receives the full gathered result
+            from .mesh import make_hier_mesh
+
+            mesh = make_hier_mesh()
+        else:
+            mesh = make_mesh(n_devices)
     n_shards = mesh.devices.size
 
     sharded = shard_graph(graph, propagation, n_shards)
@@ -282,7 +294,19 @@ def embed_sharded(
 
         x_padded = x_padded.astype(ml_dtypes.bfloat16)
 
-    from .._util import to_host as _to_host
+    from .._util import to_host as _base_to_host
+
+    def _to_host(arr):
+        """Full host copy of a (possibly multi-process global) device array."""
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True)
+            )
+        return _base_to_host(arr)
 
     if callback is not None:
         # one jitted sharded step per iteration (compile cached across
@@ -320,6 +344,4 @@ def embed_sharded(
     out = fn(*place(x_padded))
     if out.dtype != jnp.float32:
         out = out.astype(jnp.float32)
-    from .._util import to_host
-
-    return to_host(out)[: graph.num_entities].copy()
+    return _to_host(out)[: graph.num_entities].copy()

@@ -1,8 +1,13 @@
 """Worker for the multi-process (multi-host simulation) sharded-embed test.
 
+Drives the PUBLIC multi-host API exactly as a pod host would:
+``init_distributed`` + ``embed_sharded`` (which auto-builds the hierarchical
+("host", "chip") mesh over all processes and gathers the full result to
+every host).
+
 Launched N times by tests/test_multiprocess.py with a shared coordinator;
-each process contributes 2 virtual CPU devices, forming a global 2N-device
-mesh — the single-controller-per-host setup of a real pod (DCN analog).
+each process contributes 2 virtual CPU devices (DCN analog: collectives
+cross the process boundary).
 
 Usage: python multiprocess_worker.py <coord_addr> <num_procs> <proc_id> <out>
 """
@@ -22,41 +27,31 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address=coord, num_processes=num_procs, process_id=proc_id
-)
 
 import numpy as np  # noqa: E402
 
 from cleora_tpu import SparseMatrix  # noqa: E402
-from cleora_tpu.parallel.embed import build_sharded_embed  # noqa: E402
-from cleora_tpu.parallel.mesh import make_mesh  # noqa: E402
-from cleora_tpu.parallel.shard import pad_rows, plan_halo, shard_graph  # noqa: E402
+from cleora_tpu.parallel import embed_sharded, init_distributed  # noqa: E402
 
-devices = jax.devices()
-assert len(devices) == 2 * num_procs, devices
+assert init_distributed(
+    coordinator_address=coord, num_processes=num_procs, process_id=proc_id
+)
+assert jax.process_count() == num_procs
 
 rng = np.random.default_rng(7)
 lines = [f"n{rng.integers(0, 100)} n{rng.integers(0, 100)}" for _ in range(800)]
 graph = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
 
-mesh = make_mesh(devices=devices)
-sharded = shard_graph(graph, "left", len(devices))
-x0 = graph.initialize_deterministically(16, 0)
-
-results = {}
-for plan in (None, plan_halo(sharded)):
-    fn, place = build_sharded_embed(
-        mesh, sharded, 16, num_iterations=4, do_whiten=False, halo=plan,
-    )
-    out = fn(*place(pad_rows(x0, sharded.n_rows_padded)))
-    # multihost arrays: gather addressable shards + allgather via process 0
-    gathered = np.asarray(
-        jax.experimental.multihost_utils.process_allgather(out, tiled=True)
-    )
-    results["halo" if plan is not None else "allgather"] = gathered[
-        : graph.num_entities
-    ]
+# public API: mesh auto-selected (hierarchical over all processes), full
+# result returned on every process
+results = {
+    "allgather": embed_sharded(graph, feature_dim=16, num_iterations=4,
+                               whiten=False, halo=False),
+    "halo": embed_sharded(graph, feature_dim=16, num_iterations=4,
+                          whiten=False, halo=True),
+}
+for v in results.values():
+    assert v.shape == (graph.num_entities, 16)
 
 if proc_id == 0:
     np.savez(out_path, **results)

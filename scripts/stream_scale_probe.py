@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=8_000_000)
     ap.add_argument("--out", default="/tmp/stream_scale")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--columns", default="complex::reflexive::node",
+                    help="'complex::a complex::b' emits 2 entries/pair "
+                         "(roadNet-style) vs 8 for the reflexive clique — "
+                         "use it for the 1B run to bound disk")
     args = ap.parse_args()
 
     from cleora_tpu.graph.stream import build_graph_streaming_pairs
@@ -54,7 +58,7 @@ def main():
 
     t0 = time.perf_counter()
     dg = build_graph_streaming_pairs(
-        chunks(), "complex::reflexive::node", args.out,
+        chunks(), args.columns, args.out,
         ram_cap_bytes=int(args.ram_cap_gb * (1 << 30)),
     )
     wall = time.perf_counter() - t0

@@ -258,3 +258,38 @@ def test_sharded_zero_iterations_callback(graph):
                               initial_embeddings=x0)
     assert calls == []
     assert np.allclose(out_cb, out_plain, atol=1e-6)
+
+
+def test_hier_mesh_matches_single(graph):
+    """Hierarchical ("host","chip") mesh: same results as the flat mesh and
+    the single-device loop, with and without the halo exchange."""
+    from cleora_tpu.parallel import make_hier_mesh
+
+    mesh = make_hier_mesh(n_hosts=2, chips_per_host=4)
+    assert mesh.axis_names == ("host", "chip")
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False)
+    single = embed(graph, **kw)
+    for halo in (False, True):
+        out = embed_sharded(graph, mesh=mesh, halo=halo, **kw)
+        assert np.allclose(single, out, atol=2e-5), halo
+    # whitening uses psum over the axis tuple
+    sw = embed(graph, feature_dim=16, num_iterations=3, whiten=True)
+    ow = embed_sharded(graph, mesh=mesh, feature_dim=16, num_iterations=3,
+                       whiten=True)
+    assert np.allclose(sw @ sw.T, ow @ ow.T, atol=1e-3)
+
+
+def test_hier_mesh_banded_and_bf16(graph):
+    from cleora_tpu.parallel import make_hier_mesh
+
+    mesh = make_hier_mesh(n_hosts=4, chips_per_host=2)
+    f32 = embed_sharded(graph, mesh=mesh, feature_dim=16, num_iterations=4,
+                        whiten=False, banded=2)
+    bf16 = embed_sharded(graph, mesh=mesh, feature_dim=16, num_iterations=4,
+                         whiten=False, dtype="bfloat16")
+    single = embed(graph, feature_dim=16, num_iterations=4, whiten=False)
+    assert np.allclose(single, f32, atol=2e-5)
+    cos = np.sum(single * bf16, axis=1) / np.maximum(
+        np.linalg.norm(single, axis=1) * np.linalg.norm(bf16, axis=1), 1e-10
+    )
+    assert cos.min() > 0.98
