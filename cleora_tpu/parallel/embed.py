@@ -35,9 +35,42 @@ from .shard import (
 )
 
 
+def _overlap_propagate(x_local, send_idx, groups, rows_per_shard, axis):
+    """Pipelined halo exchange: P-1 ppermute rounds, each round's received
+    boundary slab accumulated while the next transfer is in flight (see
+    shard.OverlapPlan).  Returns the f32 local SpMM result."""
+    n_rounds = len(groups)
+    me = lax.axis_index(axis)
+
+    def seg(table, lr, sc, sv):
+        g = jnp.take(table, sc, axis=0).astype(jnp.float32)
+        return jax.ops.segment_sum(
+            g * sv[:, None], lr, num_segments=rows_per_shard,
+            indices_are_sorted=True,
+        )
+
+    def slab_for(r):
+        idx = jnp.take(send_idx, (me + r) % n_rounds, axis=0)  # (M,)
+        send = jnp.take(x_local, idx, axis=0)  # (M, D) in state dtype
+        perm = [(d, (d + r) % n_rounds) for d in range(n_rounds)]
+        return lax.ppermute(send, axis, perm)
+
+    # round 0 (local rows) computes while round 1's slab is in flight
+    nxt = slab_for(1) if n_rounds > 1 else None
+    lr0, sc0, sv0 = groups[0]
+    acc = seg(x_local, lr0, sc0, sv0)
+    for r in range(1, n_rounds):
+        cur = nxt
+        if r + 1 < n_rounds:
+            nxt = slab_for(r + 1)
+        lr, sc, sv = groups[r]
+        acc = acc + seg(cur, lr, sc, sv)
+    return acc
+
+
 def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
-    normalization, do_whiten, axis, send_idx=None,
+    normalization, do_whiten, axis, send_idx=None, overlap=None,
 ):
     """One propagate→normalize→whiten step from inside shard_map.
 
@@ -46,7 +79,11 @@ def _local_step(
     result is cast back at the end.
     """
     state_dtype = x_local.dtype
-    if send_idx is None:
+    if overlap is not None:
+        # 1c+2. pipelined boundary exchange fused with the local SpMM
+        y = _overlap_propagate(x_local, send_idx, overlap, rows_per_shard,
+                               axis)
+    elif send_idx is None:
         # 1a. baseline: assemble the full gather table via all_gather
         x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
     else:
@@ -58,12 +95,14 @@ def _local_step(
         recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
         x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
 
-    # 2. local SpMM: every edge's output row is local.  Reuses spmm_inner so
-    # the (nnz_local, D) gather intermediate is chunk-bounded at production
-    # scale and bf16 tables promote to f32 accumulation, same as single-chip.
-    from ..ops.spmm import spmm_inner
+    if overlap is None:
+        # 2. local SpMM: every edge's output row is local.  Reuses spmm_inner
+        # so the (nnz_local, D) gather intermediate is chunk-bounded at
+        # production scale and bf16 tables promote to f32 accumulation, same
+        # as single-chip.
+        from ..ops.spmm import spmm_inner
 
-    y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
+        y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
     y = y.astype(jnp.float32)
 
     # 3. residual + row normalization (purely local)
@@ -109,12 +148,16 @@ def _local_step(
 
 
 def _shard_loop_fn(
-    x_local, lrows, cols, vals, send_idx=None, *, rows_per_shard, n_rows,
-    num_iterations, residual_weight, normalization, do_whiten,
-    convergence_threshold, axis,
+    x_local, lrows, cols, vals, send_idx=None, overlap=None, *,
+    rows_per_shard, n_rows, num_iterations, residual_weight, normalization,
+    do_whiten, convergence_threshold, axis,
 ):
     if send_idx is not None:
         send_idx = send_idx.reshape(send_idx.shape[-2:])  # drop shard dim
+    if overlap is not None:  # drop the shard dim of each round's group
+        overlap = tuple(
+            tuple(a.reshape(a.shape[-1]) for a in g) for g in overlap
+        )
     if lrows.ndim == 3:  # banded per-shard layout: (1, n_bands, max_e) block
         lrows = lrows.reshape(lrows.shape[-2:])
         cols = cols.reshape(cols.shape[-2:])
@@ -124,7 +167,7 @@ def _shard_loop_fn(
         lrows=lrows, cols=cols, vals=vals,
         rows_per_shard=rows_per_shard, n_rows=n_rows,
         residual_weight=residual_weight, normalization=normalization,
-        do_whiten=do_whiten, axis=axis, send_idx=send_idx,
+        do_whiten=do_whiten, axis=axis, send_idx=send_idx, overlap=overlap,
     )
     if convergence_threshold <= 0:
         return lax.fori_loop(0, num_iterations, lambda _, x: step(x), x_local)
@@ -157,6 +200,7 @@ def build_sharded_embed(
     convergence_threshold: float = 0.0,
     halo: Optional["HaloPlan"] = None,
     banded: Optional["BandedShards"] = None,
+    overlap=None,
 ):
     """Compile the full multi-device embed loop for a given sharded graph.
 
@@ -165,8 +209,14 @@ def build_sharded_embed(
     ``halo`` plan, each iteration exchanges only boundary rows via
     all_to_all instead of all-gathering the full table.  With a ``banded``
     layout (build it over ``halo.remapped_cols`` when both are used), the
-    local SpMM runs accumulator-free per row band.
+    local SpMM runs accumulator-free per row band.  With an ``overlap``
+    plan (shard.plan_overlap), the boundary exchange is decomposed into
+    ppermute rounds pipelined against the per-owner-group local
+    accumulation (halo/banded are ignored in that mode).
     """
+    if overlap is not None:
+        halo = None
+        banded = None
     from .mesh import shard_axes
 
     axis = shard_axes(mesh)  # ("host","chip") on hierarchical meshes
@@ -185,8 +235,12 @@ def build_sharded_embed(
     )
     edge_spec = P(axis, None, None) if banded is not None else P(axis)
     in_specs = [row_spec, edge_spec, edge_spec, edge_spec]
-    if halo is not None:
-        in_specs.append(P(axis, None, None))
+    if halo is not None or overlap is not None:
+        in_specs.append(P(axis, None, None))  # send_idx
+    if overlap is not None:
+        in_specs.append(tuple(
+            (P(axis, None),) * 3 for _ in overlap.groups
+        ))
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
@@ -210,12 +264,17 @@ def build_sharded_embed(
         sh = NamedSharding(mesh, edge_spec)
         lr, cc, vv = (jax.device_put(a, sh) for a in edge_arrays)
         out = [xs, lr, cc, vv]
-        if halo is not None:
+        if halo is not None or overlap is not None:
+            send = halo.send_idx if halo is not None else overlap.send_idx
             out.append(
-                jax.device_put(
-                    halo.send_idx, NamedSharding(mesh, P(axis, None, None))
-                )
+                jax.device_put(send, NamedSharding(mesh, P(axis, None, None)))
             )
+        if overlap is not None:
+            gsh = NamedSharding(mesh, P(axis, None))
+            out.append(tuple(
+                tuple(jax.device_put(a, gsh) for a in g)
+                for g in overlap.groups
+            ))
         return tuple(out)
 
     return jitted, place
@@ -270,7 +329,13 @@ def embed_sharded(
 
     sharded = shard_graph(graph, propagation, n_shards)
     plan = None
-    if halo is not False and n_shards > 1:
+    overlap_plan = None
+    if halo == "overlap" and n_shards > 1:
+        from .shard import plan_overlap
+
+        overlap_plan = plan_overlap(sharded)
+        banded = False
+    elif halo is not False and n_shards > 1:
         candidate = plan_halo(sharded)
         if halo or candidate.table_rows < sharded.n_rows_padded:
             plan = candidate
@@ -315,7 +380,7 @@ def embed_sharded(
             mesh, sharded, feature_dim, 1,
             residual_weight=residual_weight, normalization=normalization,
             do_whiten=whiten, convergence_threshold=0.0, halo=plan,
-            banded=banded_plan,
+            banded=banded_plan, overlap=overlap_plan,
         )
         placed = place(x_padded)
         x, rest = placed[0], placed[1:]
@@ -339,7 +404,7 @@ def embed_sharded(
         mesh, sharded, feature_dim, num_iterations,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=whiten, convergence_threshold=convergence_threshold,
-        halo=plan, banded=banded_plan,
+        halo=plan, banded=banded_plan, overlap=overlap_plan,
     )
     out = fn(*place(x_padded))
     if out.dtype != jnp.float32:

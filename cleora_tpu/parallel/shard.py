@@ -233,3 +233,63 @@ def pad_rows(x: np.ndarray, n_rows_padded: int) -> np.ndarray:
     out = np.zeros((n_rows_padded, d), dtype=np.float32)
     out[:n] = x
     return out
+
+
+@dataclass
+class OverlapPlan:
+    """Per-round edge groups for the overlapped (ppermute-pipelined) halo
+    exchange (SURVEY.md §2c: "all-to-all of halo rows … overlap with local
+    SpMM"; transfer/compute pipelining pattern cf. SNIPPETS.md §[1]).
+
+    The all_to_all of boundary rows is decomposed into P-1 single-hop
+    ``ppermute`` rounds: in round r every device sends the slab destined
+    for peer (d+r) mod P and receives from (d-r) mod P.  Each device's
+    edges are pre-grouped by COLUMN OWNER so that round r's received slab
+    immediately feeds the accumulation of the edges sourced at that owner,
+    while the next round's transfer is already in flight (XLA's async
+    collective-permute overlaps it with the gather/segment-sum compute).
+
+    groups[r] = (local_rows, cols, vals), each (P, E_r): device d's edges
+    whose column owner is (d - r) mod P.  Round 0 cols index the device's
+    OWN x_local rows; rounds ≥ 1 cols are slab-local [0, M).
+    """
+
+    send_idx: np.ndarray  # int32 (P, P, M): [k, j] = LOCAL rows k sends to j
+    M: int
+    groups: tuple  # per round r: (lrows (P,E_r), cols (P,E_r), vals (P,E_r))
+
+
+def plan_overlap(sharded: ShardedCoo, halo: "HaloPlan | None" = None
+                 ) -> OverlapPlan:
+    """Group each shard's edges by column owner for the pipelined exchange."""
+    if halo is None:
+        halo = plan_halo(sharded)
+    P, E = sharded.cols.shape
+    rps = sharded.rows_per_shard
+    M = halo.M
+    owner = (sharded.cols // rps).astype(np.int64)  # (P, E)
+    slot = (halo.remapped_cols % M).astype(np.int32)
+    real = sharded.vals != 0.0
+
+    per_round = []
+    for r in range(P):
+        picks = []
+        for j in range(P):
+            k = (j - r) % P
+            m = real[j] & (owner[j] == k)
+            lr = sharded.local_rows[j][m]
+            sc = (sharded.cols[j][m] - j * rps).astype(np.int32) if r == 0 \
+                else slot[j][m]
+            sv = sharded.vals[j][m]
+            picks.append((lr, sc, sv))
+        e_r = max(1, max(p[0].shape[0] for p in picks))
+        e_r = round_up(e_r, 8)
+        lrows = np.full((P, e_r), rps - 1, dtype=np.int32)
+        cols = np.zeros((P, e_r), dtype=np.int32)
+        vals = np.zeros((P, e_r), dtype=np.float32)
+        for j, (lr, sc, sv) in enumerate(picks):
+            lrows[j, : lr.shape[0]] = lr
+            cols[j, : lr.shape[0]] = sc
+            vals[j, : lr.shape[0]] = sv
+        per_round.append((lrows, cols, vals))
+    return OverlapPlan(send_idx=halo.send_idx, M=M, groups=tuple(per_round))

@@ -293,3 +293,42 @@ def test_hier_mesh_banded_and_bf16(graph):
         np.linalg.norm(single, axis=1) * np.linalg.norm(bf16, axis=1), 1e-10
     )
     assert cos.min() > 0.98
+
+
+def test_overlap_halo_matches_single(graph):
+    """Pipelined (ppermute-round) halo exchange: parity with the
+    single-device loop for l2/whiten/residual, bf16, and both mesh shapes."""
+    from cleora_tpu.parallel import make_hier_mesh
+
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False)
+    single = embed(graph, **kw)
+    out = embed_sharded(graph, halo="overlap", **kw)
+    assert np.allclose(single, out, atol=2e-5)
+
+    sw = embed(graph, feature_dim=16, num_iterations=3, whiten=True,
+               residual_weight=0.3)
+    ow = embed_sharded(graph, halo="overlap", feature_dim=16,
+                       num_iterations=3, whiten=True, residual_weight=0.3)
+    assert np.allclose(sw @ sw.T, ow @ ow.T, atol=1e-3)
+
+    hier = make_hier_mesh(n_hosts=2, chips_per_host=4)
+    oh = embed_sharded(graph, halo="overlap", mesh=hier, **kw)
+    assert np.allclose(single, oh, atol=2e-5)
+
+    bf = embed_sharded(graph, halo="overlap", dtype="bfloat16", **kw)
+    cos = np.sum(single * bf, axis=1) / np.maximum(
+        np.linalg.norm(single, axis=1) * np.linalg.norm(bf, axis=1), 1e-10
+    )
+    assert cos.min() > 0.98
+
+
+def test_overlap_plan_groups_cover_all_edges(graph):
+    """Every real edge appears in exactly one per-round group."""
+    from cleora_tpu.parallel.shard import plan_overlap, shard_graph
+
+    sharded = shard_graph(graph, "left", 4)
+    plan = plan_overlap(sharded)
+    total = sum(int((g[2] != 0).sum()) for g in plan.groups)
+    assert total == int((sharded.vals != 0).sum())
+    # round-r group of shard j only references owner (j - r) % 4 slots
+    assert len(plan.groups) == 4
