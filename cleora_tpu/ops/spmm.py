@@ -86,7 +86,7 @@ _BAND_CAP_FACTOR = 1.25
 
 
 def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
-                    n_rows: int, d: int = 256, hybrid: bool = False):
+                    n_rows: int, d: int = 256):
     """Host-side row-banded COO layout for accumulator-free large-graph SpMM.
 
     The chunked `lax.scan` path re-reads/rewrites the full (n_rows, D)
@@ -99,19 +99,15 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
     Returns (rows2d, cols2d, vals2d) with shape (n_bands, max_band_edges)
     where rows2d holds band-local row indices.  Returns None when the banded
-    layout doesn't pay and the caller should fall back to the 1-D layout:
+    layout doesn't pay and the caller should fall back to another layout:
     small graph (single-shot path is already accumulator-free), or a
-    degree-skewed graph whose hub rows overflow the band cap.
-
-    ``hybrid=True`` enables the experimental skewed-graph variant — capped
-    bands plus a 1-D residual stream for the overflow, returned as
-    ((rows2d, rows1d), ...) tuples that spmm_inner sums.  MEASURED SLOWER
-    than the flat 1-D fallback on v5e (zipf graph at roadNet scale, 12%
-    residual: 29.9 vs 33.1 M edge-ops/s — scripts/skew_probe.py): the
-    residual stream re-introduces a full (N, D) accumulator pass plus a
-    final add, costing more than the banded stream saves.  Kept for
-    experimentation only; the default declines so production skew falls
-    back to flat-1d.
+    degree-skewed graph whose hub rows overflow the band cap (those go to
+    ``plan_edgecut_coo``).  A "hybrid" capped-bands + 1-D-residual variant
+    was built and REJECTED on measurement in round 1 (29.9 vs 33.1 M
+    edge-ops/s on zipf at the roadNet shape — the residual stream
+    re-introduced a full (N, D) accumulator pass); sliced-ELL
+    (ops/spmm_ell.py) has since superseded all of these as the preferred
+    fused-loop layout.
     """
     nnz = rows.shape[0]
     chunk = _chunk_edges_for(n_rows, d)
@@ -125,41 +121,18 @@ def plan_banded_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     cap = int(_BAND_CAP_FACTOR * max(1, nnz // n_bands))
     cap = -(-cap // 128) * 128
 
-    if max_e <= cap:  # near-uniform: pure banded layout
-        max_e = -(-max_e // 2048) * 2048
-        r2 = np.full((n_bands, max_e), B - 1, dtype=np.int32)
-        c2 = np.zeros((n_bands, max_e), dtype=np.int32)
-        v2 = np.zeros((n_bands, max_e), dtype=np.float32)
-        for i in range(n_bands):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            r2[i, : hi - lo] = rows[lo:hi].astype(np.int64) - i * B
-            c2[i, : hi - lo] = cols[lo:hi]
-            v2[i, : hi - lo] = vals[lo:hi]
-        return r2, c2, v2
-
-    if not hybrid:
-        return None  # skew: flat-1d measured faster than the hybrid layout
-    spill = int(np.maximum(counts - cap, 0).sum())
-    if spill * 2 > nnz:
-        return None  # residual would dominate: 1-D chunked handles it better
-    r2 = np.full((n_bands, cap), B - 1, dtype=np.int32)
-    c2 = np.zeros((n_bands, cap), dtype=np.int32)
-    v2 = np.zeros((n_bands, cap), dtype=np.float32)
-    res = []
+    if max_e > cap:
+        return None  # skew: hub rows overflow the band cap
+    max_e = -(-max_e // 2048) * 2048
+    r2 = np.full((n_bands, max_e), B - 1, dtype=np.int32)
+    c2 = np.zeros((n_bands, max_e), dtype=np.int32)
+    v2 = np.zeros((n_bands, max_e), dtype=np.float32)
     for i in range(n_bands):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        keep = min(hi - lo, cap)
-        r2[i, :keep] = rows[lo:lo + keep].astype(np.int64) - i * B
-        c2[i, :keep] = cols[lo:lo + keep]
-        v2[i, :keep] = vals[lo:lo + keep]
-        if hi - lo > cap:
-            res.append(slice(lo + cap, hi))
-    # spilled slices concatenate in band (= row) order → still row-sorted
-    r1 = np.concatenate([rows[s] for s in res])
-    c1 = np.concatenate([cols[s] for s in res])
-    v1 = np.concatenate([vals[s] for s in res])
-    r1, c1, v1 = pad_coo(r1, c1, v1, n_rows)
-    return (r2, r1), (c2, c1), (v2, v1)
+        r2[i, : hi - lo] = rows[lo:hi].astype(np.int64) - i * B
+        c2[i, : hi - lo] = cols[lo:hi]
+        v2[i, : hi - lo] = vals[lo:hi]
+    return r2, c2, v2
 
 
 @jax.tree_util.register_pytree_node_class
@@ -269,13 +242,6 @@ def spmm_inner(rows, cols, vals, x, n_rows):
     (the padding contract keeps trailing chunks valid: padded edges have
     vals == 0 and rows == n_rows-1).
     """
-    if isinstance(rows, (tuple, list)):
-        # hybrid layout for skewed graphs: capped bands + 1-D residual stream
-        (rb, rr), (cb, cr), (vb, vr) = rows, cols, vals
-        return spmm_inner(rb, cb, vb, x, n_rows) + spmm_inner(
-            rr, cr, vr, x, n_rows
-        )
-
     from .spmm_ell import EllPlan, spmm_ell
 
     if isinstance(rows, EllPlan):

@@ -350,7 +350,7 @@ class SparseMatrix:
 
             from .ops.spmm_ell import EllPlan
 
-            def _dev(a):  # hybrid (banded, residual) leaves are tuples
+            def _dev(a):  # ELL placeholder cols/vals leaves are empty tuples
                 if isinstance(a, (EdgeCutBands, EllPlan)):
                     return a.device()
                 if isinstance(a, tuple):

@@ -1,14 +1,14 @@
-"""TPU perf probe: hybrid (capped bands + residual) SpMM on a skewed graph.
+"""TPU perf probe: skewed-graph SpMM layouts (flat 1-D vs equal-edge-cut).
 
-The hybrid layout (`plan_banded_coo` returning tuples) is CPU-validated for
-correctness; this measures it on the real chip against the 1-D chunked
-fallback on the SAME degree-skewed graph (roadNet-CA scale, zipf hubs at low
-ids — first-seen order correlates with popularity in real ingest).
+Measures layouts on the real chip on the SAME degree-skewed graph
+(roadNet-CA scale, zipf hubs at low ids — first-seen order correlates with
+popularity in real ingest).  A "hybrid" capped-bands + 1-D-residual layout
+was measured here in round 1 (29.9 vs 33.1 M edge-ops/s flat) and REMOVED —
+see RESULTS.md "Skewed-graph layout probe".
 
     PYTHONPATH=. python scripts/skew_probe.py [--iters N]
 
-Results print incrementally (hybrid first) so a partial run still records
-the unknown number.
+Results print incrementally so a partial run still records numbers.
 """
 
 import os
@@ -86,21 +86,14 @@ def measure(label, triple, nnz, x0):
 
 def main():
     layouts = (sys.argv[sys.argv.index("--layouts") + 1].split(",")
-               if "--layouts" in sys.argv else ["hybrid", "flat", "edgecut"])
+               if "--layouts" in sys.argv else ["flat", "edgecut"])
     rows, cols, vals = skewed_coo()
     nnz = rows.shape[0]
     x0 = jnp.asarray(np.random.default_rng(0)
                      .standard_normal((N_NODES, DIM)).astype(np.float32))
     rates = {}
     for name in layouts:
-        if name == "hybrid":
-            t = plan_banded_coo(rows, cols, vals, N_NODES, d=DIM, hybrid=True)
-            assert t is not None and isinstance(t[0], tuple), \
-                "expected the hybrid (capped bands + residual) layout"
-            res_frac = t[0][1].shape[0] / nnz
-            print(f"nnz={nnz} bands={t[0][0].shape} "
-                  f"residual={res_frac * 100:.1f}%", flush=True)
-        elif name == "edgecut":
+        if name == "edgecut":
             t = plan_edgecut_coo(rows, cols, vals, N_NODES, d=DIM)
             print(f"edgecut bands={t[0].local_rows.shape} "
                   f"H={t[0].band_height} ({t[0].local_rows.shape[0]}"

@@ -180,93 +180,13 @@ def test_band_rows_shared_formula():
         assert (n_bands - 1) * B < n_rows  # no all-empty trailing band
 
 
-def test_hybrid_skewed_matches_oracle(tiny_chunks):
-    """Zipf-skewed graph: capped bands + residual stream equal the oracle."""
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(13)
-    n_rows, nnz = 200, 4000
-    # moderate skew: 75% uniform rows + 25% concentrated on a few hub rows
-    rows = np.concatenate([
-        rng.integers(0, n_rows, 3000),
-        rng.integers(0, 5, 1000),  # hubs
-    ])
-    rows = np.sort(rows).astype(np.int32)
-    cols = rng.integers(0, n_rows, nnz).astype(np.int32)
-    vals = rng.standard_normal(nnz).astype(np.float32)
-    x = rng.standard_normal((n_rows, 8)).astype(np.float32)
-    assert plan_banded_coo(rows, cols, vals, n_rows, d=8) is None  # default
-    t = plan_banded_coo(rows, cols, vals, n_rows, d=8, hybrid=True)
-    assert t is not None and isinstance(t[0], tuple)  # hybrid engaged
-
-    def dev(a):
-        return (tuple(jnp.asarray(v) for v in a) if isinstance(a, tuple)
-                else jnp.asarray(a))
-
-    out = np.asarray(spmm(dev(t[0]), dev(t[1]), dev(t[2]),
-                          jnp.asarray(x), n_rows=n_rows))
-    np.testing.assert_allclose(out, _oracle(rows, cols, vals, x, n_rows),
-                               rtol=2e-5, atol=2e-5)
-
-
 def test_extreme_skew_declines(tiny_chunks):
-    """Star graph: plan declines (default and hybrid — residual dominates)."""
+    """Star graph: the row-banded planner declines (hub overflows the cap)."""
     nnz, n_rows = 4096, 512
     rows = np.zeros(nnz, dtype=np.int32)
     cols = np.arange(nnz, dtype=np.int32) % n_rows
     vals = np.ones(nnz, dtype=np.float32)
     assert plan_banded_coo(rows, cols, vals, n_rows, d=16) is None
-    assert plan_banded_coo(rows, cols, vals, n_rows, d=16, hybrid=True) is None
-
-
-def test_embed_hybrid_end_to_end(tiny_chunks):
-    """embed() on a skewed graph (default layout, now flat-1d for skew)
-    matches a pre-cached forced 1-D layout."""
-    from cleora_tpu import SparseMatrix, embed
-
-    rng = np.random.default_rng(17)
-    lines = [f"a{(rng.zipf(1.4) - 1) % 60} a{rng.integers(0, 60)}"
-             for _ in range(1200)]
-    g1 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
-    g2 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
-    e_h = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
-    g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
-    e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
-    np.testing.assert_allclose(e_h, e_f, rtol=2e-5, atol=2e-5)
-
-
-def test_embed_loop_accepts_hybrid_triple(tiny_chunks):
-    """The fused fori_loop takes the hybrid (banded, residual) pytree."""
-    import jax.numpy as jnp
-
-    from cleora_tpu.ops.loop import embed_loop
-
-    rng = np.random.default_rng(23)
-    n_rows, nnz = 150, 3000
-    rows = np.sort(np.concatenate([
-        rng.integers(0, n_rows, 2200), rng.integers(0, 4, 800),
-    ])).astype(np.int32)
-    cols = rng.integers(0, n_rows, nnz).astype(np.int32)
-    deg = np.bincount(rows, minlength=n_rows).astype(np.float64)
-    vals = (1.0 / np.maximum(deg, 1.0))[rows].astype(np.float32)
-    t = plan_banded_coo(rows, cols, vals, n_rows, d=8, hybrid=True)
-    assert t is not None and isinstance(t[0], tuple)
-
-    def dev(a):
-        return (tuple(jnp.asarray(v) for v in a) if isinstance(a, tuple)
-                else jnp.asarray(a))
-
-    x0 = np.random.default_rng(5).standard_normal((n_rows, 8)).astype(np.float32)
-    out_h = np.asarray(embed_loop(
-        dev(t[0]), dev(t[1]), dev(t[2]), jnp.asarray(x0),
-        n_rows=n_rows, num_iterations=4, normalization="l2", do_whiten=True,
-    ))
-    f = pad_coo(rows, cols, vals, n_rows)
-    out_f = np.asarray(embed_loop(
-        *(jnp.asarray(a) for a in f), jnp.asarray(x0),
-        n_rows=n_rows, num_iterations=4, normalization="l2", do_whiten=True,
-    ))
-    np.testing.assert_allclose(out_h @ out_h.T, out_f @ out_f.T, atol=1e-3)
 
 
 # ---------------------------------------------------------- equal-edge-cut
