@@ -63,40 +63,34 @@ def barabasi_albert(num_nodes: int, m: int = 3, seed: int = 42) -> Dict:
 
     rng = np.random.default_rng(seed)
     initial = min(max(m + 1, 2), num_nodes)
-    adj = [set() for _ in range(num_nodes)]
-    degrees = np.zeros(num_nodes, dtype=np.float64)
 
-    for i in range(initial):
-        for j in range(i + 1, initial):
-            adj[i].add(j)
-            adj[j].add(i)
-            degrees[i] += 1
-            degrees[j] += 1
+    # BA never produces a duplicate edge (every attachment target precedes
+    # the arriving node), so the graph IS its edge list: the seed clique's
+    # upper-triangle pairs plus one (target, new_node) pair per attachment.
+    # Only the degree vector needs maintaining between attachment steps —
+    # the rng.choice call sequence (one draw per arriving node, weighted by
+    # current degrees) is the part pinned by RNG-stream parity.
+    degrees = np.zeros(num_nodes, dtype=np.float64)
+    degrees[:initial] = initial - 1
+    lo, hi = np.triu_indices(initial, k=1)
+    pair_blocks = [np.stack([lo, hi], axis=1)]
 
     for new_node in range(initial, num_nodes):
+        k = min(m, new_node)
         deg_sum = degrees[:new_node].sum()
         if deg_sum < 1e-10:
-            targets = set(rng.choice(new_node, size=min(m, new_node), replace=False))
+            targets = rng.choice(new_node, size=k, replace=False)
         else:
-            targets = set(
-                rng.choice(
-                    new_node, size=min(m, new_node), replace=False,
-                    p=degrees[:new_node] / deg_sum,
-                ).tolist()
-            )
-        for t in targets:
-            adj[new_node].add(t)
-            adj[t].add(new_node)
-            degrees[new_node] += 1
-            degrees[t] += 1
+            targets = rng.choice(new_node, size=k, replace=False,
+                                 p=degrees[:new_node] / deg_sum)
+        degrees[targets] += 1.0
+        degrees[new_node] = float(k)
+        pair_blocks.append(np.stack(
+            [targets, np.full(k, new_node, dtype=targets.dtype)], axis=1
+        ))
 
-    edges, seen = [], set()
-    for i in range(num_nodes):
-        for j in adj[i]:
-            key = (min(i, j), max(i, j))
-            if key not in seen:
-                edges.append(f"n{i} n{j}")
-                seen.add(key)
+    pairs = np.concatenate(pair_blocks)  # column 0 < column 1 throughout
+    edges = [f"n{a} n{b}" for a, b in pairs]
 
     return {
         "name": f"Barabasi-Albert(n={num_nodes}, m={m})",
