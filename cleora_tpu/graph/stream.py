@@ -94,6 +94,16 @@ class DiskGraph:
         vals = self.sym_vals if markov_type == "symmetric" else self.left_vals
         return rows, np.asarray(self.indices[s:e]), np.asarray(vals[s:e])
 
+    def initialize_deterministically(self, feature_dim: int,
+                                     seed: int = 0) -> np.ndarray:
+        """Bit-exact reference hash init (src/lib.rs:242-252,478-488) from
+        the on-disk entity hash table — lets ``parallel.embed_sharded`` run
+        straight off a streamed build without materializing the graph."""
+        from .hashing import init_embeddings
+
+        return init_embeddings(np.asarray(self.entity_hashes), feature_dim,
+                               seed)
+
     def to_sparse_matrix(self):
         """Materialize into a regular in-RAM SparseMatrix (must fit)."""
         from .builder import GraphData

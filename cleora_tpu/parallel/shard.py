@@ -85,8 +85,54 @@ def shard_coo(
     )
 
 
+def shard_disk_graph(
+    dg,
+    markov_type: str,
+    n_shards: int,
+    row_multiple: int = 8,
+    edge_multiple: int = 512,
+) -> ShardedCoo:
+    """Build a ShardedCoo straight off a streamed build's ``DiskGraph``
+    (graph.stream) one row block at a time — the out-of-core path for
+    graphs whose edge list was never materialized in RAM.  Peak extra host
+    memory is one shard's COO slice plus the packed (P, E) output; the
+    on-disk CSR is already row-sorted so no sort pass is needed."""
+    n = dg.num_entities
+    n_padded = round_up(max(n, n_shards * row_multiple), n_shards * row_multiple)
+    rows_per_shard = n_padded // n_shards
+    bounds = [min(k * rows_per_shard, n) for k in range(n_shards + 1)]
+    # per-shard edge counts from indptr alone (memmap, O(P) element reads)
+    counts = [int(dg.indptr[bounds[k + 1]] - dg.indptr[bounds[k]])
+              for k in range(n_shards)]
+    max_e = round_up(max(max(counts), edge_multiple), edge_multiple)
+
+    lr = np.empty((n_shards, max_e), dtype=np.int32)
+    cc = np.zeros((n_shards, max_e), dtype=np.int32)
+    vv = np.zeros((n_shards, max_e), dtype=np.float32)
+    for k in range(n_shards):
+        lo, hi = bounds[k], bounds[k + 1]
+        e = counts[k]
+        if e:
+            rows, cols, vals = dg.row_range(lo, hi, markov_type)
+            lr[k, :e] = rows - k * rows_per_shard
+            cc[k, :e] = cols
+            vv[k, :e] = vals
+        lr[k, e:] = rows_per_shard - 1  # padding: last local row, zero value
+    return ShardedCoo(
+        local_rows=lr,
+        cols=cc,
+        vals=vv,
+        n_rows=n,
+        n_rows_padded=n_padded,
+        rows_per_shard=rows_per_shard,
+    )
+
+
 def shard_graph(graph, markov_type: str, n_shards: int, **kw) -> ShardedCoo:
-    """Shard a SparseMatrix's transition matrix for an n_shards-device mesh."""
+    """Shard a SparseMatrix's (or DiskGraph's) transition matrix for an
+    n_shards-device mesh."""
+    if not hasattr(graph, "data"):  # streamed build: graph.stream.DiskGraph
+        return shard_disk_graph(graph, markov_type, n_shards, **kw)
     data = graph.data
     n = data.num_entities
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(data.indptr))

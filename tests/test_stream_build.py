@@ -187,3 +187,53 @@ def test_stream_two_column_pair_feed(tmp_path):
     ref = build_graph_native(lines, cols, 16)
     dg = build_graph_streaming_pairs([(src, dst)], cols, str(tmp_path / "g"))
     _assert_matches(dg, ref)
+
+
+def test_embed_sharded_from_disk_graph(tmp_path):
+    """The multi-device embed runs straight off a streamed build (DiskGraph
+    never materialized into a SparseMatrix) and matches the in-RAM path."""
+    from cleora_tpu.parallel import embed_sharded
+
+    rng = np.random.default_rng(11)
+    lines = [f"n{rng.integers(0, 80)} n{rng.integers(0, 80)}"
+             for _ in range(900)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    sm = dg.to_sparse_matrix()
+
+    kw = dict(feature_dim=16, num_iterations=5, whiten=True)
+    out_disk = embed_sharded(dg, **kw)
+    out_ram = embed_sharded(sm, **kw)
+    assert out_disk.shape == (dg.num_entities, 16)
+    np.testing.assert_allclose(out_disk, out_ram, atol=2e-5)
+
+
+def test_shard_disk_graph_layout(tmp_path):
+    """shard_disk_graph packs the same ShardedCoo as shard_graph on the
+    materialized twin (incl. empty trailing shards)."""
+    from cleora_tpu.parallel.shard import shard_disk_graph, shard_graph
+
+    lines = [f"a{i % 13} a{(i * 7) % 13}" for i in range(200)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::a",
+                               str(tmp_path / "g"))
+    sm = dg.to_sparse_matrix()
+    for p in (2, 4, 8):
+        sd = shard_disk_graph(dg, "left", p)
+        sr = shard_graph(sm, "left", p)
+        assert sd.n_rows == sr.n_rows
+        assert sd.n_rows_padded == sr.n_rows_padded
+        assert sd.rows_per_shard == sr.rows_per_shard
+        assert np.array_equal(sd.local_rows, sr.local_rows)
+        assert np.array_equal(sd.cols, sr.cols)
+        np.testing.assert_allclose(sd.vals, sr.vals, atol=0)
+
+
+def test_disk_graph_init_matches_sparse_matrix(tmp_path):
+    lines = [f"x{i} x{i + 1}" for i in range(30)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::x",
+                               str(tmp_path / "g"))
+    sm = dg.to_sparse_matrix()
+    np.testing.assert_array_equal(
+        dg.initialize_deterministically(8, seed=3),
+        sm.initialize_deterministically(8, seed=3),
+    )
