@@ -68,9 +68,32 @@ def _overlap_propagate(x_local, send_idx, groups, rows_per_shard, axis):
     return acc
 
 
+def _ell_propagate(table, ell, n_zero, n_hub, acc_dtype):
+    """Local SpMM in the sharded sliced-ELL layout (parallel/ell.py): per
+    degree bucket, gather rows of ``table`` → scale → sum over the static
+    width axis — XLA fuses each bucket into one kernel with no HBM edge
+    intermediate, same as the single-chip production path (ops/spmm_ell.py).
+    """
+    from ..ops.spmm_ell import _bucket_out
+
+    parts = []
+    if n_zero:
+        parts.append(jnp.zeros((n_zero, table.shape[1]), acc_dtype))
+    for cols_b, vals_b in ell["buckets"]:
+        parts.append(_bucket_out(table, cols_b, vals_b, acc_dtype))
+    if ell["hub"] is not None:
+        hc, hv, seg = ell["hub"]
+        raw = _bucket_out(table, hc, hv, acc_dtype)
+        parts.append(jax.ops.segment_sum(
+            raw, seg, num_segments=n_hub, indices_are_sorted=True
+        ))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
-    normalization, do_whiten, axis, send_idx=None, overlap=None,
+    normalization, do_whiten, axis, send_idx=None, overlap=None, ell=None,
+    ell_static=None,
 ):
     """One propagate→normalize→whiten step from inside shard_map.
 
@@ -96,22 +119,31 @@ def _local_step(
         x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
 
     if overlap is None:
-        # 2. local SpMM: every edge's output row is local.  Reuses spmm_inner
-        # so the (nnz_local, D) gather intermediate is chunk-bounded at
-        # production scale and bf16 tables promote to f32 accumulation, same
-        # as single-chip.
-        from ..ops.spmm import spmm_inner
+        if ell is not None:
+            # 2-ELL. production layout: dense fixed-width gather+reduce
+            n_zero, n_hub = ell_static
+            y = _ell_propagate(x_full, ell, n_zero, n_hub, jnp.float32)
+        else:
+            # 2. local SpMM: every edge's output row is local.  Reuses
+            # spmm_inner so the (nnz_local, D) gather intermediate is
+            # chunk-bounded at production scale and bf16 tables promote to
+            # f32 accumulation, same as single-chip.
+            from ..ops.spmm import spmm_inner
 
-        y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
+            y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
     y = y.astype(jnp.float32)
 
     # 3. residual + row normalization (purely local)
     if 0.0 < residual_weight < 1.0:
         y = (1.0 - residual_weight) * y + residual_weight * x_local.astype(y.dtype)
 
-    my_id = lax.axis_index(axis)
-    global_row = my_id * rows_per_shard + jnp.arange(rows_per_shard)
-    valid = (global_row < n_rows).astype(y.dtype)[:, None]
+    if ell is not None:
+        # ELL space: real-row positions are a static per-shard mask
+        valid = ell["valid"].astype(y.dtype)[:, None]
+    else:
+        my_id = lax.axis_index(axis)
+        global_row = my_id * rows_per_shard + jnp.arange(rows_per_shard)
+        valid = (global_row < n_rows).astype(y.dtype)[:, None]
 
     if normalization == "l2":
         norms = jnp.sqrt(jnp.sum(y * y, axis=-1, keepdims=True))
@@ -148,9 +180,9 @@ def _local_step(
 
 
 def _shard_loop_fn(
-    x_local, lrows, cols, vals, send_idx=None, overlap=None, *,
+    x_local, layout, send_idx=None, overlap=None, *,
     rows_per_shard, n_rows, num_iterations, residual_weight, normalization,
-    do_whiten, convergence_threshold, axis,
+    do_whiten, convergence_threshold, ell_static=None, axis,
 ):
     if send_idx is not None:
         send_idx = send_idx.reshape(send_idx.shape[-2:])  # drop shard dim
@@ -158,16 +190,24 @@ def _shard_loop_fn(
         overlap = tuple(
             tuple(a.reshape(a.shape[-1]) for a in g) for g in overlap
         )
-    if lrows.ndim == 3:  # banded per-shard layout: (1, n_bands, max_e) block
-        lrows = lrows.reshape(lrows.shape[-2:])
-        cols = cols.reshape(cols.shape[-2:])
-        vals = vals.reshape(vals.shape[-2:])
+    lrows = cols = vals = ell = None
+    if isinstance(layout, dict):  # sharded sliced-ELL (parallel/ell.py)
+        ell = jax.tree_util.tree_map(
+            lambda a: a.reshape(a.shape[1:]), layout
+        )
+    else:
+        lrows, cols, vals = layout
+        if lrows.ndim == 3:  # banded layout: (1, n_bands, max_e) block
+            lrows = lrows.reshape(lrows.shape[-2:])
+            cols = cols.reshape(cols.shape[-2:])
+            vals = vals.reshape(vals.shape[-2:])
     step = functools.partial(
         _local_step,
         lrows=lrows, cols=cols, vals=vals,
         rows_per_shard=rows_per_shard, n_rows=n_rows,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=do_whiten, axis=axis, send_idx=send_idx, overlap=overlap,
+        ell=ell, ell_static=ell_static,
     )
     if convergence_threshold <= 0:
         return lax.fori_loop(0, num_iterations, lambda _, x: step(x), x_local)
@@ -201,6 +241,7 @@ def build_sharded_embed(
     halo: Optional["HaloPlan"] = None,
     banded: Optional["BandedShards"] = None,
     overlap=None,
+    ell=None,
 ):
     """Compile the full multi-device embed loop for a given sharded graph.
 
@@ -209,13 +250,20 @@ def build_sharded_embed(
     ``halo`` plan, each iteration exchanges only boundary rows via
     all_to_all instead of all-gathering the full table.  With a ``banded``
     layout (build it over ``halo.remapped_cols`` when both are used), the
-    local SpMM runs accumulator-free per row band.  With an ``overlap``
-    plan (shard.plan_overlap), the boundary exchange is decomposed into
-    ppermute rounds pipelined against the per-owner-group local
-    accumulation (halo/banded are ignored in that mode).
+    local SpMM runs accumulator-free per row band.  With an ``ell`` layout
+    (ell.ell_shards — the production choice; build it with ``halo=plan``
+    when both are used), each device runs the sliced-ELL SpMM and the
+    state lives in per-shard ELL space: ``place`` permutes it in, and the
+    loop's output must be mapped back via ``ell.unpermute_state``.  With an
+    ``overlap`` plan (shard.plan_overlap), the boundary exchange is
+    decomposed into ppermute rounds pipelined against the per-owner-group
+    local accumulation (halo/banded/ell are ignored in that mode).
     """
     if overlap is not None:
         halo = None
+        banded = None
+        ell = None
+    if ell is not None:
         banded = None
     from .mesh import shard_axes
 
@@ -231,10 +279,26 @@ def build_sharded_embed(
         normalization=normalization,
         do_whiten=do_whiten,
         convergence_threshold=convergence_threshold,
+        ell_static=(ell.n_zero, ell.n_hub) if ell is not None else None,
         axis=axis,
     )
-    edge_spec = P(axis, None, None) if banded is not None else P(axis)
-    in_specs = [row_spec, edge_spec, edge_spec, edge_spec]
+    if ell is not None:
+        layout_arrays = ell.arrays()
+        layout_specs = jax.tree_util.tree_map(
+            lambda a: P(axis, *((None,) * (a.ndim - 1))), layout_arrays
+        )
+    elif banded is not None:
+        layout_arrays = (banded.local_rows, banded.cols, banded.vals)
+        layout_specs = (P(axis, None, None),) * 3
+    else:
+        cols = halo.remapped_cols if halo is not None else sharded.cols
+        layout_arrays = (
+            sharded.local_rows.reshape(-1),
+            cols.reshape(-1),
+            sharded.vals.reshape(-1),
+        )
+        layout_specs = (P(axis),) * 3
+    in_specs = [row_spec, layout_specs]
     if halo is not None or overlap is not None:
         in_specs.append(P(axis, None, None))  # send_idx
     if overlap is not None:
@@ -249,23 +313,26 @@ def build_sharded_embed(
     )
     jitted = jax.jit(mapped)
 
-    if banded is not None:
-        edge_arrays = (banded.local_rows, banded.cols, banded.vals)
-    else:
-        cols = halo.remapped_cols if halo is not None else sharded.cols
-        edge_arrays = (
-            sharded.local_rows.reshape(-1),
-            cols.reshape(-1),
-            sharded.vals.reshape(-1),
-        )
-
     def place(x_padded: np.ndarray):
+        if ell is not None:
+            x_padded = ell.permute_state(np.asarray(x_padded))
         xs = jax.device_put(x_padded, NamedSharding(mesh, row_spec))
-        sh = NamedSharding(mesh, edge_spec)
-        lr, cc, vv = (jax.device_put(a, sh) for a in edge_arrays)
-        out = [xs, lr, cc, vv]
+        # paired walk (PartitionSpec is a tuple subclass — tree_map over the
+        # spec tree would descend into it, so flatten against the array tree)
+        arr_leaves, treedef = jax.tree_util.tree_flatten(layout_arrays)
+        spec_leaves = treedef.flatten_up_to(layout_specs)
+        placed_layout = treedef.unflatten([
+            jax.device_put(a, NamedSharding(mesh, s))
+            for a, s in zip(arr_leaves, spec_leaves)
+        ])
+        out = [xs, placed_layout]
         if halo is not None or overlap is not None:
-            send = halo.send_idx if halo is not None else overlap.send_idx
+            if overlap is not None:
+                send = overlap.send_idx
+            elif ell is not None:
+                send = ell.send_idx  # halo rows fetched from ELL-space state
+            else:
+                send = halo.send_idx
             out.append(
                 jax.device_put(send, NamedSharding(mesh, P(axis, None, None)))
             )
@@ -295,6 +362,7 @@ def embed_sharded(
     initial_embeddings: Optional[np.ndarray] = None,
     halo: Optional[bool] = None,
     banded=None,
+    ell=None,
     dtype: str = "float32",
     callback=None,
 ) -> np.ndarray:
@@ -302,10 +370,15 @@ def embed_sharded(
 
     ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
     its per-device gather table is smaller than the all-gathered full table;
-    True/False force the choice.  ``banded=None`` (auto) switches each
-    device's local SpMM to the accumulator-free row-banded layout when the
-    per-shard edge count exceeds one memory-budget chunk (same heuristics as
-    single-chip); False disables, an int forces that band count.
+    True/False force the choice.  ``ell=None`` (auto) runs each device's
+    local SpMM in the sharded sliced-ELL layout (parallel/ell.py — the
+    production single-chip layout, RESULTS.md) whenever the cross-shard
+    padding cost is acceptable; True forces it, False disables.  When ELL
+    declines (or is disabled), ``banded=None`` (auto) switches to the
+    accumulator-free row-banded layout when the per-shard edge count
+    exceeds one memory-budget chunk (same heuristics as single-chip);
+    False disables, an int forces that band count; forcing a band count
+    also disables the ELL auto-selection.
     ``dtype="bfloat16"`` stores and exchanges the state in bf16 (half HBM
     and half interconnect bytes, f32 compute).
     """
@@ -345,8 +418,16 @@ def embed_sharded(
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
 
+    ell_plan = None
+    if overlap_plan is None and ell is not False:
+        if ell is True or (ell is None and banded is None):
+            from .ell import ell_shards
+
+            ell_plan = ell_shards(
+                sharded, d=feature_dim, halo=plan, force=ell is True
+            )
     banded_plan = None
-    if banded is not False:
+    if ell_plan is None and banded is not False:
         banded_plan = band_shards(
             sharded,
             d=feature_dim,
@@ -373,6 +454,13 @@ def embed_sharded(
             )
         return _base_to_host(arr)
 
+    def _view(arr):
+        """Host copy in original row order, trimmed to the real rows."""
+        h = _to_host(arr.astype(jnp.float32))
+        if ell_plan is not None:
+            h = ell_plan.unpermute_state(h)
+        return h[: graph.num_entities]
+
     if callback is not None:
         # one jitted sharded step per iteration (compile cached across
         # iterations); convergence checked on host, like cleora_tpu.embed
@@ -380,17 +468,17 @@ def embed_sharded(
             mesh, sharded, feature_dim, 1,
             residual_weight=residual_weight, normalization=normalization,
             do_whiten=whiten, convergence_threshold=0.0, halo=plan,
-            banded=banded_plan, overlap=overlap_plan,
+            banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
         )
         placed = place(x_padded)
         x, rest = placed[0], placed[1:]
         prev_host = None
         # num_iterations == 0 runs no steps: return the initial embeddings,
         # matching the non-callback path
-        host = _to_host(x.astype(jnp.float32))[: graph.num_entities]
+        host = _view(x)
         for i in range(int(num_iterations)):
             x = fn(x, *rest)
-            host = _to_host(x.astype(jnp.float32))[: graph.num_entities]
+            host = _view(x)
             callback(i, host)
             if convergence_threshold > 0 and i > 0:
                 nd = host.shape[0] * host.shape[1]
@@ -404,9 +492,7 @@ def embed_sharded(
         mesh, sharded, feature_dim, num_iterations,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=whiten, convergence_threshold=convergence_threshold,
-        halo=plan, banded=banded_plan, overlap=overlap_plan,
+        halo=plan, banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
     )
     out = fn(*place(x_padded))
-    if out.dtype != jnp.float32:
-        out = out.astype(jnp.float32)
-    return _to_host(out)[: graph.num_entities].copy()
+    return _view(out).copy()
