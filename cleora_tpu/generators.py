@@ -161,28 +161,35 @@ def watts_strogatz(
     beta: float = 0.3,
     seed: int = 42,
 ) -> Dict:
-    """Ring lattice + β-rewiring (reference generators.py:155-196)."""
+    """Ring lattice + β-rewiring (reference generators.py:155-196).
+
+    The k//2 ring offsets per node are built vectorized; the rewiring pass
+    walks the same (source, offset) sequence because its coin and
+    replacement-target draws are interleaved on one RNG stream and each
+    redraw depends on the evolving edge set — that draw order is the
+    bit-exactness contract, the loop shape around it is not.
+    """
     rng = np.random.default_rng(seed)
-    edges_set = set()
-    for i in range(num_nodes):
-        for j in range(1, k // 2 + 1):
-            nb = (i + j) % num_nodes
-            edges_set.add((min(i, nb), max(i, nb)))
+    half = k // 2
+    src = np.repeat(np.arange(num_nodes), half)
+    dst = (src + np.tile(np.arange(1, half + 1), num_nodes)) % num_nodes
+    lattice = np.stack([np.minimum(src, dst), np.maximum(src, dst)], axis=1)
+    edges_set = set(map(tuple, lattice.tolist()))
 
     rewired = set()
-    for i in range(num_nodes):
-        for j in range(1, k // 2 + 1):
-            nb = (i + j) % num_nodes
-            key = (min(i, nb), max(i, nb))
-            if rng.random() < beta and key not in rewired:
-                edges_set.discard(key)
-                while True:
-                    new_nb = int(rng.integers(0, num_nodes))
-                    new_key = (min(i, new_nb), max(i, new_nb))
-                    if new_nb != i and new_key not in edges_set:
-                        edges_set.add(new_key)
-                        rewired.add(new_key)
-                        break
+    for (i, _), key in zip(zip(src.tolist(), dst.tolist()),
+                           map(tuple, lattice.tolist())):
+        if rng.random() >= beta or key in rewired:
+            continue
+        edges_set.discard(key)
+        new_key = None
+        while new_key is None:
+            t = int(rng.integers(0, num_nodes))
+            cand = (i, t) if i < t else (t, i)
+            if t != i and cand not in edges_set:
+                new_key = cand
+        edges_set.add(new_key)
+        rewired.add(new_key)
 
     edges = [f"n{i} n{j}" for i, j in edges_set]
     return {
