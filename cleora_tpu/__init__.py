@@ -215,18 +215,44 @@ def embed_dim_sharded(
             f"feature_dim ({feature_dim}) must be a multiple of slice_dim "
             f"({slice_dim})"
         )
+    if not hasattr(graph, "data"):
+        # streamed build (graph.stream.DiskGraph): each slice runs through
+        # the sharded loop, which loads edges off the memmapped CSR one row
+        # block at a time — so one chip can embed a graph whose full-dim
+        # state exceeds HBM by combining the two scale axes (dim slices ×
+        # out-of-core build), without ever materializing the edge list in
+        # RAM.  The same call scales out on a pod mesh.
+        from .parallel.embed import embed_sharded as _slice_embed
+
+        if num_iterations == "auto":
+            num_iterations = _auto_iterations(feature_dim)
+
+        def _one_slice(k):
+            return _slice_embed(
+                graph,
+                feature_dim=slice_dim,
+                num_iterations=num_iterations,
+                propagation=propagation,
+                normalization=normalization,
+                seed=seed + k * slice_dim,
+                whiten=whiten,
+                **embed_kwargs,
+            )
+    else:
+        def _one_slice(k):
+            return embed(
+                graph,
+                feature_dim=slice_dim,
+                num_iterations=num_iterations,
+                propagation=propagation,
+                normalization=normalization,
+                seed=seed + k * slice_dim,
+                whiten=whiten,
+                **embed_kwargs,
+            )
     slices = []
     for k in range(feature_dim // slice_dim):
-        part = embed(
-            graph,
-            feature_dim=slice_dim,
-            num_iterations=num_iterations,
-            propagation=propagation,
-            normalization=normalization,
-            seed=seed + k * slice_dim,
-            whiten=whiten,
-            **embed_kwargs,
-        )
+        part = _one_slice(k)
         if slice_callback is not None:
             slice_callback(k, part)
         slices.append(part)

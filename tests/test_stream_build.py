@@ -237,3 +237,24 @@ def test_disk_graph_init_matches_sparse_matrix(tmp_path):
         dg.initialize_deterministically(8, seed=3),
         sm.initialize_deterministically(8, seed=3),
     )
+
+
+def test_embed_dim_sharded_from_disk_graph(tmp_path):
+    """The dimension-sliced embed (the reference FAQ's beyond-HBM workflow,
+    README.md:359-361) runs straight off a streamed build: each slice goes
+    through the sharded loader, so one chip can combine the two scale axes
+    (dim slices x out-of-core edges) without a full-dim state in HBM."""
+    import cleora_tpu as ct
+
+    rng = np.random.default_rng(13)
+    lines = [f"n{rng.integers(0, 80)} n{rng.integers(0, 80)}"
+             for _ in range(900)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    sm = dg.to_sparse_matrix()
+
+    kw = dict(feature_dim=16, slice_dim=8, num_iterations=4, whiten=False)
+    out_disk = ct.embed_dim_sharded(dg, **kw)
+    out_ram = ct.embed_dim_sharded(sm, **kw)
+    assert out_disk.shape == (dg.num_entities, 16)
+    np.testing.assert_allclose(out_disk, out_ram, atol=2e-5)
