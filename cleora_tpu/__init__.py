@@ -108,6 +108,20 @@ def embed(
             raise ValueError(
                 f"num_iterations must be an int or 'auto', got '{num_iterations}'"
             )
+    if not hasattr(graph, "data"):
+        # streamed build (graph.stream.DiskGraph): route through the sharded
+        # loop, whose loader reads the memmapped CSR one row block at a time
+        # (a 1-device mesh on a single chip) — embed() semantics unchanged.
+        from .parallel.embed import embed_sharded as _disk_embed
+
+        return _disk_embed(
+            graph, feature_dim=feature_dim, num_iterations=num_iterations,
+            propagation=propagation, normalization=normalization, seed=seed,
+            whiten=whiten, residual_weight=residual_weight,
+            convergence_threshold=convergence_threshold,
+            initial_embeddings=initial_embeddings, dtype=dtype,
+            callback=callback,
+        )
     _validate_propagation(propagation)
     if normalization not in ("l2", "l1", "spectral", "none"):
         raise ValueError(

@@ -258,3 +258,18 @@ def test_embed_dim_sharded_from_disk_graph(tmp_path):
     out_ram = ct.embed_dim_sharded(sm, **kw)
     assert out_disk.shape == (dg.num_entities, 16)
     np.testing.assert_allclose(out_disk, out_ram, atol=2e-5)
+
+
+def test_embed_accepts_disk_graph(tmp_path):
+    """embed() routes a DiskGraph through the sharded loader transparently."""
+    import cleora_tpu as ct
+
+    rng = np.random.default_rng(17)
+    lines = [f"n{rng.integers(0, 60)} n{rng.integers(0, 60)}"
+             for _ in range(600)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    sm = dg.to_sparse_matrix()
+    kw = dict(feature_dim=16, num_iterations=4, whiten=False)
+    np.testing.assert_allclose(ct.embed(dg, **kw), ct.embed(sm, **kw),
+                               atol=2e-5)
