@@ -38,6 +38,11 @@ def main(argv=None):
                    default="float32",
                    help="Embedding storage dtype (bfloat16 halves HBM)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--streaming", metavar="DIR", default=None,
+                   help="Out-of-core build: spill the graph to DIR "
+                        "(bounded RAM; for inputs too big to build "
+                        "in-memory; cleora algorithm only; unlike the "
+                        "in-memory path, # comment lines are not stripped)")
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser("info", help="Show graph information")
@@ -75,12 +80,28 @@ def _read_edges(filepath):
 
 
 def _cmd_embed(args):
-    from . import embed
-    from .algorithms import (embed_deepwalk, embed_grarep, embed_hope,
-                             embed_netmf, embed_node2vec, embed_prone,
-                             embed_randne)
-    from .io_utils import save_embeddings
     from .sparse import SparseMatrix
+
+    if args.streaming is not None:
+        # out-of-core: file streams through the spill/merge builder and the
+        # embed reads the resulting on-disk CSR one row block at a time
+        if args.algorithm != "cleora":
+            raise SystemExit(
+                "--streaming supports only --algorithm cleora"
+            )
+        from .graph.stream import build_graph_streaming
+
+        if args.verbose:
+            print(f"Streaming build of {args.input} -> {args.streaming} ...")
+        t0 = time.time()
+        graph = build_graph_streaming(
+            [args.input], args.columns, args.streaming, files=True
+        )
+        if args.verbose:
+            print(f"  {graph.num_entities} entities, {graph.num_edges} "
+                  f"edges ({time.time() - t0:.2f}s)")
+        _finish_embed(args, graph)
+        return
 
     if args.verbose:
         print(f"Reading edges from {args.input}...")
@@ -94,6 +115,18 @@ def _cmd_embed(args):
     if args.verbose:
         print(f"  {graph.num_entities} entities, {graph.num_edges} edges "
               f"({time.time() - t0:.2f}s)")
+
+    _finish_embed(args, graph)
+
+
+def _finish_embed(args, graph):
+    from . import embed
+    from .algorithms import (embed_deepwalk, embed_grarep, embed_hope,
+                             embed_netmf, embed_node2vec, embed_prone,
+                             embed_randne)
+    from .io_utils import save_embeddings
+
+    if args.verbose:
         print(f"Generating {args.dim}-dim embeddings using {args.algorithm}...")
 
     t0 = time.time()

@@ -85,6 +85,12 @@ class DiskGraph:
     def entity_ids_range(self, lo: int, hi: int) -> List[str]:
         return [self.entity_id(i) for i in range(lo, hi)]
 
+    @property
+    def entity_ids(self) -> List[str]:
+        """Full id list (materializes ~N strings — fine for export flows;
+        at extreme scale prefer ``entity_ids_range`` block reads)."""
+        return self.entity_ids_range(0, self.num_entities)
+
     def row_range(self, lo: int, hi: int, markov_type: str = "left"):
         """COO slice (rows, cols, vals) for output rows [lo, hi) — the shard
         loader primitive for multi-host row-partitioned embedding."""

@@ -463,6 +463,29 @@ def test_cli(tmp_path, capsys):
     assert "usage" in capsys.readouterr().out.lower()
 
 
+def test_cli_streaming_embed(tmp_path, capsys):
+    """--streaming spills the build to disk and embeds off the DiskGraph."""
+    from cleora_tpu.cli import main
+
+    inp = tmp_path / "edges.txt"
+    inp.write_text("a b\nb c\nc a\na d\nd b\n")
+    out = tmp_path / "emb.npz"
+    main(["embed", "-i", str(inp), "-o", str(out), "-d", "8", "-n", "3",
+          "--streaming", str(tmp_path / "spill")])
+    assert "saved to" in capsys.readouterr().out
+    import numpy as np
+
+    data = np.load(str(out))
+    assert data["embeddings"].shape == (4, 8)
+    assert set(data["entity_ids"]) == {"a", "b", "c", "d"}
+    # non-cleora algorithms reject --streaming
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["embed", "-i", str(inp), "-o", str(out), "-a", "prone",
+              "--streaming", str(tmp_path / "spill2")])
+
+
 @pytest.mark.slow
 def test_cli_benchmark(capsys):
     from cleora_tpu.cli import main
