@@ -30,7 +30,13 @@ single-chip layout).  The layout composes with both exchange strategies:
 * halo all_to_all (pass ``halo=plan_halo(...)``): edge columns keep the
   plan's receive-slot encoding (slots are relabel-independent), and the
   plan's ``send_idx`` local-row entries are mapped through the sender's
-  ``rank`` so boundary rows are fetched from ELL-space state.
+  ``rank`` so boundary rows are fetched from ELL-space state;
+* split halo (``split=True``, requires ``halo``): the overlapped form —
+  edges whose column owner is the shard itself are bucketed against the
+  device's OWN state (no exchange dependency), so XLA runs the bulk local
+  ELL compute while the async all_to_all of boundary rows is in flight
+  (SURVEY.md §2c "overlap with local SpMM"); the remote remainder joins
+  via one sorted segment-sum over the received slab.
 """
 
 from __future__ import annotations
@@ -55,6 +61,10 @@ class EllShards:
     valid: (P, R) float32 — 1.0 where the ELL position holds a real row
         whose global id is < n_rows (the whitening/statistics mask).
     send_idx: ELL-space remap of a HaloPlan's send_idx, when built with one.
+    remote: None, or (cols, vals, pos) each (P, E_rem) — the split-mode
+        remainder: slab-encoded gather columns, values, and sorted ELL
+        output positions, combined by one segment-sum (padding rows carry
+        pos=R-1, val=0).
     """
 
     buckets: tuple
@@ -66,6 +76,7 @@ class EllShards:
     R: int
     nnz: int
     send_idx: np.ndarray | None = None
+    remote: tuple | None = None
 
     @property
     def n_shards(self) -> int:
@@ -84,6 +95,7 @@ class EllShards:
             "buckets": tuple((c, v) for c, v in self.buckets),
             "hub": self.hub,
             "valid": self.valid,
+            "remote": self.remote,
         }
 
     def permute_state(self, x_padded: np.ndarray) -> np.ndarray:
@@ -110,6 +122,7 @@ def ell_shards(
     max_waste: float = 2.0,
     row_waste: float = 1.5,
     force: bool = False,
+    split: bool = False,
 ) -> EllShards | None:
     """Build the uniform sharded ELL layout from a ShardedCoo.
 
@@ -117,8 +130,14 @@ def ell_shards(
     cross-shard padding would cost more than ``max_waste``× the real edge
     count or inflate the per-shard state past ``row_waste``× rows_per_shard
     — unless ``force`` (tests, tuning).  ``halo`` composes the layout with
-    a boundary-row exchange plan (see module docstring).
+    a boundary-row exchange plan; ``split=True`` (requires ``halo``)
+    buckets only the edges whose column owner is the shard itself against
+    the device's own state and routes the remainder through a segment-sum
+    over the received slab, letting the exchange overlap the bulk compute
+    (see module docstring).
     """
+    if split and halo is None:
+        raise ValueError("split=True requires a halo plan")
     lrows_all = sharded.local_rows
     vals_all = sharded.vals
     P, E = lrows_all.shape
@@ -128,9 +147,16 @@ def ell_shards(
     if nnz == 0:
         return None
 
+    owner_all = (sharded.cols // rps).astype(np.int64)
+    if split:
+        is_local = owner_all == np.arange(P)[:, None]
+        bucketed = real & is_local  # edges packed into the ELL slabs
+    else:
+        bucketed = real
+
     deg = np.zeros((P, rps), dtype=np.int64)
     for k in range(P):
-        deg[k] = np.bincount(lrows_all[k][real[k]], minlength=rps)
+        deg[k] = np.bincount(lrows_all[k][bucketed[k]], minlength=rps)
 
     widths = _widths_for(deg.reshape(-1))
     band_lo = [0] + widths[:-1]
@@ -160,6 +186,10 @@ def ell_shards(
 
     R = n_zero + sum(n_b) + n_hub
     slots = P * (sum(nb * w for nb, w in zip(n_b, widths)) + n_virt * _K_MAX)
+    if split:  # remote remainder costs 1 slot/edge + cross-shard padding
+        rem_counts = [int((real[k] & ~bucketed[k]).sum()) for k in range(P)]
+        e_rem = max(8, -(-max(rem_counts) // 8) * 8) if max(rem_counts) else 0
+        slots += P * e_rem
     if not force and (slots > max_waste * nnz or R > row_waste * rps):
         return None
 
@@ -189,8 +219,12 @@ def ell_shards(
         if n_real:
             valid[k][rank[k, :n_real]] = 1.0
 
-    # effective gather columns
-    if halo is not None:
+    # effective gather columns (for the bucketed edges)
+    if split:
+        # local-owner edges gather from the shard's OWN ELL-space state
+        local = (sharded.cols - np.arange(P)[:, None] * rps) % rps
+        cols_eff = rank[np.arange(P)[:, None], local].astype(np.int32)
+    elif halo is not None:
         cols_eff = halo.remapped_cols
     else:
         owner = (sharded.cols // rps).astype(np.int64)
@@ -221,7 +255,7 @@ def ell_shards(
         return i_idx, j_idx
 
     for k in range(P):
-        m = real[k]
+        m = bucketed[k]
         pos_e = rank[k][lrows_all[k][m]]
         eorder = np.argsort(pos_e, kind="stable")
         pe = pos_e[eorder]
@@ -256,6 +290,25 @@ def ell_shards(
                 np.arange(n_hub_k[k], dtype=np.int32), vcounts
             )
 
+    remote = None
+    if split:
+        rem_counts = [int((real[k] & ~bucketed[k]).sum()) for k in range(P)]
+        e_rem = max(8, -(-max(rem_counts) // 8) * 8) if max(rem_counts) else 8
+        rcols = np.zeros((P, e_rem), dtype=np.int32)
+        rvals = np.zeros((P, e_rem), dtype=np.float32)
+        rpos = np.full((P, e_rem), R - 1, dtype=np.int32)  # padding: zero add
+        for k in range(P):
+            m = real[k] & ~bucketed[k]
+            if not m.any():
+                continue
+            pos_e = rank[k][lrows_all[k][m]]
+            eorder = np.argsort(pos_e, kind="stable")
+            c = int(m.sum())
+            rpos[k, :c] = pos_e[eorder]
+            rcols[k, :c] = halo.remapped_cols[k][m][eorder]
+            rvals[k, :c] = vals_all[k][m][eorder]
+        remote = (rcols, rvals, rpos)
+
     send_idx = None
     if halo is not None:
         send_idx = rank[
@@ -265,4 +318,5 @@ def ell_shards(
     return EllShards(
         buckets=tuple(buckets), hub=hub, rank=rank, valid=valid,
         n_zero=n_zero, n_hub=n_hub, R=R, nnz=nnz, send_idx=send_idx,
+        remote=remote,
     )

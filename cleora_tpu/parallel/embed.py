@@ -122,7 +122,22 @@ def _local_step(
         if ell is not None:
             # 2-ELL. production layout: dense fixed-width gather+reduce
             n_zero, n_hub = ell_static
-            y = _ell_propagate(x_full, ell, n_zero, n_hub, jnp.float32)
+            if ell["remote"] is not None:
+                # split mode: the bucketed (local-owner) edges read the
+                # shard's OWN state, so this compute has no dependency on
+                # the all_to_all above — XLA overlaps the boundary-row
+                # exchange with the bulk local SpMM (SURVEY §2c).  The
+                # remote remainder joins via one sorted segment-sum over
+                # the received slab.
+                y = _ell_propagate(x_local, ell, n_zero, n_hub, jnp.float32)
+                rc, rv, rp = ell["remote"]
+                g = (jnp.take(x_full, rc, axis=0).astype(jnp.float32)
+                     * rv[:, None].astype(jnp.float32))
+                y = y + jax.ops.segment_sum(
+                    g, rp, num_segments=y.shape[0], indices_are_sorted=True
+                )
+            else:
+                y = _ell_propagate(x_full, ell, n_zero, n_hub, jnp.float32)
         else:
             # 2. local SpMM: every edge's output row is local.  Reuses
             # spmm_inner so the (nnz_local, D) gather intermediate is
@@ -373,7 +388,10 @@ def embed_sharded(
     True/False force the choice.  ``ell=None`` (auto) runs each device's
     local SpMM in the sharded sliced-ELL layout (parallel/ell.py — the
     production single-chip layout, RESULTS.md) whenever the cross-shard
-    padding cost is acceptable; True forces it, False disables.  When ELL
+    padding cost is acceptable; True forces it, False disables;
+    ``ell="split"`` additionally decouples the bucketed local-owner edges
+    from the boundary exchange so the all_to_all overlaps the bulk local
+    SpMM (the overlapped-halo production form).  When ELL
     declines (or is disabled), ``banded=None`` (auto) switches to the
     accumulator-free row-banded layout when the per-shard edge count
     exceeds one memory-budget chunk (same heuristics as single-chip);
@@ -420,11 +438,14 @@ def embed_sharded(
 
     ell_plan = None
     if overlap_plan is None and ell is not False:
-        if ell is True or (ell is None and banded is None):
+        if ell in (True, "split") or (ell is None and banded is None):
             from .ell import ell_shards
 
+            if ell == "split" and plan is None:
+                plan = plan_halo(sharded)  # split needs the slab exchange
             ell_plan = ell_shards(
-                sharded, d=feature_dim, halo=plan, force=ell is True
+                sharded, d=feature_dim, halo=plan,
+                force=ell in (True, "split"), split=ell == "split",
             )
     banded_plan = None
     if ell_plan is None and banded is not False:

@@ -161,3 +161,45 @@ def test_ell_shards_declines_on_waste():
     assert plan is None
     # force=True overrides for tests/tuning
     assert ell_shards(sharded, d=16, max_waste=1.01, force=True) is not None
+
+
+@pytest.mark.parametrize("g", ["graph", "hub_graph"])
+def test_sharded_ell_split_matches_single(g, request):
+    """split mode: local-owner edges bucketed against own state, remote
+    remainder via the received slab — must match the plain paths."""
+    gr = request.getfixturevalue(g)
+    kw = dict(feature_dim=16, num_iterations=5, whiten=False)
+    single = embed(gr, **kw)
+    sharded = embed_sharded(gr, ell="split", **kw)
+    assert np.allclose(single, sharded, atol=2e-5)
+
+
+def test_sharded_ell_split_whiten_and_bf16(graph):
+    kw = dict(feature_dim=16, num_iterations=4)
+    single = embed(graph, whiten=True, **kw)
+    split = embed_sharded(graph, ell="split", whiten=True, **kw)
+    assert np.allclose(single @ single.T, split @ split.T, atol=1e-3)
+    bf16 = embed_sharded(graph, ell="split", whiten=False,
+                         dtype="bfloat16", **kw)
+    f32 = embed_sharded(graph, ell="split", whiten=False, **kw)
+    num = np.sum(f32 * bf16, axis=1)
+    den = np.linalg.norm(f32, axis=1) * np.linalg.norm(bf16, axis=1)
+    mask = den > 1e-6
+    assert np.min(num[mask] / den[mask]) > 0.98
+
+
+def test_ell_split_remote_partition(hub_graph):
+    """Every real edge lands in exactly one of {bucket slabs, hub, remote},
+    and remote edges' owners are all non-local."""
+    sharded = shard_graph(hub_graph, "left", 4)
+    plan = ell_shards(sharded, d=8, halo=plan_halo(sharded), force=True,
+                      split=True)
+    assert plan.remote is not None
+    rcols, rvals, rpos = plan.remote
+    n_bucketed = sum(int((v != 0).sum()) for _, v in plan.buckets)
+    if plan.hub is not None:
+        n_bucketed += int((plan.hub[1] != 0).sum())
+    n_remote = int((rvals != 0).sum())
+    assert n_bucketed + n_remote == plan.nnz
+    # padding slots point at the last ELL row with zero value
+    assert ((rvals != 0) | (rpos == plan.R - 1)).all()
