@@ -150,7 +150,8 @@ def _open_stream(lib, columns: str, hyperedge_trim_n: int,
 
 
 def _finish(lib, handle, columns: str, out_dir: str,
-            skipped_warn: bool = True) -> DiskGraph:
+            skipped_warn: bool = True, extra_meta: Optional[dict] = None,
+            ) -> DiskGraph:
     if lib.ct_stream_finish(handle):
         err = lib.ct_stream_error(handle)
         msg = err.decode() if err else "streaming build failed"
@@ -172,40 +173,17 @@ def _finish(lib, handle, columns: str, out_dir: str,
         "pairs_emitted": int(lib.ct_stream_pairs_emitted(handle)),
         "skipped_lines": int(skipped),
     }
+    if extra_meta:
+        meta.update(extra_meta)
     lib.ct_stream_free(handle)
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=1)
     return DiskGraph(out_dir)
 
 
-def build_graph_streaming(
-    source: Union[Sequence[str], Iterable[str]],
-    columns: str,
-    out_dir: str,
-    *,
-    hyperedge_trim_n: int = 16,
-    num_workers: Optional[int] = None,
-    ram_cap_bytes: int = 2 << 30,
-    chunk_bytes: int = 64 << 20,
-    files: bool = False,
-) -> DiskGraph:
-    """Stream-build a graph into ``out_dir`` under a pair-buffer RAM cap.
-
-    ``source`` is an iterable of hyperedge lines (like from_iterator), or —
-    with ``files=True`` — a list of file paths read in 64 MB slices (invalid
-    UTF-8 / blank lines skipped, matching from_files).  The entity table
-    (hashes, ids, row sums) stays in RAM; the pair stream is spilled to
-    sorted runs in ``out_dir`` and merged to on-disk CSR.
-    """
-    lib = get_lib()
-    if lib is None:
-        raise RuntimeError(
-            "streaming build requires the native builder "
-            "(CLEORA_TPU_NATIVE=0 disables it)"
-        )
-    os.makedirs(out_dir, exist_ok=True)
-    handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
-                             out_dir, ram_cap_bytes)
+def _feed_source(lib, handle, source, files: bool, chunk_bytes: int) -> None:
+    """Feed an iterable of lines (or, with files=True, file paths read in
+    chunk_bytes slices) into an open stream handle."""
 
     def _feed(buf: bytes, file_mode: bool):
         if lib.ct_stream_feed(handle, buf, len(buf), int(file_mode)):
@@ -253,7 +231,82 @@ def build_graph_streaming(
         if batch:
             _feed(("\n".join(batch) + "\n").encode("utf-8"), False)
 
-    return _finish(lib, handle, columns, out_dir)
+
+def build_graph_streaming(
+    source: Union[Sequence[str], Iterable[str]],
+    columns: str,
+    out_dir: str,
+    *,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+    ram_cap_bytes: int = 2 << 30,
+    chunk_bytes: int = 64 << 20,
+    files: bool = False,
+    row_range: Optional[tuple] = None,
+) -> DiskGraph:
+    """Stream-build a graph into ``out_dir`` under a pair-buffer RAM cap.
+
+    ``source`` is an iterable of hyperedge lines (like from_iterator), or —
+    with ``files=True`` — a list of file paths read in 64 MB slices (invalid
+    UTF-8 / blank lines skipped, matching from_files).  The entity table
+    (hashes, ids, row sums) stays in RAM; the pair stream is spilled to
+    sorted runs in ``out_dir`` and merged to on-disk CSR.
+
+    ``row_range=(lo, hi)`` builds only the output rows in [lo, hi) — one
+    host's piece of a multi-host sharded build.  The full input is still
+    scanned (the entity registry, row sums and trimming state are global and
+    identical on every host), but only 1/P of the pair stream is sorted,
+    spilled and merged.  The piece has the full entity table and a
+    full-length indptr (zero outside the range); disjoint pieces concatenate
+    into the complete graph via ``merge_disk_graph_shards``.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "streaming build requires the native builder "
+            "(CLEORA_TPU_NATIVE=0 disables it)"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
+                             out_dir, ram_cap_bytes)
+    extra_meta = None
+    if row_range is not None:
+        lo, hi = int(row_range[0]), int(row_range[1])
+        if lo < 0 or hi <= lo:
+            lib.ct_stream_free(handle)
+            raise ValueError(f"invalid row_range {row_range!r}")
+        lib.ct_stream_set_row_filter(handle, lo, hi)
+        extra_meta = {"row_range": [lo, hi]}
+    _feed_source(lib, handle, source, files, chunk_bytes)
+    return _finish(lib, handle, columns, out_dir, extra_meta=extra_meta)
+
+
+def count_entities_streaming(
+    source: Union[Sequence[str], Iterable[str]],
+    columns: str,
+    *,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+    chunk_bytes: int = 64 << 20,
+    files: bool = False,
+) -> int:
+    """Index-only scan: the total entity count of a build without emitting
+    any pairs (no sort, no spill — parse + first-seen registry + row stats
+    only).  Pass 1 of a multi-host sharded build: N determines each host's
+    row block before the emitting pass."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("streaming build requires the native builder")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
+                                 tmp, 64 << 20)
+        lib.ct_stream_set_emit(handle, 0)
+        _feed_source(lib, handle, source, files, chunk_bytes)
+        n = int(lib.ct_stream_num_entities(handle))
+        lib.ct_stream_free(handle)
+    return n
 
 
 def build_graph_streaming_pairs(
@@ -291,3 +344,163 @@ def build_graph_streaming_pairs(
             lib.ct_stream_free(handle)
             raise ValueError(msg)
     return _finish(lib, handle, columns, out_dir)
+
+
+def shard_row_bounds(n_rows: int, n_shards: int,
+                     row_multiple: int = 8) -> List[int]:
+    """Row-block boundaries of an n_shards-way partition: shard k owns rows
+    [bounds[k], bounds[k+1]).  The SAME formula parallel.shard uses to cut
+    the embedding matrix across devices, so a sharded build with
+    ``row_range=(bounds[k], bounds[k+1])`` yields exactly the edges device k
+    will own at embed time (host-granularity: use the range spanning a
+    host's devices)."""
+    m = n_shards * row_multiple
+    n_padded = -(-max(n_rows, m) // m) * m
+    rows_per_shard = n_padded // n_shards
+    return [min(k * rows_per_shard, n_rows) for k in range(n_shards + 1)]
+
+
+def build_graph_streaming_sharded(
+    source,
+    columns: str,
+    out_dir: str,
+    shard_index: int,
+    num_shards: int,
+    *,
+    n_entities: Optional[int] = None,
+    row_multiple: int = 8,
+    hyperedge_trim_n: int = 16,
+    num_workers: Optional[int] = None,
+    ram_cap_bytes: int = 2 << 30,
+    chunk_bytes: int = 64 << 20,
+    files: bool = False,
+) -> DiskGraph:
+    """One host's piece of a multi-host sharded build (host ``shard_index``
+    of ``num_shards``).
+
+    Every host scans the SAME input (the first-seen entity registry, row
+    sums and trimming state are input-order-dependent and must be global —
+    the scan is cheap), but each host sorts/spills/merges only its own row
+    block: the expensive part of the build parallelizes num_shards-fold.
+    Pass 1 (skipped when ``n_entities`` is given, e.g. broadcast from host
+    0) is an index-only scan for the global entity count; pass 2 builds rows
+    [bounds[k], bounds[k+1]) per ``shard_row_bounds``.  Disjoint pieces on
+    shared storage concatenate into the full graph with
+    ``merge_disk_graph_shards``; a piece alone also feeds a per-host loader.
+
+    ``source`` must be re-iterable: a list of file paths (``files=True``), a
+    sequence of lines, or a zero-arg callable returning a fresh iterator.
+    """
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+
+    def _fresh():
+        return source() if callable(source) else source
+
+    if not (files or callable(source)
+            or isinstance(source, (Sequence, list, tuple))):
+        raise ValueError(
+            "sharded build needs a re-iterable source: file paths "
+            "(files=True), a sequence of lines, or a callable returning a "
+            "fresh iterator"
+        )
+    if n_entities is None:
+        n_entities = count_entities_streaming(
+            _fresh(), columns, hyperedge_trim_n=hyperedge_trim_n,
+            num_workers=num_workers, chunk_bytes=chunk_bytes, files=files,
+        )
+    bounds = shard_row_bounds(n_entities, num_shards, row_multiple)
+    lo, hi = bounds[shard_index], bounds[shard_index + 1]
+    dg = build_graph_streaming(
+        _fresh(), columns, out_dir, hyperedge_trim_n=hyperedge_trim_n,
+        num_workers=num_workers, ram_cap_bytes=ram_cap_bytes,
+        chunk_bytes=chunk_bytes, files=files,
+        row_range=(lo, hi if hi > lo else lo + 1),
+    )
+    dg.meta["row_range"] = [lo, hi]
+    dg.meta["shard"] = [int(shard_index), int(num_shards)]
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(dg.meta, f, indent=1)
+    return dg
+
+
+def merge_disk_graph_shards(shard_dirs: Sequence[str],
+                            out_dir: str) -> DiskGraph:
+    """Concatenate the disjoint row-range pieces of a sharded build into the
+    complete on-disk graph (bitwise-identical to an unsharded build).
+
+    Pieces hold contiguous, row-sorted CSR slices, so the merge is a
+    streaming file concatenation in row order plus an indptr re-base — pure
+    sequential I/O, no sort.  The entity table is global and identical in
+    every piece; it is copied from the first and cross-checked."""
+    import shutil
+
+    metas = []
+    for d in shard_dirs:
+        with open(os.path.join(d, _META)) as f:
+            metas.append(json.load(f))
+    for m in metas:
+        if "row_range" not in m:
+            raise ValueError("merge_disk_graph_shards needs sharded pieces "
+                             "(built with row_range)")
+    order = sorted(range(len(metas)), key=lambda i: metas[i]["row_range"][0])
+    dirs = [shard_dirs[i] for i in order]
+    metas = [metas[i] for i in order]
+    n = metas[0]["num_entities"]
+    columns = metas[0]["columns"]
+    for m in metas:
+        if m["num_entities"] != n or m["columns"] != columns:
+            raise ValueError("shard pieces disagree on entity table/columns")
+    cover = 0
+    for m in metas:
+        lo, hi = m["row_range"]
+        if lo != cover:
+            raise ValueError(
+                f"shard row ranges must tile [0, {n}) exactly; piece starts "
+                f"at {lo}, expected {cover}"
+            )
+        cover = max(cover, hi)
+    if cover < n:
+        raise ValueError(f"shard pieces leave rows [{cover}, {n}) uncovered")
+
+    os.makedirs(out_dir, exist_ok=True)
+    first = DiskGraph(dirs[0])
+    for name in ("hashes.bin", "column_ids.bin", "row_sums.bin",
+                 "id_lens.bin", "id_blob.bin"):
+        shutil.copyfile(os.path.join(dirs[0], name),
+                        os.path.join(out_dir, name))
+    # stream-concatenate the CSR arrays in row order
+    for name in ("indices.bin", "left_vals.bin", "sym_vals.bin"):
+        with open(os.path.join(out_dir, name), "wb") as out:
+            for d in dirs:
+                with open(os.path.join(d, name), "rb") as f:
+                    shutil.copyfileobj(f, out, 16 << 20)
+    # indptr: each piece's counts live only in its range; re-base cumulative
+    offset = 0
+    n_edges = 0
+    with open(os.path.join(out_dir, "indptr.bin"), "wb") as out:
+        out.write(np.zeros(1, dtype=np.int64).tobytes())
+        for d, m in zip(dirs, metas):
+            lo, hi = m["row_range"]
+            piece = DiskGraph(d)
+            # piece.indptr[lo] == 0 (no owned edges before lo)
+            seg = np.asarray(piece.indptr[lo + 1:hi + 1], dtype=np.int64)
+            if np.asarray(piece.entity_hashes[:16]).tobytes() != \
+                    np.asarray(first.entity_hashes[:16]).tobytes():
+                raise ValueError(f"piece {d} has a different entity table")
+            out.write((seg + offset).tobytes())
+            offset += int(seg[-1]) if seg.size else 0
+            n_edges += m["num_edges"]
+        # rows past the last piece's hi (none when cover == n)
+    meta = {
+        "format": "cleora_tpu.disk_graph.v1",
+        "columns": columns,
+        "num_entities": n,
+        "num_edges": n_edges,
+        "pairs_emitted": sum(m.get("pairs_emitted", 0) for m in metas),
+        "skipped_lines": metas[0].get("skipped_lines", 0),
+        "merged_from": len(dirs),
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return DiskGraph(out_dir)

@@ -89,6 +89,10 @@ def _bind(lib):
         getattr(lib, fn).argtypes = [c.c_void_p]
     lib.ct_stream_num_runs.restype = c.c_int
     lib.ct_stream_num_runs.argtypes = [c.c_void_p]
+    lib.ct_stream_set_emit.restype = None
+    lib.ct_stream_set_emit.argtypes = [c.c_void_p, c.c_int]
+    lib.ct_stream_set_row_filter.restype = None
+    lib.ct_stream_set_row_filter.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
     lib.ct_stream_free.restype = None
     lib.ct_stream_free.argtypes = [c.c_void_p]
     return lib

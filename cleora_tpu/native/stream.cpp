@@ -94,6 +94,15 @@ struct StreamState {
   std::string id_arena;          // concatenated id bytes (first-seen order)
   std::vector<RowStat> stats;
 
+  // sharded-build controls: emit=false runs an index-only scan (registry +
+  // row stats, no pair emission) — the cheap first pass of a per-host
+  // row-sharded build; [filt_lo, filt_hi) keeps only pairs whose OUTPUT row
+  // falls in the host's row block (filtered at spill time, so the expensive
+  // sort/merge only ever sees 1/P of the stream)
+  bool emit = true;
+  int64_t filt_lo = 0;
+  int64_t filt_hi = INT64_MAX;
+
   // pending pair buffer: raw (no zero-init, unchecked writes); slack above
   // run_pairs absorbs one edge's worst-case emission between flush checks
   std::unique_ptr<KV[]> pending;
@@ -138,6 +147,20 @@ static bool flush_run(StreamState* st) {
   StreamLap lap;
   KV* p = st->pending.get();
   size_t n = st->pend_n;
+  if (st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX) {
+    // row-sharded build: drop pairs outside this host's row block before
+    // the sort — compaction is one linear pass, the sort then costs 1/P
+    uint64_t lo = (uint64_t)st->filt_lo, hi = (uint64_t)st->filt_hi;
+    size_t m = 0;
+    for (size_t i = 0; i < n; ++i) {
+      uint64_t r = p[i].key >> 32;
+      if (r >= lo && r < hi) p[m++] = p[i];
+    }
+    n = m;
+    st->pend_n = m;
+    if (n == 0) return true;
+  }
+  st->n_pairs_emitted += (int64_t)n;
   PSORT(p, p + n, [](const KV& x, const KV& y) { return x.key < y.key; });
   lap("  run:sort");
   std::string path = run_path(st, st->n_runs);
@@ -198,6 +221,30 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
   int trim_n = st->trim_n;
   KV* pend = st->pending.get();
 
+  // Index-only scan (pass 1 of a row-sharded build): registry + row stats
+  // only.  Trimming state is just the running occurrence counts, which the
+  // stats loop maintains, so a later emitting pass over the same input
+  // reproduces identical trimming decisions.
+  if (!st->emit) {
+    for (const Edge& e : edges) {
+      if (e.a_len == 0 || e.b_len == 0) continue;
+      double inv_b = (double)(1.0f / (float)e.b_len);
+      double inv_a = (double)(1.0f / (float)e.a_len);
+      for (int64_t i = 0; i < e.a_len; ++i) {
+        RowStat& rs = stats[tok_index[(size_t)(e.a_off + i)]];
+        rs.occurrence += e.b_len;
+        rs.row_sum += inv_b;
+      }
+      for (int64_t i = 0; i < e.b_len; ++i) {
+        RowStat& rs = stats[tok_index[(size_t)(e.b_off + i)]];
+        rs.occurrence += e.a_len;
+        rs.row_sum += inv_a;
+      }
+    }
+    lap("stats");
+    return true;
+  }
+
   // Fast path: when no hyperedge in this chunk exceeds trim_n, emission
   // order does not matter (pairs get sorted; stat += commutes) — split the
   // edge range across threads with prefix-summed output offsets, flushing
@@ -235,7 +282,6 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         ++j;
       }
       if (j == i) {  // buffer full before one edge fits
-        st->n_pairs_emitted += (int64_t)st->pend_n;
         if (!flush_run(st)) return false;
         continue;
       }
@@ -286,7 +332,6 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
       i = j;
       if (st->pend_n >= st->run_pairs) {
         lap("emit");
-        st->n_pairs_emitted += (int64_t)st->pend_n;
         if (!flush_run(st)) return false;
         lap("spill");
       }
@@ -363,15 +408,13 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         st->pend_n += take;
         i += take;
         if (st->pend_n >= st->run_pairs) {
-          st->n_pairs_emitted += (int64_t)st->pend_n;
-          if (!flush_run(st)) return false;
+            if (!flush_run(st)) return false;
         }
       }
     }
     if (st->pend_n >= st->run_pairs) {
       lap("emit");
-      st->n_pairs_emitted += (int64_t)st->pend_n;
-      if (!flush_run(st)) return false;
+          if (!flush_run(st)) return false;
       lap("spill");
     }
   }
@@ -435,7 +478,6 @@ static bool stream_finish(StreamState* st) {
     st->error = "No valid hyperedge lines provided";
     return false;
   }
-  st->n_pairs_emitted += (int64_t)st->pend_n;
   if (!flush_run(st)) return false;
 
   int64_t n_ent = (int64_t)st->hashes.size();
@@ -631,6 +673,20 @@ void* ct_stream_open(int ncols, const uint8_t* complex_flags,
   st->pend_cap = st->run_pairs + (1u << 20);
   st->pending.reset(new KV[st->pend_cap]);
   return st;
+}
+
+// Sharded-build controls (set before the first feed).  emit=0 runs the
+// index-only pass: registry + row stats, no pairs.  The row filter keeps
+// only pairs whose output row index lands in [lo, hi) — the per-host row
+// block of a multi-host build (pass 2).
+void ct_stream_set_emit(void* h, int emit) {
+  ((StreamState*)h)->emit = emit != 0;
+}
+
+void ct_stream_set_row_filter(void* h, int64_t lo, int64_t hi) {
+  auto* st = (StreamState*)h;
+  st->filt_lo = lo < 0 ? 0 : lo;
+  st->filt_hi = hi;
 }
 
 // Feed one newline-terminated text chunk (must not split a line across

@@ -273,3 +273,128 @@ def test_embed_accepts_disk_graph(tmp_path):
     kw = dict(feature_dim=16, num_iterations=4, whiten=False)
     np.testing.assert_allclose(ct.embed(dg, **kw), ct.embed(sm, **kw),
                                atol=2e-5)
+
+
+def test_count_entities_streaming(tmp_path):
+    rng = np.random.default_rng(21)
+    lines = [f"n{rng.integers(0, 150)} n{rng.integers(0, 150)}"
+             for _ in range(3000)]
+    from cleora_tpu.graph.stream import count_entities_streaming
+
+    full = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                                 str(tmp_path / "g"))
+    assert count_entities_streaming(lines, "complex::reflexive::n",
+                                    chunk_bytes=512) == full.num_entities
+
+
+def test_sharded_build_pieces_tile_full_build(tmp_path):
+    """Per-host row-sharded build: each piece holds exactly its row block's
+    edges with the GLOBAL entity table/row sums (symmetric Markov values need
+    global column stats), and the merged pieces are bitwise-identical to the
+    unsharded build — including order-dependent trimming."""
+    from cleora_tpu.graph.stream import (
+        build_graph_streaming_sharded,
+        merge_disk_graph_shards,
+        shard_row_bounds,
+    )
+
+    rng = np.random.default_rng(22)
+    lines = []
+    for _ in range(500):  # mix pair lines and trimming-heavy hyperedges
+        if rng.random() < 0.2:
+            a = " ".join(f"u{rng.integers(0, 40)}"
+                         for _ in range(rng.integers(1, 30)))
+            b = " ".join(f"p{rng.integers(0, 60)}"
+                         for _ in range(rng.integers(1, 30)))
+            lines.append(f"{a}\t{b}")
+        else:
+            lines.append(f"u{rng.integers(0, 40)}\tp{rng.integers(0, 60)}")
+    cols = "complex::user complex::product"
+    full = build_graph_streaming(iter(lines), cols, str(tmp_path / "full"),
+                                 hyperedge_trim_n=8)
+
+    num_shards = 3
+    bounds = shard_row_bounds(full.num_entities, num_shards)
+    pieces = []
+    for k in range(num_shards):
+        dg = build_graph_streaming_sharded(
+            lines, cols, str(tmp_path / f"piece{k}"), k, num_shards,
+            hyperedge_trim_n=8, chunk_bytes=777,
+        )
+        pieces.append(dg)
+        lo, hi = dg.meta["row_range"]
+        assert [lo, hi] == [bounds[k], bounds[k + 1]]
+        # a piece's edges live only in its row block
+        counts = np.diff(dg.indptr)
+        assert counts[:lo].sum() == 0 and counts[hi:].sum() == 0
+        assert np.array_equal(np.asarray(dg.indptr[lo:hi + 1]) -
+                              int(dg.indptr[lo]),
+                              np.asarray(full.indptr[lo:hi + 1]) -
+                              int(full.indptr[lo]))
+        # global entity table identical
+        assert np.array_equal(np.asarray(dg.entity_hashes),
+                              np.asarray(full.entity_hashes))
+        np.testing.assert_allclose(np.asarray(dg.row_sums),
+                                   np.asarray(full.row_sums), atol=0)
+        # the piece's own slice matches the full build bitwise (sym values
+        # prove the col stats are global)
+        s, e = int(full.indptr[lo]), int(full.indptr[hi])
+        assert np.array_equal(np.asarray(dg.indices), full.indices[s:e])
+        assert np.array_equal(np.asarray(dg.left_vals), full.left_vals[s:e])
+        assert np.array_equal(np.asarray(dg.sym_vals), full.sym_vals[s:e])
+
+    merged = merge_disk_graph_shards([p.path for p in pieces],
+                                     str(tmp_path / "merged"))
+    _assert_matches(merged, full.to_sparse_matrix().data)
+
+
+def test_sharded_build_n_entities_shortcut(tmp_path):
+    """Passing n_entities (e.g. broadcast from host 0) skips pass 1."""
+    from cleora_tpu.graph.stream import build_graph_streaming_sharded
+
+    lines = [f"a{i % 9}\tb{(i * 3) % 11}" for i in range(300)]
+    cols = "complex::a complex::b"
+    full = build_graph_streaming(list(lines), cols, str(tmp_path / "full"))
+    dg = build_graph_streaming_sharded(
+        lines, cols, str(tmp_path / "p0"), 0, 2,
+        n_entities=full.num_entities,
+    )
+    lo, hi = dg.meta["row_range"]
+    s, e = int(full.indptr[lo]), int(full.indptr[hi])
+    assert np.array_equal(np.asarray(dg.indices), full.indices[s:e])
+
+
+def test_merge_rejects_gaps_and_overlap(tmp_path):
+    from cleora_tpu.graph.stream import (
+        build_graph_streaming_sharded,
+        merge_disk_graph_shards,
+    )
+
+    lines = [f"n{i % 50} n{(i * 7) % 50}" for i in range(400)]
+    cols = "complex::reflexive::n"
+    p0 = build_graph_streaming_sharded(lines, cols, str(tmp_path / "p0"),
+                                       0, 3)
+    p2 = build_graph_streaming_sharded(lines, cols, str(tmp_path / "p2"),
+                                       2, 3)
+    with pytest.raises(ValueError, match="tile|uncovered"):
+        merge_disk_graph_shards([p0.path, p2.path], str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="tile"):
+        merge_disk_graph_shards([p0.path, p0.path], str(tmp_path / "m"))
+
+
+def test_shard_row_bounds_matches_shard_disk_graph(tmp_path):
+    """The build-side partition is the SAME cut the sharded embed uses, so a
+    piece built for host k holds exactly shard k's edges."""
+    from cleora_tpu.graph.stream import shard_row_bounds
+    from cleora_tpu.parallel.shard import shard_disk_graph
+
+    lines = [f"n{i % 37} n{(i * 5) % 37}" for i in range(300)]
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    for p in (2, 4, 8):
+        sd = shard_disk_graph(dg, "left", p)
+        bounds = shard_row_bounds(dg.num_entities, p)
+        assert bounds[-1] == dg.num_entities
+        rps = sd.rows_per_shard
+        assert all(bounds[k] == min(k * rps, dg.num_entities)
+                   for k in range(p + 1))
