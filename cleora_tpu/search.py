@@ -230,3 +230,140 @@ class ANNIndex:
             {"entity_id": ids[int(i)], "index": int(i), "similarity": float(s)}
             for i, s in zip(indices, sims)
         ]
+
+
+class ShardedDeviceIndex:
+    """Exact cosine top-k over a row-sharded, device-RESIDENT table — the
+    serving path for embedding tables beyond one chip's HBM.
+
+    The L2-normalized (N, D) table is placed ONCE across the mesh (row
+    shards; optionally bfloat16 for double capacity) and stays resident:
+    each query batch is one jitted dispatch — per-shard (Q, D)·(D, N/P) MXU
+    matmul + local top-k, an all_gather of the P·k candidates (k·P ≪ N
+    rides ICI), and a replicated final top-k.  No part of the table ever
+    returns to the host.  TPU-native extension of the reference's serving
+    story (/root/reference/pycleora/search.py keeps the table in host RAM
+    and rebuilds hnsw on every process start).
+    """
+
+    def __init__(self, graph, embeddings: np.ndarray, mesh=None,
+                 dtype: str = "float32"):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel.mesh import make_mesh, round_up, shard_axes
+
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
+            )
+        self._graph = graph
+        self._mesh = mesh if mesh is not None else make_mesh()
+        self._axis = shard_axes(self._mesh)
+        n_shards = int(self._mesh.devices.size)
+        emb = np.asarray(embeddings, dtype=np.float32)
+        self._n, self._dim = emb.shape
+        normalized = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-10
+        )
+        n_padded = round_up(max(self._n, n_shards), n_shards)
+        if n_padded != self._n:
+            normalized = np.concatenate(
+                [normalized,
+                 np.zeros((n_padded - self._n, self._dim), np.float32)]
+            )
+        self._n_padded = n_padded
+        tdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        row_spec = PartitionSpec(self._axis, None)
+        self._table = jax.device_put(
+            normalized.astype(tdtype), NamedSharding(self._mesh, row_spec)
+        )
+        rows_per_shard = n_padded // n_shards
+        n_real = self._n
+        axis = self._axis
+
+        def _local_topk(table, q, k):
+            import jax.lax as lax
+
+            sims = jnp.dot(q, table.T, preferred_element_type=jnp.float32)
+            # axis_index flattens tuple axes (hierarchical mesh) itself
+            base = lax.axis_index(axis) * rows_per_shard
+            # mask padded rows (zero vectors would outrank negative cosines)
+            local_rows = base + jnp.arange(rows_per_shard)
+            sims = jnp.where(local_rows[None, :] < n_real, sims, -jnp.inf)
+            # a shard can hold fewer than k rows; the P·k_local gathered
+            # candidates still cover the global top-k (k ≤ n ≤ P·rows/shard)
+            kl = min(k, rows_per_shard)
+            s, i = lax.top_k(sims, kl)  # (Q, k_local) local
+            s_all = lax.all_gather(s, axis)  # (P, Q, k_local)
+            i_all = lax.all_gather(i + base, axis)
+            q_n = s.shape[0]
+            s_flat = jnp.moveaxis(s_all.reshape(-1, q_n, kl), 0, 1)
+            i_flat = jnp.moveaxis(i_all.reshape(-1, q_n, kl), 0, 1)
+            gs, gi = lax.top_k(s_flat.reshape(q_n, -1), k)
+            return gs, jnp.take_along_axis(
+                i_flat.reshape(q_n, -1), gi, axis=1
+            )
+
+        def _query(table, q, k):
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.shard_map(
+                lambda t, qq: _local_topk(t, qq, k),
+                mesh=self._mesh,
+                in_specs=(row_spec, P(*((None,) * 2))),
+                out_specs=(P(None, None), P(None, None)),
+                # outputs ARE replicated (they follow an all_gather) but the
+                # static varying-axes check can't prove it past the top_k
+                check_vma=False,
+            )
+            return fn(table, q)
+
+        self._jitted = jax.jit(_query, static_argnums=2)
+
+    def query_batch(self, vectors: np.ndarray,
+                    top_k: int = 10) -> List[List[Dict]]:
+        """Global top-k for a (Q, dim) block in one sharded dispatch."""
+        import jax.numpy as jnp
+
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self._dim:
+            raise ValueError(
+                f"vectors must have shape (Q, {self._dim}), got {vectors.shape}"
+            )
+        k = min(top_k, self._n)
+        qn = vectors / np.maximum(
+            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-10
+        )
+        sims, idx = self._jitted(
+            self._table, jnp.asarray(qn, dtype=self._table.dtype), k
+        )
+        sims, idx = np.asarray(sims), np.asarray(idx)
+        return [self._results(idx[i], sims[i]) for i in range(len(qn))]
+
+    def query_vector(self, vector: np.ndarray, top_k: int = 10) -> List[Dict]:
+        return self.query_batch(
+            np.asarray(vector, dtype=np.float32).reshape(1, -1), top_k
+        )[0]
+
+    def query(self, entity_id: str, top_k: int = 10,
+              exclude_self: bool = True) -> List[Dict]:
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        idx = self._graph.get_entity_index(entity_id)
+        fetch_k = top_k + 1 if exclude_self else top_k
+        table_row = np.asarray(self._table[idx], dtype=np.float32)
+        results = self.query_batch(table_row.reshape(1, -1), fetch_k)[0]
+        if exclude_self:
+            results = [r for r in results if r["entity_id"] != entity_id]
+        return results[:top_k]
+
+    def _results(self, indices, sims) -> List[Dict]:
+        ids = self._graph.entity_ids
+        return [
+            {"entity_id": ids[int(i)], "index": int(i), "similarity": float(s)}
+            for i, s in zip(indices, sims)
+        ]

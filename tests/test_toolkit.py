@@ -564,3 +564,39 @@ def test_examples_run(tmp_path):
             runpy.run_path(str(ex), run_name="__main__")
         finally:
             sys.argv = argv
+
+
+def test_sharded_device_index(setup):
+    """ShardedDeviceIndex over the 8-device mesh returns the same global
+    top-k as the single-device brute index (incl. padded-row masking and
+    self-exclusion), for flat and hierarchical meshes and bf16 tables."""
+    from cleora_tpu.parallel.mesh import make_hier_mesh, make_mesh
+    from cleora_tpu.search import ANNIndex, ShardedDeviceIndex
+
+    g, emb, _ = setup  # 34 rows over 8 shards: padding rows exercised
+    brute = ANNIndex(g, emb, method="brute")
+    for mesh in (make_mesh(8), make_hier_mesh(n_hosts=2, chips_per_host=4)):
+        idx = ShardedDeviceIndex(g, emb, mesh=mesh)
+        for eid in ("0", "33"):
+            got = idx.query(eid, top_k=5)
+            want = brute.query(eid, top_k=5)
+            assert [r["entity_id"] for r in got] == \
+                [r["entity_id"] for r in want]
+            for rg, rw in zip(got, want):
+                assert rg["similarity"] == pytest.approx(
+                    rw["similarity"], abs=1e-5
+                )
+        batch = idx.query_batch(emb[[7, 0, 12]], top_k=4)
+        assert len(batch) == 3
+        for qi, q in enumerate(emb[[7, 0, 12]]):
+            single = brute.query_vector(q, top_k=4)
+            assert [r["index"] for r in batch[qi]] == \
+                [r["index"] for r in single]
+    # bf16 table: same neighbors at reduced precision
+    bf = ShardedDeviceIndex(g, emb, mesh=make_mesh(8), dtype="bfloat16")
+    got = bf.query_vector(emb[7], top_k=3)
+    assert got[0]["index"] == 7
+    with pytest.raises(ValueError, match="dtype"):
+        ShardedDeviceIndex(g, emb, dtype="float16")
+    with pytest.raises(ValueError, match="shape"):
+        ShardedDeviceIndex(g, emb).query_batch(emb[:2, :-1])
