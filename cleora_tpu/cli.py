@@ -43,6 +43,19 @@ def main(argv=None):
                         "(bounded RAM; for inputs too big to build "
                         "in-memory; cleora algorithm only; unlike the "
                         "in-memory path, # comment lines are not stripped)")
+    p.add_argument("--shard", metavar="K/P", default=None,
+                   help="With --streaming: build only row shard K of P "
+                        "(multi-host sharded ingest — every host scans the "
+                        "input, each sorts/merges 1/P of it) and exit; "
+                        "combine pieces with the merge-shards command")
+    p.add_argument("--verbose", "-v", action="store_true")
+
+    p = sub.add_parser(
+        "merge-shards",
+        help="Concatenate sharded streaming-build pieces into one graph dir",
+    )
+    p.add_argument("pieces", nargs="+", help="Piece directories (any order)")
+    p.add_argument("--output", "-o", required=True, help="Merged graph dir")
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser("info", help="Show graph information")
@@ -65,7 +78,8 @@ def main(argv=None):
         parser.print_help()
         return
     {"embed": _cmd_embed, "info": _cmd_info, "benchmark": _cmd_benchmark,
-     "similar": _cmd_similar}[args.command](args)
+     "similar": _cmd_similar,
+     "merge-shards": _cmd_merge_shards}[args.command](args)
 
 
 def _read_edges(filepath):
@@ -82,6 +96,24 @@ def _read_edges(filepath):
 def _cmd_embed(args):
     from .sparse import SparseMatrix
 
+    import os
+
+    if args.shard is not None and args.streaming is None:
+        raise SystemExit("--shard requires --streaming DIR")
+
+    if (args.streaming is None and os.path.isdir(args.input)
+            and os.path.exists(os.path.join(args.input, "meta.json"))):
+        # a finished streaming-build directory (e.g. merge-shards output):
+        # embed straight off the on-disk CSR
+        if args.algorithm != "cleora":
+            raise SystemExit(
+                "graph-directory input supports only --algorithm cleora"
+            )
+        from .graph.stream import DiskGraph
+
+        _finish_embed(args, DiskGraph(args.input))
+        return
+
     if args.streaming is not None:
         # out-of-core: file streams through the spill/merge builder and the
         # embed reads the resulting on-disk CSR one row block at a time
@@ -89,6 +121,22 @@ def _cmd_embed(args):
             raise SystemExit(
                 "--streaming supports only --algorithm cleora"
             )
+        if args.shard is not None:
+            from .graph.stream import build_graph_streaming_sharded
+
+            try:
+                k, p = (int(x) for x in args.shard.split("/"))
+            except ValueError:
+                raise SystemExit("--shard must look like K/P, e.g. 0/4")
+            t0 = time.time()
+            piece = build_graph_streaming_sharded(
+                [args.input], args.columns, args.streaming, k, p, files=True
+            )
+            lo, hi = piece.meta["row_range"]
+            print(f"Built shard {k}/{p} (rows [{lo}, {hi}) of "
+                  f"{piece.num_entities}; {piece.num_edges} edges, "
+                  f"{time.time() - t0:.2f}s) -> {args.streaming}")
+            return
         from .graph.stream import build_graph_streaming
 
         if args.verbose:
@@ -160,6 +208,16 @@ def _finish_embed(args, graph):
     else:
         print(f"{graph.num_entities} entities -> {emb.shape} saved to "
               f"{args.output}")
+
+
+def _cmd_merge_shards(args):
+    from .graph.stream import merge_disk_graph_shards
+
+    t0 = time.time()
+    merged = merge_disk_graph_shards(args.pieces, args.output)
+    print(f"Merged {len(args.pieces)} piece(s) -> {args.output} "
+          f"({merged.num_entities} entities, {merged.num_edges} edges, "
+          f"{time.time() - t0:.2f}s)")
 
 
 def _cmd_info(args):

@@ -600,3 +600,34 @@ def test_sharded_device_index(setup):
         ShardedDeviceIndex(g, emb, dtype="float16")
     with pytest.raises(ValueError, match="shape"):
         ShardedDeviceIndex(g, emb).query_batch(emb[:2, :-1])
+
+
+def test_cli_sharded_streaming_build(tmp_path, capsys):
+    """CLI multi-host ingest flow: per-shard --streaming builds, merge-shards,
+    then embed straight off the merged graph directory."""
+    import numpy as _np
+
+    from cleora_tpu.cli import main
+
+    rng = _np.random.default_rng(31)
+    inp = tmp_path / "edges.txt"
+    inp.write_text("\n".join(
+        f"n{rng.integers(0, 70)} n{rng.integers(0, 70)}" for _ in range(900)
+    ))
+    for k in range(2):
+        main(["embed", "-i", str(inp), "-o", str(tmp_path / "unused.npz"),
+              "--streaming", str(tmp_path / f"p{k}"), "--shard", f"{k}/2"])
+        assert f"Built shard {k}/2" in capsys.readouterr().out
+    main(["merge-shards", "-o", str(tmp_path / "merged"),
+          str(tmp_path / "p1"), str(tmp_path / "p0")])  # any order
+    assert "Merged 2 piece(s)" in capsys.readouterr().out
+    out = tmp_path / "emb.npz"
+    main(["embed", "-i", str(tmp_path / "merged"), "-o", str(out),
+          "--dim", "16", "--iterations", "3"])
+    data = _np.load(out, allow_pickle=True)
+    assert data["embeddings"].shape[1] == 16
+    with pytest.raises(SystemExit, match="--shard requires"):
+        main(["embed", "-i", str(inp), "-o", str(out), "--shard", "0/2"])
+    with pytest.raises(SystemExit, match="K/P"):
+        main(["embed", "-i", str(inp), "-o", str(out),
+              "--streaming", str(tmp_path / "x"), "--shard", "zero"])
