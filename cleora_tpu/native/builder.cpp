@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <memory>
+#include <new>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -285,6 +286,96 @@ static inline uint64_t pack(int64_t row, int64_t col) {
   return ((uint64_t)row << 32) | (uint32_t)col;
 }
 
+// Parallel LSD radix sort of KV by key, 11-bit digits (2048 buckets — small
+// enough to stay cache/TLB-resident during the scatter; a 16-bit variant
+// degrades ~2x at 100M+ entries).  Stable, deterministic.  Measured on this
+// host vs __gnu_parallel::sort: 5x at 13M entries, 22x at 120M (the
+// comparison sort collapses to 1.3 M entries/s at spill-run sizes).  Falls
+// back to the comparison sort when scratch can't be allocated or
+// CLEORA_RADIX=0.
+template <typename T, typename KeyFn>
+static bool radix_sort_by(T* a, size_t n, int num_workers, KeyFn key) {
+  constexpr int BITS = 11;
+  constexpr int B = 1 << BITS;
+  constexpr uint64_t MASK = B - 1;
+  static const bool disabled = [] {
+    const char* e = std::getenv("CLEORA_RADIX");
+    return e && e[0] == '0';
+  }();
+  T* tmp = nullptr;
+  if (!disabled && n >= (1u << 15))
+    tmp = new (std::nothrow) T[n];
+  if (!tmp) return false;  // caller falls back to a comparison sort
+  int W = std::max(1, num_workers);
+  size_t per = (n + W - 1) / W;
+  // skip passes above the highest set key bit (row < 2^31 → ≤ 6 passes)
+  uint64_t ormask = 0;
+  {
+    std::vector<uint64_t> part((size_t)W, 0);
+    std::vector<std::thread> th;
+    for (int w = 0; w < W; ++w)
+      th.emplace_back([&, w] {
+        uint64_t m = 0;
+        size_t lo = std::min(n, (size_t)w * per), hi = std::min(n, lo + per);
+        for (size_t i = lo; i < hi; ++i) m |= key(a[i]);
+        part[(size_t)w] = m;
+      });
+    for (auto& t : th) t.join();
+    for (int w = 0; w < W; ++w) ormask |= part[(size_t)w];
+  }
+  int need = 1;
+  while ((ormask >> need) && need < 64) ++need;
+  int passes = (need + BITS - 1) / BITS;
+  T* src = a;
+  T* dst = tmp;
+  std::vector<std::vector<size_t>> hist((size_t)W,
+                                        std::vector<size_t>(B));
+  for (int p = 0; p < passes; ++p) {
+    int shift = p * BITS;
+    {
+      std::vector<std::thread> th;
+      for (int w = 0; w < W; ++w)
+        th.emplace_back([&, w] {
+          auto& h = hist[(size_t)w];
+          std::fill(h.begin(), h.end(), 0);
+          size_t lo = std::min(n, (size_t)w * per);
+          size_t hi = std::min(n, lo + per);
+          for (size_t i = lo; i < hi; ++i)
+            ++h[(key(src[i]) >> shift) & MASK];
+        });
+      for (auto& t : th) t.join();
+    }
+    size_t sum = 0;  // exclusive prefix over (digit, worker): stable order
+    for (int d = 0; d < B; ++d)
+      for (int w = 0; w < W; ++w) {
+        size_t c = hist[(size_t)w][(size_t)d];
+        hist[(size_t)w][(size_t)d] = sum;
+        sum += c;
+      }
+    {
+      std::vector<std::thread> th;
+      for (int w = 0; w < W; ++w)
+        th.emplace_back([&, w] {
+          auto& h = hist[(size_t)w];
+          size_t lo = std::min(n, (size_t)w * per);
+          size_t hi = std::min(n, lo + per);
+          for (size_t i = lo; i < hi; ++i)
+            dst[h[(key(src[i]) >> shift) & MASK]++] = src[i];
+        });
+      for (auto& t : th) t.join();
+    }
+    std::swap(src, dst);
+  }
+  if (src != a) std::memcpy(a, src, n * sizeof(T));
+  delete[] tmp;
+  return true;
+}
+
+static void sort_kv_by_key(KV* a, size_t n, int num_workers) {
+  if (!radix_sort_by(a, n, num_workers, [](const KV& x) { return x.key; }))
+    PSORT(a, a + n, [](const KV& x, const KV& y) { return x.key < y.key; });
+}
+
 // Open-addressing hash table (linear probing, identity hash — XXH64 keys are
 // already well mixed).  ~6x faster than std::unordered_map on this workload.
 struct FirstSeenTable {
@@ -463,9 +554,13 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
         });
       for (auto& t : threads) t.join();
     }
-    PSORT(hp.get(), hp.get() + n_tok, [](const HP& x, const HP& y) {
-      return x.hash != y.hash ? x.hash < y.hash : x.pos < y.pos;
-    });
+    // stable radix by hash: hp[] is filled with pos ascending, so equal
+    // hashes stay pos-ordered — identical to the (hash, pos) comparison
+    if (!radix_sort_by(hp.get(), (size_t)n_tok, num_workers,
+                       [](const HP& x) { return x.hash; }))
+      PSORT(hp.get(), hp.get() + n_tok, [](const HP& x, const HP& y) {
+        return x.hash != y.hash ? x.hash < y.hash : x.pos < y.pos;
+      });
     // group starts and first positions
     std::vector<int64_t> group_start;
     group_start.reserve((size_t)n_tok / 2);
@@ -657,9 +752,7 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
   lap("pairs");
 
   // ---- phase 5: sort by packed key, merge duplicates, normalize
-  // (parallel comparison sort; a 16-bit-pass radix variant measured 4-5x
-  // SLOWER here — the 64K-bucket scatter thrashes cache/TLB on this host)
-  PSORT(pr, pr + n_pairs, [](const KV& x, const KV& y) { return x.key < y.key; });
+  sort_kv_by_key(pr, n_pairs, num_workers);
   lap("sort");
 
   res->indptr.assign((size_t)n_entities + 1, 0);

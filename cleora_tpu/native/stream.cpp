@@ -161,7 +161,7 @@ static bool flush_run(StreamState* st) {
     if (n == 0) return true;
   }
   st->n_pairs_emitted += (int64_t)n;
-  PSORT(p, p + n, [](const KV& x, const KV& y) { return x.key < y.key; });
+  sort_kv_by_key(p, n, st->num_workers);
   lap("  run:sort");
   std::string path = run_path(st, st->n_runs);
   FILE* f = std::fopen(path.c_str(), "wb");

@@ -46,4 +46,38 @@ cf = (ctypes.c_uint8 * 1)(1); rf = (ctypes.c_uint8 * 1)(1)
 h = lib.ct_build_files(paths, 2, 1, cf, rf, 16, 2)
 print("files ok", lib.ct_num_entities(h), lib.ct_num_edges(h))
 lib.ct_free(h)
+# streaming core: spills (tiny run threshold), k-way merge, file-mode UTF-8
+# skips, row filter, and the index-only (emit=0) pass
+os.environ["CLEORA_STREAM_RUN_PAIRS"] = "4096"
+from cleora_tpu.graph import stream as stmod
+for row_range, emit in ((None, True), ((5, 40), True), (None, False)):
+    sd = tempfile.mkdtemp()
+    cf1 = (ctypes.c_uint8 * 1)(1); rf1 = (ctypes.c_uint8 * 1)(1)
+    hs = lib.ct_stream_open(1, cf1, rf1, 8, 2, sd.encode(), 64 << 20)
+    if not emit:
+        lib.ct_stream_set_emit(hs, 0)
+    if row_range is not None:
+        lib.ct_stream_set_row_filter(hs, *row_range)
+    rng2 = np.random.default_rng(9)
+    for _ in range(4):
+        chunk = "\n".join(
+            " ".join(f"s{rng2.integers(0, 200)}"
+                     for _ in range(rng2.integers(1, 20)))
+            for _ in range(2000)) + "\n"
+        assert lib.ct_stream_feed(hs, chunk.encode(), len(chunk.encode()), 1) == 0
+    bad = b"x y\n\xed\xa0\x80 q\nz w\n"
+    assert lib.ct_stream_feed(hs, bad, len(bad), 1) == 0
+    src = np.arange(3000, dtype=np.int64) % 97
+    dst = (np.arange(3000, dtype=np.int64) * 7) % 97
+    assert lib.ct_stream_feed_pairs(
+        hs, src.ctypes.data_as(ctypes.c_void_p),
+        dst.ctypes.data_as(ctypes.c_void_p), 3000) == 0
+    if emit:
+        assert lib.ct_stream_finish(hs) == 0, lib.ct_stream_error(hs)
+        print("stream ok", lib.ct_stream_num_entities(hs),
+              lib.ct_stream_num_edges(hs), "runs", lib.ct_stream_num_runs(hs))
+    else:
+        print("stream index-only ok", lib.ct_stream_num_entities(hs))
+    lib.ct_stream_free(hs)
+
 print("ALL SANITIZER CASES PASSED")
