@@ -184,3 +184,46 @@ def test_ell_plan_shapes_and_slots():
     assert plan.slots >= nonzero_vals
     # order/rank are inverse permutations
     assert (plan.order[plan.rank] == np.arange(500)).all()
+
+
+def test_widths_dp_optimal_vs_bruteforce():
+    """_widths_for is an exact slot-minimizing partition: compare against a
+    brute-force search over all contiguous partitions on small histograms."""
+    from itertools import combinations
+
+    from cleora_tpu.ops.spmm_ell import _widths_for
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n_deg = rng.integers(3, 9)
+        degs = np.sort(rng.choice(np.arange(1, 30), size=n_deg,
+                                  replace=False))
+        counts = rng.integers(1, 1000, size=n_deg)
+        degrees = np.repeat(degs, counts)
+        max_b = int(rng.integers(1, n_deg))
+
+        def slots_of(widths):
+            total, lo = 0, 0
+            for w in widths:
+                m = (degrees > lo) & (degrees <= w)
+                total += int(m.sum()) * w
+                lo = w
+            assert lo >= degs[-1]
+            return total
+
+        best = None
+        for b in range(1, max_b + 1):
+            for cut in combinations(range(n_deg - 1), b - 1):
+                widths = [int(degs[i]) for i in cut] + [int(degs[-1])]
+                s = slots_of(widths)
+                best = s if best is None else min(best, s)
+        got = _widths_for(degrees, max_buckets=max_b)
+        assert slots_of(got) == best, (degs, counts, max_b, got)
+
+
+def test_widths_dp_few_degrees_exact():
+    from cleora_tpu.ops.spmm_ell import _widths_for
+
+    assert _widths_for(np.array([3, 3, 7, 7, 7])) == [3, 7]
+    assert _widths_for(np.array([], dtype=np.int64)) == []
+    assert _widths_for(np.zeros(5, dtype=np.int64)) == []
