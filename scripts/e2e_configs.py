@@ -108,8 +108,10 @@ def config4_hetero():
         if a in set(train_g.entity_ids) and b in set(train_g.entity_ids)
     ]
     lp = metrics.link_prediction_scores(train_g, combo, test_edges)
+    # MRR here is pooled over all 50×|pos| negatives (reference semantics,
+    # metrics.py:72-79) so its absolute value is tiny; hits@10 reads better
     print(f"[4] hetero: {h!r} ensemble link-pred AUC={lp['auc']:.3f} "
-          f"MRR={lp['mrr']:.3f}")
+          f"MRR={lp['mrr']:.4f} hits@10={lp['hits@10']:.3f}")
 
 
 def main():

@@ -24,17 +24,25 @@ import jax.numpy as jnp
 from bench import synthetic_coo
 from cleora_tpu.ops.loop import embed_loop
 from cleora_tpu.ops.spmm import pad_coo, plan_banded_coo
+from cleora_tpu.ops.spmm_ell import plan_ell
 
 n_nodes, n_und, iters, dim = 3_000_000, 30_000_000, 10, 256
 
 rows, cols, vals = synthetic_coo(n_nodes, n_und)
 nnz = rows.shape[0]
-triple = plan_banded_coo(rows, cols, vals, n_nodes, d=dim)
-layout = "banded" if triple is not None else "flat"
-if triple is None:
-    triple = pad_coo(rows, cols, vals, n_nodes)
-print(f"layout={layout} nnz={nnz} bands={triple[0].shape}", flush=True)
-drow, dcol, dval = (jnp.asarray(a) for a in triple)
+plan = plan_ell(rows, cols, vals, n_nodes, d=dim)
+if plan is not None:
+    layout = "ell"
+    print(f"layout=ell nnz={nnz} slots={plan.slots} "
+          f"pad={plan.slots / nnz - 1:.2%}", flush=True)
+    drow, dcol, dval = plan.device(), (), ()
+else:
+    triple = plan_banded_coo(rows, cols, vals, n_nodes, d=dim)
+    layout = "banded" if triple is not None else "flat"
+    if triple is None:
+        triple = pad_coo(rows, cols, vals, n_nodes)
+    print(f"layout={layout} nnz={nnz} bands={triple[0].shape}", flush=True)
+    drow, dcol, dval = (jnp.asarray(a) for a in triple)
 
 x0 = jnp.asarray(
     np.random.default_rng(0).standard_normal((n_nodes, dim)).astype(np.float32)
