@@ -260,6 +260,14 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
   if (!has_big) {
     int64_t n_edges = (int64_t)edges.size();
     int W = st->num_workers;
+    // row filter (sharded build): skip writing out-of-range pairs at
+    // emission time — the scan/stats stay global, but pair writes, sort and
+    // spill all shrink to this host's share (the trim path is rare and
+    // keeps filtering at flush time instead)
+    const bool filt =
+        st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX;
+    const int64_t flo = st->filt_lo, fhi = st->filt_hi;
+    auto in_range = [&](int64_t idx) { return idx >= flo && idx < fhi; };
     std::vector<RowStat> partials;  // W * n_ent would be huge; use atomic-free
     // per-thread sparse accumulation is overkill here: stats updates are
     // plain += on doubles/ints — do them sequentially (cheap relative to
@@ -275,7 +283,17 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
       offs.push_back(0);
       while (j < n_edges) {
         const Edge& e = edges[(size_t)j];
-        size_t emit_n = (size_t)(e.a_len * e.b_len) * 2;
+        size_t emit_n;
+        if (!filt) {
+          emit_n = (size_t)(e.a_len * e.b_len) * 2;
+        } else {
+          int64_t a_in = 0, b_in = 0;
+          for (int64_t x = 0; x < e.a_len; ++x)
+            a_in += in_range(tok_index[(size_t)(e.a_off + x)]);
+          for (int64_t y = 0; y < e.b_len; ++y)
+            b_in += in_range(tok_index[(size_t)(e.b_off + y)]);
+          emit_n = (size_t)(a_in * e.b_len + b_in * e.a_len);
+        }
         if (need + emit_n > room) break;
         need += emit_n;
         offs.push_back((int64_t)need);
@@ -299,12 +317,25 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
             if (e.a_len == 0 || e.b_len == 0) continue;
             double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
             KV* out = base + offs[(size_t)k];
-            for (int64_t x = 0; x < e.a_len; ++x) {
-              int64_t a = tok_index[(size_t)(e.a_off + x)];
-              for (int64_t y = 0; y < e.b_len; ++y) {
-                int64_t b = tok_index[(size_t)(e.b_off + y)];
-                *out++ = {pack(a, b), val};
-                *out++ = {pack(b, a), val};
+            if (!filt) {
+              for (int64_t x = 0; x < e.a_len; ++x) {
+                int64_t a = tok_index[(size_t)(e.a_off + x)];
+                for (int64_t y = 0; y < e.b_len; ++y) {
+                  int64_t b = tok_index[(size_t)(e.b_off + y)];
+                  *out++ = {pack(a, b), val};
+                  *out++ = {pack(b, a), val};
+                }
+              }
+            } else {
+              // same pair multiset restricted to rows in [flo, fhi)
+              for (int64_t x = 0; x < e.a_len; ++x) {
+                int64_t a = tok_index[(size_t)(e.a_off + x)];
+                bool a_in = in_range(a);
+                for (int64_t y = 0; y < e.b_len; ++y) {
+                  int64_t b = tok_index[(size_t)(e.b_off + y)];
+                  if (a_in) *out++ = {pack(a, b), val};
+                  if (in_range(b)) *out++ = {pack(b, a), val};
+                }
               }
             }
           }
