@@ -317,18 +317,28 @@ def build_graph_streaming_pairs(
     hyperedge_trim_n: int = 16,
     num_workers: Optional[int] = None,
     ram_cap_bytes: int = 2 << 30,
+    row_range: Optional[tuple] = None,
 ) -> DiskGraph:
     """Stream-build from (src, dst) int64 array chunks — the zero-text fast
     path for synthetic scale tests and _LazyEdgeList ingestion.  Ids are
     formatted as decimal strings natively, so the result is identical to
     feeding ``f"{s} {d}"`` lines.  Requires a single complex::reflexive
-    column spec."""
+    column spec.  ``row_range`` builds one host's piece, as in
+    ``build_graph_streaming``."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("streaming build requires the native builder")
     os.makedirs(out_dir, exist_ok=True)
     handle, _ = _open_stream(lib, columns, hyperedge_trim_n, num_workers,
                              out_dir, ram_cap_bytes)
+    extra_meta = None
+    if row_range is not None:
+        lo, hi = int(row_range[0]), int(row_range[1])
+        if lo < 0 or hi <= lo:
+            lib.ct_stream_free(handle)
+            raise ValueError(f"invalid row_range {row_range!r}")
+        lib.ct_stream_set_row_filter(handle, lo, hi)
+        extra_meta = {"row_range": [lo, hi]}
     for src, dst in pair_chunks:
         src = np.ascontiguousarray(src, dtype=np.int64)
         dst = np.ascontiguousarray(dst, dtype=np.int64)
@@ -343,7 +353,7 @@ def build_graph_streaming_pairs(
             msg = err.decode() if err else "streaming feed failed"
             lib.ct_stream_free(handle)
             raise ValueError(msg)
-    return _finish(lib, handle, columns, out_dir)
+    return _finish(lib, handle, columns, out_dir, extra_meta=extra_meta)
 
 
 def shard_row_bounds(n_rows: int, n_shards: int,

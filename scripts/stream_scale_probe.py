@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=8_000_000)
     ap.add_argument("--out", default="/tmp/stream_scale")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--shard", default=None, metavar="K/P",
+                    help="Build only row shard K of P (multi-host sharded "
+                         "ingest; rows cut by shard_row_bounds over --nodes "
+                         "— exact for the two-column pair feed where ids "
+                         "are first-seen-dense)")
     ap.add_argument("--columns", default="complex::reflexive::node",
                     help="'complex::a complex::b' emits 2 entries/pair "
                          "(roadNet-style) vs 8 for the reflexive clique — "
@@ -56,10 +61,22 @@ def main():
             print(f"  fed {fed/1e6:.0f}M pairs  {fed/el/1e6:.1f} M pairs/s  "
                   f"peak RSS {rss:.1f} GB", flush=True)
 
+    row_range = None
+    if args.shard is not None:
+        from cleora_tpu.graph.stream import shard_row_bounds
+
+        k, p = (int(x) for x in args.shard.split("/"))
+        # pair ids are dense in [0, nodes) and (for big runs) all appear,
+        # so the entity count equals --nodes; no counting pass needed
+        bounds = shard_row_bounds(args.nodes, p)
+        row_range = (bounds[k], bounds[k + 1])
+        print(f"shard {k}/{p}: rows [{row_range[0]}, {row_range[1]})")
+
     t0 = time.perf_counter()
     dg = build_graph_streaming_pairs(
         chunks(), args.columns, args.out,
         ram_cap_bytes=int(args.ram_cap_gb * (1 << 30)),
+        row_range=row_range,
     )
     wall = time.perf_counter() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
@@ -73,7 +90,7 @@ def main():
           f"peak RSS {rss:.2f} GB (cap {args.ram_cap_gb} GB on the pair "
           f"stream); output {out_bytes/1e9:.1f} GB on disk")
     # sanity: CSR indptr is consistent
-    assert int(dg.indptr[-1]) == dg.num_edges
+    assert int(dg.indptr[-1]) == dg.num_edges  # holds for shards too
     if not args.keep:
         import shutil
 
