@@ -47,9 +47,11 @@ class DiskGraph:
         self.path = path
         with open(os.path.join(path, _META)) as f:
             self.meta = json.load(f)
-        mm = lambda name, dtype: np.memmap(
-            os.path.join(path, name), dtype=dtype, mode="r"
-        )
+        def mm(name, dtype):
+            p = os.path.join(path, name)
+            if os.path.getsize(p) == 0:  # e.g. an empty sharded-build piece
+                return np.empty(0, dtype=dtype)
+            return np.memmap(p, dtype=dtype, mode="r")
         self.indptr = mm("indptr.bin", np.int64)
         self.indices = mm("indices.bin", np.int32)
         self.left_vals = mm("left_vals.bin", np.float32)

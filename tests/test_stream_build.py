@@ -398,3 +398,31 @@ def test_shard_row_bounds_matches_shard_disk_graph(tmp_path):
         rps = sd.rows_per_shard
         assert all(bounds[k] == min(k * rps, dg.num_entities)
                    for k in range(p + 1))
+
+
+def test_sharded_build_empty_trailing_shard(tmp_path):
+    """More shards than the tail rows need: the last piece is empty (its
+    row range is [n, n]) yet still merges cleanly."""
+    from cleora_tpu.graph.stream import (
+        build_graph_streaming_sharded,
+        merge_disk_graph_shards,
+        shard_row_bounds,
+    )
+
+    lines = [f"n{i % 20} n{(i * 3) % 20}" for i in range(200)]
+    cols = "complex::reflexive::n"
+    full = build_graph_streaming(iter(lines), cols, str(tmp_path / "full"))
+    P = 8
+    bounds = shard_row_bounds(full.num_entities, P)
+    assert bounds[-1] == bounds[-2] == full.num_entities  # empty tail shard
+    pieces = [
+        build_graph_streaming_sharded(lines, cols, str(tmp_path / f"p{k}"),
+                                      k, P, n_entities=full.num_entities)
+        for k in range(P)
+    ]
+    assert pieces[-1].num_edges == 0
+    merged = merge_disk_graph_shards([p.path for p in pieces],
+                                     str(tmp_path / "m"))
+    assert np.array_equal(np.asarray(merged.indices),
+                          np.asarray(full.indices))
+    assert np.array_equal(np.asarray(merged.indptr), np.asarray(full.indptr))
