@@ -188,30 +188,47 @@ def mlp_classify(
     X_test, y_test = X[test_idx], y_mapped[test_idx]
 
     input_dim = X.shape[1]
-    params = {
-        "W1": jnp.asarray(
-            rng.standard_normal((input_dim, hidden_dim)) * np.sqrt(2.0 / input_dim),
-            dtype=jnp.float32,
-        ),
-        "b1": jnp.zeros(hidden_dim, dtype=jnp.float32),
-        "W2": jnp.asarray(
-            rng.standard_normal((hidden_dim, num_classes)) * np.sqrt(2.0 / hidden_dim),
-            dtype=jnp.float32,
-        ),
-        "b2": jnp.zeros(num_classes, dtype=jnp.float32),
-    }
+    if hidden_dim == 0:
+        # linear (logistic-regression) probe — a cleora_tpu extension past
+        # the reference's fixed 2-layer shape (BASELINE config 3 calls for a
+        # logistic probe); same rng stream, one weight matrix
+        params = {
+            "W1": jnp.asarray(
+                rng.standard_normal((input_dim, num_classes))
+                * np.sqrt(2.0 / input_dim),
+                dtype=jnp.float32,
+            ),
+            "b1": jnp.zeros(num_classes, dtype=jnp.float32),
+        }
 
-    def logits_fn(params, Xb):
-        h = jax.nn.relu(Xb @ params["W1"] + params["b1"])
-        return h @ params["W2"] + params["b2"]
+        def logits_fn(params, Xb):
+            return Xb @ params["W1"] + params["b1"]
+
+    else:
+        params = {
+            "W1": jnp.asarray(
+                rng.standard_normal((input_dim, hidden_dim)) * np.sqrt(2.0 / input_dim),
+                dtype=jnp.float32,
+            ),
+            "b1": jnp.zeros(hidden_dim, dtype=jnp.float32),
+            "W2": jnp.asarray(
+                rng.standard_normal((hidden_dim, num_classes)) * np.sqrt(2.0 / hidden_dim),
+                dtype=jnp.float32,
+            ),
+            "b2": jnp.zeros(num_classes, dtype=jnp.float32),
+        }
+
+        def logits_fn(params, Xb):
+            h = jax.nn.relu(Xb @ params["W1"] + params["b1"])
+            return h @ params["W2"] + params["b2"]
 
     def loss_fn(params, Xb, yb):
         logits = logits_fn(params, Xb)
         ce = -jnp.mean(
             jax.nn.log_softmax(logits)[jnp.arange(Xb.shape[0]), yb]
         )
-        reg = 0.5 * l2_reg * (
-            jnp.sum(params["W1"] ** 2) + jnp.sum(params["W2"] ** 2)
+        reg = 0.5 * l2_reg * sum(
+            jnp.sum(w ** 2) for k, w in params.items() if k.startswith("W")
         )
         return ce + reg
 

@@ -61,9 +61,15 @@ def config3_arxiv():
     emb = ct.embed(g)
     elapsed = time.time() - t0
     acc = metrics.node_classification_scores(g, emb, d["labels"])["accuracy"]
+    # linear (logistic-regression) probe per BASELINE config 3: the MLP
+    # probe with hidden_dim=0 degenerates to softmax regression
+    from cleora_tpu.classify import mlp_classify
+
+    lin = mlp_classify(g, emb, d["labels"], hidden_dim=0)["accuracy"]
     eps = g.num_edges * 40 / elapsed
     print(f"[3] ogbn-arxiv: {g!r} embed {elapsed:.1f}s "
-          f"({eps/1e6:.1f} M edge-ops/s) accuracy={acc:.3f}")
+          f"({eps/1e6:.1f} M edge-ops/s) centroid-accuracy={acc:.3f} "
+          f"logistic-probe={lin:.3f}")
 
 
 def config4_hetero():

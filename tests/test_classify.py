@@ -102,3 +102,24 @@ def test_gcn_three_layers(setup):
                           hidden_dim=16)
     assert out["num_layers"] == 3
     assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_mlp_hidden_dim_zero_is_linear_probe():
+    """hidden_dim=0 runs a logistic-regression (single linear layer) probe
+    — the BASELINE config-3 probe; must beat chance comfortably on a
+    community dataset."""
+    import numpy as np
+
+    from cleora_tpu import SparseMatrix, embed
+    from cleora_tpu.classify import mlp_classify
+    from cleora_tpu.datasets import load_dataset
+
+    d = load_dataset("cora")
+    g = SparseMatrix.from_iterator(iter(d["edges"]), d["columns"])
+    # whitened features: the linear probe relies on variance-equalized
+    # inputs (raw L2-normalized rows leave it near chance at this lr)
+    emb = embed(g, feature_dim=64, num_iterations=10, whiten=True)
+    r = mlp_classify(g, emb, d["labels"], hidden_dim=0, num_epochs=100)
+    n_classes = len(set(d["labels"].values()))
+    assert r["accuracy"] > 2.0 / n_classes
+    assert set(r) >= {"accuracy", "macro_f1"}
