@@ -372,6 +372,20 @@ def shard_row_bounds(n_rows: int, n_shards: int,
     return [min(k * rows_per_shard, n_rows) for k in range(n_shards + 1)]
 
 
+def host_piece_range(n_entities: int, n_shards: int, shards_per_host: int,
+                     host_id: int, row_multiple: int = 8) -> tuple:
+    """Row range a HOST must build so its piece covers exactly the blocks of
+    its own devices: shards are cut per-device (``n_shards`` = total device
+    count), and host h owns devices [h·spc, (h+1)·spc).  Use with
+    ``build_graph_streaming(..., row_range=...)``; the per-host piece then
+    feeds ``parallel.embed_sharded`` directly (no merged graph on any
+    host)."""
+    bounds = shard_row_bounds(n_entities, n_shards, row_multiple)
+    lo = bounds[min(host_id * shards_per_host, n_shards)]
+    hi = bounds[min((host_id + 1) * shards_per_host, n_shards)]
+    return lo, hi
+
+
 def build_graph_streaming_sharded(
     source,
     columns: str,

@@ -328,17 +328,40 @@ def build_sharded_embed(
     )
     jitted = jax.jit(mapped)
 
+    n_shards_total = int(mesh.devices.size)
+
+    def _put(a, spec):
+        """Place a globally-shaped host array with the given spec.
+
+        Multi-process: use process-local placement (device_put would verify
+        the full array is identical across processes — it is not when each
+        host holds only its own sharded-build piece).  This process's
+        shards are a contiguous run of the flattened mesh order, so the
+        local portion is one slice of the leading (sharded) dimension."""
+        sh = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(a, sh)
+        if len(spec) and spec[0] is not None:  # leading dim sharded
+            me = jax.process_index()
+            ks = [k for k in range(n_shards_total)
+                  if mesh.devices.flat[k].process_index == me]
+            assert ks == list(range(ks[0], ks[-1] + 1)), (
+                "process shards not contiguous in mesh order"
+            )
+            per = a.shape[0] // n_shards_total
+            a = np.asarray(a)[ks[0] * per:(ks[-1] + 1) * per]
+        return jax.make_array_from_process_local_data(sh, np.asarray(a))
+
     def place(x_padded: np.ndarray):
         if ell is not None:
             x_padded = ell.permute_state(np.asarray(x_padded))
-        xs = jax.device_put(x_padded, NamedSharding(mesh, row_spec))
+        xs = _put(x_padded, row_spec)
         # paired walk (PartitionSpec is a tuple subclass — tree_map over the
         # spec tree would descend into it, so flatten against the array tree)
         arr_leaves, treedef = jax.tree_util.tree_flatten(layout_arrays)
         spec_leaves = treedef.flatten_up_to(layout_specs)
         placed_layout = treedef.unflatten([
-            jax.device_put(a, NamedSharding(mesh, s))
-            for a, s in zip(arr_leaves, spec_leaves)
+            _put(a, s) for a, s in zip(arr_leaves, spec_leaves)
         ])
         out = [xs, placed_layout]
         if halo is not None or overlap is not None:
@@ -348,13 +371,10 @@ def build_sharded_embed(
                 send = ell.send_idx  # halo rows fetched from ELL-space state
             else:
                 send = halo.send_idx
-            out.append(
-                jax.device_put(send, NamedSharding(mesh, P(axis, None, None)))
-            )
+            out.append(_put(send, P(axis, None, None)))
         if overlap is not None:
-            gsh = NamedSharding(mesh, P(axis, None))
             out.append(tuple(
-                tuple(jax.device_put(a, gsh) for a in g)
+                tuple(_put(a, P(axis, None)) for a in g)
                 for g in overlap.groups
             ))
         return tuple(out)
@@ -418,7 +438,73 @@ def embed_sharded(
             mesh = make_mesh(n_devices)
     n_shards = mesh.devices.size
 
-    sharded = shard_graph(graph, propagation, n_shards)
+    # per-host PIECE of a sharded build (graph.stream sharded ingest): the
+    # piece holds only this host's row blocks, so layouts needing global
+    # edge data (halo planning, sharded ELL, banding) are unavailable —
+    # run the flat layout with the all-gather exchange; the per-shard edge
+    # capacity is allgathered so every process compiles the same shapes
+    piece_range = (graph.meta.get("row_range")
+                   if getattr(graph, "meta", None) else None)
+    piece = (piece_range is not None
+             and (piece_range[0] > 0
+                  or piece_range[1] < graph.num_entities))
+    if piece:
+        import jax as _jax
+
+        from .shard import shard_disk_graph
+
+        if _jax.process_count() == 1:
+            raise ValueError(
+                "This DiskGraph is one host's piece of a sharded build "
+                f"(rows {piece_range}); embedding it needs either the "
+                "merged graph (graph.stream.merge_disk_graph_shards) or a "
+                "multi-process run where every host holds its own piece."
+            )
+        if halo or banded or ell in (True, "split"):
+            raise ValueError(
+                "halo/banded/ell layouts need global edge data; a sharded-"
+                "build piece supports only the default flat layout "
+                "(merge the pieces for the optimized layouts)."
+            )
+        halo, banded, ell = False, False, False
+        n = graph.num_entities
+        from ..graph.stream import shard_row_bounds
+
+        bounds = shard_row_bounds(n, n_shards)
+        lo, hi = int(piece_range[0]), int(piece_range[1])
+        if lo not in bounds or hi not in bounds:
+            raise ValueError(
+                f"piece row range [{lo}, {hi}) does not align with the "
+                f"{n_shards}-device shard cut {bounds}; build pieces with "
+                "graph.stream.host_piece_range(n_entities, n_devices, "
+                "devices_per_host, host_id)"
+            )
+        # every shard this process will place must lie inside the piece
+        me = _jax.process_index()
+        for k in range(n_shards):
+            if mesh.devices.flat[k].process_index != me:
+                continue
+            if not (lo <= bounds[k] and bounds[k + 1] <= hi):
+                raise ValueError(
+                    f"process {me} owns shard {k} (rows [{bounds[k]}, "
+                    f"{bounds[k + 1]})) but its piece covers only "
+                    f"[{lo}, {hi})"
+                )
+        local_max = max(
+            (int(graph.indptr[bounds[k + 1]] - graph.indptr[bounds[k]])
+             for k in range(n_shards)
+             if lo <= bounds[k] and bounds[k + 1] <= hi),
+            default=0,
+        )
+        from jax.experimental import multihost_utils
+
+        cap = int(np.max(multihost_utils.process_allgather(
+            jnp.asarray([local_max])
+        )))
+        sharded = shard_disk_graph(graph, propagation, n_shards,
+                                   edge_capacity=cap)
+    else:
+        sharded = shard_graph(graph, propagation, n_shards)
     plan = None
     overlap_plan = None
     if halo == "overlap" and n_shards > 1:

@@ -91,12 +91,20 @@ def shard_disk_graph(
     n_shards: int,
     row_multiple: int = 8,
     edge_multiple: int = 512,
+    edge_capacity: int = None,
 ) -> ShardedCoo:
     """Build a ShardedCoo straight off a streamed build's ``DiskGraph``
     (graph.stream) one row block at a time — the out-of-core path for
     graphs whose edge list was never materialized in RAM.  Peak extra host
     memory is one shard's COO slice plus the packed (P, E) output; the
-    on-disk CSR is already row-sorted so no sort pass is needed."""
+    on-disk CSR is already row-sorted so no sort pass is needed.
+
+    ``edge_capacity`` overrides the per-shard edge slot count — required
+    when ``dg`` is one host's PIECE of a sharded build (its indptr is zero
+    outside its row range, so the local max underestimates the global one;
+    the caller allgathers the true max across hosts).  Shards outside the
+    piece pack as all-padding; only the jit-addressable shards' data is
+    read at placement time."""
     n = dg.num_entities
     n_padded = round_up(max(n, n_shards * row_multiple), n_shards * row_multiple)
     rows_per_shard = n_padded // n_shards
@@ -104,7 +112,9 @@ def shard_disk_graph(
     # per-shard edge counts from indptr alone (memmap, O(P) element reads)
     counts = [int(dg.indptr[bounds[k + 1]] - dg.indptr[bounds[k]])
               for k in range(n_shards)]
-    max_e = round_up(max(max(counts), edge_multiple), edge_multiple)
+    max_e = (int(edge_capacity) if edge_capacity is not None
+             else max(max(counts), edge_multiple))
+    max_e = round_up(max(max_e, edge_multiple), edge_multiple)
 
     lr = np.empty((n_shards, max_e), dtype=np.int32)
     cc = np.zeros((n_shards, max_e), dtype=np.int32)

@@ -53,6 +53,28 @@ results = {
 for v in results.values():
     assert v.shape == (graph.num_entities, 16)
 
+# full multi-host pipeline off per-host PIECES: each process stream-builds
+# only its own devices' row blocks (sharded ingest) and embeds directly —
+# no merged graph exists on any host
+import tempfile  # noqa: E402
+
+from cleora_tpu.graph.stream import (  # noqa: E402
+    build_graph_streaming,
+    count_entities_streaming,
+    host_piece_range,
+)
+
+cols = "complex::reflexive::node"
+n_entities = count_entities_streaming(lines, cols)
+n_devices = num_procs * 2
+lo, hi = host_piece_range(n_entities, n_devices, 2, proc_id)
+with tempfile.TemporaryDirectory() as tmp:
+    piece = build_graph_streaming(iter(lines), cols, tmp + "/piece",
+                                  row_range=(lo, hi))
+    results["piece"] = embed_sharded(piece, feature_dim=16,
+                                     num_iterations=4, whiten=False)
+assert results["piece"].shape == (n_entities, 16)
+
 if proc_id == 0:
     np.savez(out_path, **results)
 print(f"proc {proc_id} ok", flush=True)

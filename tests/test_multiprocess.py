@@ -50,6 +50,8 @@ def test_two_process_sharded_embed(tmp_path):
     data = np.load(out_path)
     halo, allgather = data["halo"], data["allgather"]
     assert np.allclose(halo, allgather, atol=2e-5)
+    # per-host sharded-ingest pieces (no merged graph on any host) match
+    assert np.allclose(data["piece"], allgather, atol=2e-5)
 
     # single-process ground truth
     import jax
