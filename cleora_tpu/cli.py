@@ -20,8 +20,10 @@ def main(argv=None):
     p = sub.add_parser("embed", help="Generate graph embeddings")
     p.add_argument("--input", "-i", required=True,
                    help="Input edge file (TSV/CSV/space-separated)")
-    p.add_argument("--output", "-o", required=True,
-                   help="Output file (npz/csv/tsv)")
+    p.add_argument("--output", "-o", default=None,
+                   help="Output file (npz/csv/tsv); required except with "
+                        "--shard (which builds a graph piece, no "
+                        "embeddings)")
     p.add_argument("--dim", "-d", type=int, default=256,
                    help="Embedding dimension (default: 256)")
     p.add_argument("--iterations", "-n", type=int, default=40,
@@ -48,6 +50,9 @@ def main(argv=None):
                         "(multi-host sharded ingest — every host scans the "
                         "input, each sorts/merges 1/P of it) and exit; "
                         "combine pieces with the merge-shards command")
+    p.add_argument("--entities", type=int, default=None,
+                   help="With --shard: the global entity count (e.g. from "
+                        "host 0's pass), skipping the index-only first scan")
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser(
@@ -100,6 +105,8 @@ def _cmd_embed(args):
 
     if args.shard is not None and args.streaming is None:
         raise SystemExit("--shard requires --streaming DIR")
+    if args.output is None and args.shard is None:
+        raise SystemExit("--output is required (omit it only with --shard)")
 
     if (args.streaming is None and os.path.isdir(args.input)
             and os.path.exists(os.path.join(args.input, "meta.json"))):
@@ -130,7 +137,8 @@ def _cmd_embed(args):
                 raise SystemExit("--shard must look like K/P, e.g. 0/4")
             t0 = time.time()
             piece = build_graph_streaming_sharded(
-                [args.input], args.columns, args.streaming, k, p, files=True
+                [args.input], args.columns, args.streaming, k, p, files=True,
+                n_entities=args.entities,
             )
             lo, hi = piece.meta["row_range"]
             print(f"Built shard {k}/{p} (rows [{lo}, {hi}) of "

@@ -274,7 +274,8 @@ def build_graph_streaming(
     extra_meta = None
     if row_range is not None:
         lo, hi = int(row_range[0]), int(row_range[1])
-        if lo < 0 or hi <= lo:
+        if lo < 0 or hi < lo:  # hi == lo is a legitimate EMPTY piece (a
+            # host whose devices own zero rows of a small graph)
             lib.ct_stream_free(handle)
             raise ValueError(f"invalid row_range {row_range!r}")
         lib.ct_stream_set_row_filter(handle, lo, hi)
@@ -336,7 +337,7 @@ def build_graph_streaming_pairs(
     extra_meta = None
     if row_range is not None:
         lo, hi = int(row_range[0]), int(row_range[1])
-        if lo < 0 or hi <= lo:
+        if lo < 0 or hi < lo:
             lib.ct_stream_free(handle)
             raise ValueError(f"invalid row_range {row_range!r}")
         lib.ct_stream_set_row_filter(handle, lo, hi)
@@ -358,6 +359,16 @@ def build_graph_streaming_pairs(
     return _finish(lib, handle, columns, out_dir, extra_meta=extra_meta)
 
 
+def shard_row_params(n_rows: int, n_shards: int,
+                     row_multiple: int = 8) -> tuple:
+    """(n_rows_padded, rows_per_shard) of the canonical n_shards-way row
+    partition — THE cut formula shared by the sharded build (this module)
+    and the sharded embed (parallel.shard)."""
+    m = n_shards * row_multiple
+    n_padded = -(-max(n_rows, m) // m) * m
+    return n_padded, n_padded // n_shards
+
+
 def shard_row_bounds(n_rows: int, n_shards: int,
                      row_multiple: int = 8) -> List[int]:
     """Row-block boundaries of an n_shards-way partition: shard k owns rows
@@ -366,9 +377,7 @@ def shard_row_bounds(n_rows: int, n_shards: int,
     ``row_range=(bounds[k], bounds[k+1])`` yields exactly the edges device k
     will own at embed time (host-granularity: use the range spanning a
     host's devices)."""
-    m = n_shards * row_multiple
-    n_padded = -(-max(n_rows, m) // m) * m
-    rows_per_shard = n_padded // n_shards
+    _, rows_per_shard = shard_row_params(n_rows, n_shards, row_multiple)
     return [min(k * rows_per_shard, n_rows) for k in range(n_shards + 1)]
 
 
@@ -440,14 +449,25 @@ def build_graph_streaming_sharded(
     dg = build_graph_streaming(
         _fresh(), columns, out_dir, hyperedge_trim_n=hyperedge_trim_n,
         num_workers=num_workers, ram_cap_bytes=ram_cap_bytes,
-        chunk_bytes=chunk_bytes, files=files,
-        row_range=(lo, hi if hi > lo else lo + 1),
+        chunk_bytes=chunk_bytes, files=files, row_range=(lo, hi),
     )
-    dg.meta["row_range"] = [lo, hi]
     dg.meta["shard"] = [int(shard_index), int(num_shards)]
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(dg.meta, f, indent=1)
     return dg
+
+
+def _same_file(a: str, b: str, chunk: int = 16 << 20) -> bool:
+    """Streamed byte equality of two files (no full load into RAM)."""
+    if os.path.getsize(a) != os.path.getsize(b):
+        return False
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        while True:
+            ba = fa.read(chunk)
+            if ba != fb.read(chunk):
+                return False
+            if not ba:
+                return True
 
 
 def merge_disk_graph_shards(shard_dirs: Sequence[str],
@@ -511,9 +531,14 @@ def merge_disk_graph_shards(shard_dirs: Sequence[str],
             piece = DiskGraph(d)
             # piece.indptr[lo] == 0 (no owned edges before lo)
             seg = np.asarray(piece.indptr[lo + 1:hi + 1], dtype=np.int64)
-            if np.asarray(piece.entity_hashes[:16]).tobytes() != \
-                    np.asarray(first.entity_hashes[:16]).tobytes():
-                raise ValueError(f"piece {d} has a different entity table")
+            if d != dirs[0] and not _same_file(
+                os.path.join(d, "hashes.bin"),
+                os.path.join(dirs[0], "hashes.bin"),
+            ):
+                raise ValueError(
+                    f"piece {d} has a different entity table — pieces must "
+                    "come from sharded builds over the SAME input"
+                )
             out.write((seg + offset).tobytes())
             offset += int(seg[-1]) if seg.size else 0
             n_edges += m["num_edges"]

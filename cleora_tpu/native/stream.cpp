@@ -189,6 +189,28 @@ static bool flush_run(StreamState* st) {
   return true;
 }
 
+// Per-edge row stats: every node on side A gains occurrence += |B| and
+// row_sum += 1/|B| (and symmetrically) — the reference's
+// src/sparse_matrix_builder.rs:179-185 numerics.  One definition shared by
+// the fast, trim and index-only paths.
+static inline void edge_stats(RowStat* stats,
+                              const std::vector<int64_t>& tok_index,
+                              const Edge& e) {
+  if (e.a_len == 0 || e.b_len == 0) return;
+  double inv_b = (double)(1.0f / (float)e.b_len);
+  double inv_a = (double)(1.0f / (float)e.a_len);
+  for (int64_t i = 0; i < e.a_len; ++i) {
+    RowStat& rs = stats[tok_index[(size_t)(e.a_off + i)]];
+    rs.occurrence += e.b_len;
+    rs.row_sum += inv_b;
+  }
+  for (int64_t i = 0; i < e.b_len; ++i) {
+    RowStat& rs = stats[tok_index[(size_t)(e.b_off + i)]];
+    rs.occurrence += e.a_len;
+    rs.row_sum += inv_a;
+  }
+}
+
 // Sequential per-chunk pipeline step: incremental first-seen indexing, row
 // stats, running-occurrence trimming, pair emission into st->pending with
 // cap-triggered spills.  `tokens`/`edges` are the stitched chunk output.
@@ -226,21 +248,7 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
   // stats loop maintains, so a later emitting pass over the same input
   // reproduces identical trimming decisions.
   if (!st->emit) {
-    for (const Edge& e : edges) {
-      if (e.a_len == 0 || e.b_len == 0) continue;
-      double inv_b = (double)(1.0f / (float)e.b_len);
-      double inv_a = (double)(1.0f / (float)e.a_len);
-      for (int64_t i = 0; i < e.a_len; ++i) {
-        RowStat& rs = stats[tok_index[(size_t)(e.a_off + i)]];
-        rs.occurrence += e.b_len;
-        rs.row_sum += inv_b;
-      }
-      for (int64_t i = 0; i < e.b_len; ++i) {
-        RowStat& rs = stats[tok_index[(size_t)(e.b_off + i)]];
-        rs.occurrence += e.a_len;
-        rs.row_sum += inv_a;
-      }
-    }
+    for (const Edge& e : edges) edge_stats(stats, tok_index, e);
     lap("stats");
     return true;
   }
@@ -342,22 +350,8 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         });
       }
       // stats sequentially on the main thread, overlapping the pair writes
-      for (int64_t k = i; k < j; ++k) {
-        const Edge& e = edges[(size_t)k];
-        if (e.a_len == 0 || e.b_len == 0) continue;
-        double inv_b = (double)(1.0f / (float)e.b_len);
-        double inv_a = (double)(1.0f / (float)e.a_len);
-        for (int64_t x = 0; x < e.a_len; ++x) {
-          RowStat& rs = stats[tok_index[(size_t)(e.a_off + x)]];
-          rs.occurrence += e.b_len;
-          rs.row_sum += inv_b;
-        }
-        for (int64_t y = 0; y < e.b_len; ++y) {
-          RowStat& rs = stats[tok_index[(size_t)(e.b_off + y)]];
-          rs.occurrence += e.a_len;
-          rs.row_sum += inv_a;
-        }
-      }
+      for (int64_t k = i; k < j; ++k)
+        edge_stats(stats, tok_index, edges[(size_t)k]);
       for (auto& t : threads) t.join();
       st->pend_n += need;
       i = j;
@@ -373,18 +367,7 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
 
   for (const Edge& e : edges) {
     if (e.a_len == 0 || e.b_len == 0) continue;
-    double inv_b = (double)(1.0f / (float)e.b_len);
-    double inv_a = (double)(1.0f / (float)e.a_len);
-    for (int64_t i = 0; i < e.a_len; ++i) {
-      RowStat& rs = stats[tok_index[(size_t)(e.a_off + i)]];
-      rs.occurrence += e.b_len;
-      rs.row_sum += inv_b;
-    }
-    for (int64_t i = 0; i < e.b_len; ++i) {
-      RowStat& rs = stats[tok_index[(size_t)(e.b_off + i)]];
-      rs.occurrence += e.a_len;
-      rs.row_sum += inv_a;
-    }
+    edge_stats(stats, tok_index, e);
     double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
 
     auto trim_side = [&](int64_t off, int64_t len, std::vector<int64_t>& hi,

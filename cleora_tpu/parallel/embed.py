@@ -345,9 +345,12 @@ def build_sharded_embed(
             me = jax.process_index()
             ks = [k for k in range(n_shards_total)
                   if mesh.devices.flat[k].process_index == me]
-            assert ks == list(range(ks[0], ks[-1] + 1)), (
-                "process shards not contiguous in mesh order"
-            )
+            if ks != list(range(ks[0], ks[-1] + 1)):
+                raise ValueError(
+                    "this process's devices are not a contiguous run of "
+                    "the mesh's flattened order — build the mesh with "
+                    "make_mesh/make_hier_mesh (jax.devices() order)"
+                )
             per = a.shape[0] // n_shards_total
             a = np.asarray(a)[ks[0] * per:(ks[-1] + 1) * per]
         return jax.make_array_from_process_local_data(sh, np.asarray(a))

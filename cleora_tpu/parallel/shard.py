@@ -49,8 +49,9 @@ def shard_coo(
     edge_multiple: int = 512,
 ) -> ShardedCoo:
     """Partition a row-sorted COO matrix into per-device blocks."""
-    n_padded = round_up(max(n_rows, n_shards * row_multiple), n_shards * row_multiple)
-    rows_per_shard = n_padded // n_shards
+    from ..graph.stream import shard_row_params
+
+    n_padded, rows_per_shard = shard_row_params(n_rows, n_shards, row_multiple)
 
     order = np.argsort(rows, kind="stable")
     rows = np.asarray(rows)[order].astype(np.int64)
@@ -105,10 +106,11 @@ def shard_disk_graph(
     the caller allgathers the true max across hosts).  Shards outside the
     piece pack as all-padding; only the jit-addressable shards' data is
     read at placement time."""
+    from ..graph.stream import shard_row_bounds, shard_row_params
+
     n = dg.num_entities
-    n_padded = round_up(max(n, n_shards * row_multiple), n_shards * row_multiple)
-    rows_per_shard = n_padded // n_shards
-    bounds = [min(k * rows_per_shard, n) for k in range(n_shards + 1)]
+    n_padded, rows_per_shard = shard_row_params(n, n_shards, row_multiple)
+    bounds = shard_row_bounds(n, n_shards, row_multiple)
     # per-shard edge counts from indptr alone (memmap, O(P) element reads)
     counts = [int(dg.indptr[bounds[k + 1]] - dg.indptr[bounds[k]])
               for k in range(n_shards)]

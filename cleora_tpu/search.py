@@ -262,22 +262,36 @@ class ShardedDeviceIndex:
         self._mesh = mesh if mesh is not None else make_mesh()
         self._axis = shard_axes(self._mesh)
         n_shards = int(self._mesh.devices.size)
-        emb = np.asarray(embeddings, dtype=np.float32)
+        emb = np.asarray(embeddings)
         self._n, self._dim = emb.shape
-        normalized = emb / np.maximum(
-            np.linalg.norm(emb, axis=1, keepdims=True), 1e-10
-        )
+        # row norms once (N floats); the table itself is normalized, cast
+        # and padded PER SHARD SLICE inside the placement callback — peak
+        # extra host memory is one shard's slice, not 3-4 full-table copies
+        # (the class exists for tables beyond one chip's HBM)
+        norms = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", emb, emb,
+                              dtype=np.float32)), 1e-10
+        ).astype(np.float32)[:, None]
         n_padded = round_up(max(self._n, n_shards), n_shards)
-        if n_padded != self._n:
-            normalized = np.concatenate(
-                [normalized,
-                 np.zeros((n_padded - self._n, self._dim), np.float32)]
-            )
         self._n_padded = n_padded
         tdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         row_spec = PartitionSpec(self._axis, None)
-        self._table = jax.device_put(
-            normalized.astype(tdtype), NamedSharding(self._mesh, row_spec)
+        n_real, dim = self._n, self._dim
+
+        def _shard_data(index):
+            rs = index[0]
+            lo = 0 if rs.start is None else rs.start
+            hi = n_padded if rs.stop is None else rs.stop
+            block = np.zeros((hi - lo, dim), dtype=tdtype)
+            real = max(0, min(hi, n_real) - lo)
+            if real:
+                block[:real] = (emb[lo:lo + real].astype(np.float32)
+                                / norms[lo:lo + real]).astype(tdtype)
+            return block
+
+        self._table = jax.make_array_from_callback(
+            (n_padded, self._dim), NamedSharding(self._mesh, row_spec),
+            _shard_data,
         )
         rows_per_shard = n_padded // n_shards
         n_real = self._n

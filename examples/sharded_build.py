@@ -7,7 +7,7 @@ block — the expensive phase of a 1B-edge build parallelizes P-fold.  The
 disjoint pieces concatenate bitwise into the complete on-disk graph.
 
 CLI equivalent:
-    cleora-tpu embed -i edges.txt -o /dev/null --streaming p0 --shard 0/4
+    cleora-tpu embed -i edges.txt --streaming p0 --shard 0/4
     ... (one per host, shared or gathered storage) ...
     cleora-tpu merge-shards -o merged p0 p1 p2 p3
     cleora-tpu embed -i merged -o embeddings.npz

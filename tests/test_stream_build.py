@@ -426,3 +426,23 @@ def test_sharded_build_empty_trailing_shard(tmp_path):
     assert np.array_equal(np.asarray(merged.indices),
                           np.asarray(full.indices))
     assert np.array_equal(np.asarray(merged.indptr), np.asarray(full.indptr))
+
+
+def test_empty_row_range_piece_direct(tmp_path):
+    """host_piece_range can assign a host zero rows (small graph, many
+    hosts); build_graph_streaming must accept the empty range and produce a
+    valid, openable, mergeable empty piece."""
+    from cleora_tpu.graph.stream import host_piece_range
+
+    lines = [f"n{i % 20} n{(i * 3) % 20}" for i in range(100)]
+    cols = "complex::reflexive::n"
+    full = build_graph_streaming(iter(lines), cols, str(tmp_path / "full"))
+    n = full.num_entities  # 20 entities, 8 devices over 4 hosts
+    lo, hi = host_piece_range(n, 8, 2, 3)
+    assert lo == hi == n
+    piece = build_graph_streaming(iter(lines), cols, str(tmp_path / "p3"),
+                                  row_range=(lo, hi))
+    assert piece.num_edges == 0
+    assert piece.num_entities == n  # global registry present
+    re = DiskGraph(piece.path)  # reopens (zero-byte arrays)
+    assert len(re.indices) == 0
