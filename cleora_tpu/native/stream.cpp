@@ -142,6 +142,11 @@ struct StreamLap {
   }
 };
 
+// Append one pair with a capacity check — the fallback for edges whose
+// emission exceeds the pending buffer's remaining room (huge trim_n or a
+// single enormous hyperedge).  Flushes mid-edge when the buffer fills.
+static bool push_pair_checked(StreamState* st, uint64_t key, double val);
+
 static bool flush_run(StreamState* st) {
   if (st->pend_n == 0) return true;
   StreamLap lap;
@@ -171,21 +176,35 @@ static bool flush_run(StreamState* st) {
   }
   std::vector<RunEntry> out;
   out.reserve(1 << 16);
+  bool wok = true;
   for (size_t i = 0; i < n;) {
     uint64_t k = p[i].key;
     double s = 0.0;
     while (i < n && p[i].key == k) s += p[i++].val;
     out.push_back({k, s});
     if (out.size() == (1 << 16)) {
-      std::fwrite(out.data(), sizeof(RunEntry), out.size(), f);
+      wok &= std::fwrite(out.data(), sizeof(RunEntry), out.size(), f) ==
+             out.size();
       out.clear();
     }
   }
-  if (!out.empty()) std::fwrite(out.data(), sizeof(RunEntry), out.size(), f);
-  std::fclose(f);
+  if (!out.empty())
+    wok &= std::fwrite(out.data(), sizeof(RunEntry), out.size(), f) ==
+           out.size();
+  wok &= std::fclose(f) == 0;
+  if (!wok) {
+    st->error = "short write to spill file " + path + " (disk full?)";
+    return false;
+  }
   lap("  run:dedup+io");
   ++st->n_runs;
   st->pend_n = 0;
+  return true;
+}
+
+static bool push_pair_checked(StreamState* st, uint64_t key, double val) {
+  if (st->pend_n == st->pend_cap && !flush_run(st)) return false;
+  st->pending.get()[st->pend_n++] = {key, val};
   return true;
 }
 
@@ -276,10 +295,6 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX;
     const int64_t flo = st->filt_lo, fhi = st->filt_hi;
     auto in_range = [&](int64_t idx) { return idx >= flo && idx < fhi; };
-    std::vector<RowStat> partials;  // W * n_ent would be huge; use atomic-free
-    // per-thread sparse accumulation is overkill here: stats updates are
-    // plain += on doubles/ints — do them sequentially (cheap relative to
-    // pair writes), emission in parallel.
     int64_t i = 0;
     while (i < n_edges) {
       // how many edges fit in the pending buffer from here?
@@ -308,7 +323,31 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         ++j;
       }
       if (j == i) {  // buffer full before one edge fits
-        if (!flush_run(st)) return false;
+        if (st->pend_n > 0) {
+          if (!flush_run(st)) return false;
+          continue;
+        }
+        // a single edge larger than the whole buffer: emit it pair by
+        // pair with capacity checks (flushing mid-edge), then move on —
+        // retrying through the slab planner would spin forever
+        const Edge& e = edges[(size_t)i];
+        if (e.a_len > 0 && e.b_len > 0) {
+          double val = (double)(float)(1.0 / (double)(e.a_len * e.b_len));
+          for (int64_t x = 0; x < e.a_len; ++x) {
+            int64_t a = tok_index[(size_t)(e.a_off + x)];
+            bool a_in = !filt || in_range(a);
+            for (int64_t y = 0; y < e.b_len; ++y) {
+              int64_t b = tok_index[(size_t)(e.b_off + y)];
+              if (a_in && !push_pair_checked(st, pack(a, b), val))
+                return false;
+              if ((!filt || in_range(b)) &&
+                  !push_pair_checked(st, pack(b, a), val))
+                return false;
+            }
+          }
+          edge_stats(stats, tok_index, e);  // the slab loop skips this edge
+        }
+        ++i;
         continue;
       }
       KV* base = pend + st->pend_n;
@@ -392,7 +431,9 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
       }
     };
 
-    if (e.a_len <= trim_n && e.b_len <= trim_n) {
+    size_t emit_small = (size_t)(e.a_len * e.b_len) * 2;
+    if (e.a_len <= trim_n && e.b_len <= trim_n &&
+        emit_small <= st->pend_cap - st->pend_n) {
       KV* out = pend + st->pend_n;
       for (int64_t i = 0; i < e.a_len; ++i) {
         int64_t a = tok_index[(size_t)(e.a_off + i)];
@@ -403,6 +444,17 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
         }
       }
       st->pend_n = (size_t)(out - pend);
+    } else if (e.a_len <= trim_n && e.b_len <= trim_n) {
+      // untrimmed edge too large for the buffer remainder (huge trim_n):
+      // checked per-pair emission, flushing mid-edge
+      for (int64_t i = 0; i < e.a_len; ++i) {
+        int64_t a = tok_index[(size_t)(e.a_off + i)];
+        for (int64_t j = 0; j < e.b_len; ++j) {
+          int64_t b = tok_index[(size_t)(e.b_off + j)];
+          if (!push_pair_checked(st, pack(a, b), val)) return false;
+          if (!push_pair_checked(st, pack(b, a), val)) return false;
+        }
+      }
     } else {
       // rare path: emit via a scratch vector, then copy into the buffer
       auto& scratch = st->scratch_kv;
@@ -470,9 +522,10 @@ struct BufWriter {
     pos = 0;
     return f != nullptr;
   }
+  bool ok = true;  // sticky: any short write (disk full) marks the writer
   inline void put(const void* p, size_t n) {
     if (pos + n > buf.size()) {
-      std::fwrite(buf.data(), 1, pos, f);
+      ok &= std::fwrite(buf.data(), 1, pos, f) == pos;
       pos = 0;
     }
     std::memcpy(buf.data() + pos, p, n);
@@ -480,8 +533,8 @@ struct BufWriter {
   }
   void close() {
     if (f) {
-      std::fwrite(buf.data(), 1, pos, f);
-      std::fclose(f);
+      ok &= std::fwrite(buf.data(), 1, pos, f) == pos;
+      ok &= std::fclose(f) == 0;
       f = nullptr;
     }
   }
@@ -562,14 +615,13 @@ static bool stream_finish(StreamState* st) {
     return false;
   }
   std::vector<int64_t> indptr((size_t)n_ent + 1, 0);
-  // compact per-row reciprocals: 4 B random accesses during the merge
-  // instead of 16 B RowStat lines (the merge is cache-miss-bound on rs[c])
-  std::vector<double> inv_rs((size_t)n_ent), inv_sqrt_rs((size_t)n_ent);
-  for (int64_t i = 0; i < n_ent; ++i) {
-    double v = st->stats[(size_t)i].row_sum;
-    inv_rs[(size_t)i] = 1.0 / v;
-    inv_sqrt_rs[(size_t)i] = 1.0 / std::sqrt(v);
-  }
+  // compact per-row sums: 8 B random accesses during the merge instead of
+  // 16 B RowStat lines (the merge is cache-miss-bound on rs[c]); division
+  // and sqrt-of-product match the in-RAM builder's emit arithmetic
+  // (builder.cpp phase 5) rather than a reciprocal approximation
+  std::vector<double> rs((size_t)n_ent);
+  for (int64_t i = 0; i < n_ent; ++i)
+    rs[(size_t)i] = st->stats[(size_t)i].row_sum;
   int64_t n_out = 0;
 
   uint64_t cur_key = 0;
@@ -579,8 +631,8 @@ static bool stream_finish(StreamState* st) {
     size_t r = (size_t)(cur_key >> 32);
     size_t c = (size_t)(uint32_t)cur_key;
     int32_t ci = (int32_t)c;
-    float lv = (float)(cur_sum * inv_rs[r]);
-    float sv = (float)(cur_sum * (inv_sqrt_rs[r] * inv_sqrt_rs[c]));
+    float lv = (float)(cur_sum / rs[r]);
+    float sv = (float)(cur_sum / std::sqrt(rs[r] * rs[c]));
     w_idx.put(&ci, 4);
     w_left.put(&lv, 4);
     w_sym.put(&sv, 4);
@@ -623,6 +675,10 @@ static bool stream_finish(StreamState* st) {
   w_idx.close();
   w_left.close();
   w_sym.close();
+  if (!w_idx.ok || !w_left.ok || !w_sym.ok) {
+    st->error = "short write to output CSR in " + st->dir + " (disk full?)";
+    return false;
+  }
   for (auto& r : readers)
     if (r.f) std::fclose(r.f);
   for (int k = 0; k < K; ++k) std::remove(run_path(st, k).c_str());
@@ -633,9 +689,8 @@ static bool stream_finish(StreamState* st) {
   auto dump = [&](const char* name, const void* p, size_t bytes) {
     FILE* f = std::fopen((st->dir + "/" + name).c_str(), "wb");
     if (!f) return false;
-    if (bytes) std::fwrite(p, 1, bytes, f);
-    std::fclose(f);
-    return true;
+    bool k = bytes == 0 || std::fwrite(p, 1, bytes, f) == bytes;
+    return (std::fclose(f) == 0) && k;
   };
   std::vector<float> rs32((size_t)n_ent);
   for (int64_t i = 0; i < n_ent; ++i)

@@ -202,7 +202,6 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
     buckets = []
     row_cursor = n_zero
-    lo_deg = 0
     for w in widths:
         hi = int(np.searchsorted(deg_sorted, w + 1))
         hi = min(hi, n_rows - n_hub_rows)
@@ -210,7 +209,6 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         if n_b > 0:
             buckets.append(_fill(row_cursor, n_b, w))
             row_cursor = hi
-        lo_deg = w
 
     hub = None
     if n_hub_rows:

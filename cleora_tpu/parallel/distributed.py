@@ -51,6 +51,16 @@ def init_distributed(
     if already:
         return jax.process_count() > 1
 
+    # explicit args > COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env vars
+    # (forwarded as kwargs — jax.distributed.initialize does NOT read these
+    # names itself) > JAX/cluster autodetection (TPU pod metadata, Slurm,
+    # Open MPI)
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -61,10 +71,12 @@ def init_distributed(
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
 
-    env_configured = "COORDINATOR_ADDRESS" in os.environ or (
-        os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    autodetectable = any(
+        v in os.environ
+        for v in ("TPU_WORKER_HOSTNAMES", "JAX_COORDINATOR_ADDRESS",
+                  "SLURM_JOB_ID", "OMPI_MCA_orte_hnp_uri")
     )
-    if not kwargs and not env_configured:
+    if not kwargs and not autodetectable:
         return False  # nothing to initialize from — single-process run
 
     try:

@@ -186,9 +186,12 @@ def ell_shards(
 
     R = n_zero + sum(n_b) + n_hub
     slots = P * (sum(nb * w for nb, w in zip(n_b, widths)) + n_virt * _K_MAX)
+    e_rem = 0
     if split:  # remote remainder costs 1 slot/edge + cross-shard padding
         rem_counts = [int((real[k] & ~bucketed[k]).sum()) for k in range(P)]
-        e_rem = max(8, -(-max(rem_counts) // 8) * 8) if max(rem_counts) else 0
+        # width 8 even with no remote edges: the jitted remainder
+        # segment-sum keeps a static shape (matches the build below)
+        e_rem = max(8, -(-max(rem_counts) // 8) * 8)
         slots += P * e_rem
     if not force and (slots > max_waste * nnz or R > row_waste * rps):
         return None
@@ -292,8 +295,7 @@ def ell_shards(
 
     remote = None
     if split:
-        rem_counts = [int((real[k] & ~bucketed[k]).sum()) for k in range(P)]
-        e_rem = max(8, -(-max(rem_counts) // 8) * 8) if max(rem_counts) else 8
+        # rem_counts / e_rem computed once above (the budget pass)
         rcols = np.zeros((P, e_rem), dtype=np.int32)
         rvals = np.zeros((P, e_rem), dtype=np.float32)
         rpos = np.full((P, e_rem), R - 1, dtype=np.int32)  # padding: zero add

@@ -80,4 +80,23 @@ for row_range, emit in ((None, True), ((5, 40), True), (None, False)):
         print("stream index-only ok", lib.ct_stream_num_entities(hs))
     lib.ct_stream_free(hs)
 
+# oversized-edge paths: a clique bigger than the whole pending buffer
+# (fast path) and a huge-trim_n untrimmed edge bigger than the remainder
+# (trim path) — both previously overflowed/spun; must chunk with flushes
+os.environ["CLEORA_STREAM_RUN_PAIRS"] = "4096"
+for lines_, trim in (
+    ([" ".join(f"t{i}" for i in range(750)), "t1 t2"], 1000),
+    ([" ".join(f"b{i}" for i in range(1100)),
+      " ".join(f"s{i}" for i in range(800))], 1000),
+):
+    sd = tempfile.mkdtemp()
+    cf1 = (ctypes.c_uint8 * 1)(1); rf1 = (ctypes.c_uint8 * 1)(1)
+    hs = lib.ct_stream_open(1, cf1, rf1, trim, 2, sd.encode(), 64 << 20)
+    blob = ("\n".join(lines_) + "\n").encode()
+    assert lib.ct_stream_feed(hs, blob, len(blob), 0) == 0
+    assert lib.ct_stream_finish(hs) == 0, lib.ct_stream_error(hs)
+    print("oversized-edge ok", lib.ct_stream_num_entities(hs),
+          lib.ct_stream_num_edges(hs))
+    lib.ct_stream_free(hs)
+
 print("ALL SANITIZER CASES PASSED")

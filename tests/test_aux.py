@@ -166,3 +166,34 @@ def test_kill_resume_fault_tolerance(graph, tmp_path):
 
     clean = embed(graph, feature_dim=8, num_iterations=8, whiten=False)
     assert np.allclose(resumed, clean, atol=1e-5)
+
+
+def test_init_distributed_env_vars(tmp_path):
+    """COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID (the documented env
+    path) must be forwarded to jax.distributed.initialize — a 1-process
+    'cluster' initializes and reports single-process."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    env.update(JAX_PLATFORMS="cpu", COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+               NUM_PROCESSES="1", PROCESS_ID="0")
+    r = subprocess.run([sys.executable, "-c", """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cleora_tpu.parallel import init_distributed
+ok = init_distributed()
+assert ok is False  # 1-process cluster: initialized but not multi-process
+import jax
+assert jax.process_count() == 1
+print("env init ok")
+"""], env=env, capture_output=True, timeout=120)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert b"env init ok" in r.stdout

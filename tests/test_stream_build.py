@@ -446,3 +446,35 @@ def test_empty_row_range_piece_direct(tmp_path):
     assert piece.num_entities == n  # global registry present
     re = DiskGraph(piece.path)  # reopens (zero-byte arrays)
     assert len(re.indices) == 0
+
+
+def test_oversized_edge_fast_path_no_spin(tmp_path, monkeypatch):
+    """A single hyperedge whose emission exceeds the whole pending buffer
+    (fast path — no side over trim_n) must chunk through checked pushes,
+    not spin forever retrying the slab planner."""
+    monkeypatch.setenv("CLEORA_STREAM_RUN_PAIRS", "4096")
+    # pend_cap = run_pairs + 1M slack ≈ 1.05M slots; a 750-token reflexive
+    # clique emits 2·750² = 1.125M pairs — more than the WHOLE buffer, the
+    # shape that spun forever pre-fix
+    tokens = " ".join(f"t{i}" for i in range(750))
+    lines = [tokens, "t1 t2"]
+    cols = "complex::reflexive::n"
+    ref = build_graph_native(lines, cols, hyperedge_trim_n=1000)
+    dg = build_graph_streaming(iter(lines), cols, str(tmp_path / "g"),
+                               hyperedge_trim_n=1000)
+    _assert_matches(dg, ref)
+
+
+def test_huge_trim_n_small_edge_overflow(tmp_path, monkeypatch):
+    """Trim path with a huge trim_n: an untrimmed edge bigger than the
+    buffer remainder previously overflowed the heap (SIGSEGV); it must now
+    flush mid-edge and stay bitwise-correct."""
+    monkeypatch.setenv("CLEORA_STREAM_RUN_PAIRS", "4096")
+    big = " ".join(f"b{i}" for i in range(1100))  # > trim_n=1000: trim path
+    small = " ".join(f"s{i}" for i in range(800))  # 800<=trim_n, 1.28M pairs
+    lines = [big, small, "s1 s2"]
+    cols = "complex::reflexive::n"
+    ref = build_graph_native(lines, cols, hyperedge_trim_n=1000)
+    dg = build_graph_streaming(iter(lines), cols, str(tmp_path / "g"),
+                               hyperedge_trim_n=1000)
+    _assert_matches(dg, ref)
