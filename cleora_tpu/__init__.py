@@ -131,7 +131,13 @@ def embed(
 
     import jax.numpy as jnp
 
-    from .ops.loop import embed_loop, embed_loop_convergence, embed_step
+    from .ops.loop import (
+        embed_loop,
+        embed_loop_convergence,
+        embed_step,
+        from_layout_order,
+        to_layout_order,
+    )
 
     if initial_embeddings is not None:
         x0 = np.asarray(initial_embeddings, dtype=np.float32)
@@ -177,8 +183,11 @@ def embed(
         )
         return to_host(out.astype(jnp.float32))
 
-    # callback path: one jitted step per iteration, convergence on host
-    x = x0
+    # callback path: one jitted step per iteration, convergence on host.
+    # State stays in the layout's relabeled row space for the whole loop
+    # (permutes are per host-visible view, not per step); RMSE is
+    # permutation-invariant so it runs on the relabeled arrays directly.
+    x = to_layout_order(rows, x0)
     for i in range(int(num_iterations)):
         prev = x
         x = embed_step(
@@ -187,8 +196,9 @@ def embed(
             residual_weight=float(residual_weight),
             normalization=normalization,
             do_whiten=bool(whiten),
+            relabeled=True,
         )
-        callback(i, np.asarray(x.astype(jnp.float32)))
+        callback(i, np.asarray(from_layout_order(rows, x).astype(jnp.float32)))
         if convergence_threshold > 0 and i > 0:
             rmse = _compute_rmse(
                 np.asarray(x.astype(jnp.float32)),
@@ -196,7 +206,7 @@ def embed(
             )
             if rmse < convergence_threshold:
                 break
-    return to_host(x.astype(jnp.float32))
+    return to_host(from_layout_order(rows, x).astype(jnp.float32))
 
 
 def embed_dim_sharded(

@@ -113,11 +113,36 @@ def embed_loop_convergence(rows, cols, vals, x0, *, n_rows, max_iterations,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "residual_weight", "normalization", "do_whiten"),
+    static_argnames=(
+        "n_rows", "residual_weight", "normalization", "do_whiten", "relabeled",
+    ),
 )
 def embed_step(rows, cols, vals, x, *, n_rows, residual_weight=0.0,
-               normalization="l2", do_whiten=False):
-    """Single jitted iteration (used when a per-iteration callback is set)."""
+               normalization="l2", do_whiten=False, relabeled=False):
+    """Single jitted iteration (used when a per-iteration callback is set).
+
+    With ``relabeled=True`` the caller keeps ``x`` in the layout's
+    degree-relabeled row space for the whole loop (permuting once on entry
+    and once per host-visible view via :func:`to_layout_order` /
+    :func:`from_layout_order`) instead of paying two O(N·D) permutes here
+    on every iteration.
+    """
+    if relabeled:
+        return _step(rows, cols, vals, x, n_rows,
+                     residual_weight, normalization, do_whiten)
     y = _step(rows, cols, vals, _to_relabeled(rows, x), n_rows,
               residual_weight, normalization, do_whiten)
     return _from_relabeled(rows, y)
+
+
+@jax.jit
+def to_layout_order(rows, x):
+    """Permute state into the layout's relabeled row space (identity for
+    non-ELL layouts)."""
+    return _to_relabeled(rows, x)
+
+
+@jax.jit
+def from_layout_order(rows, x):
+    """Permute relabeled state back to original entity row order."""
+    return _from_relabeled(rows, x)

@@ -66,8 +66,14 @@ def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
 _CHUNK_EDGES = 1 << 22  # upper bound (4 GiB at D=256); kept for tests
 
 
-def _chunk_edges_for(n_rows: int, d: int) -> int:
-    state_bytes = 5 * n_rows * d * 4  # x double-buffered + y + whiten temps
+def _chunk_edges_for(n_rows: int, d: int, table_rows: int = None) -> int:
+    # table_rows: rows of the GATHER TABLE when it differs from the output
+    # row count — the sharded flat path all-gathers an (N_padded, D) table
+    # while producing only rows_per_shard outputs, and budgeting on the
+    # small side re-creates the oversized-intermediate pathology above
+    if table_rows is None:
+        table_rows = n_rows
+    state_bytes = (int(table_rows) + 4 * int(n_rows)) * d * 4
     budget = min(4 << 30, max(1 << 30, (10 << 30) - state_bytes))
     return max(1 << 20, min(_CHUNK_EDGES, budget // (d * 4)))
 
@@ -296,7 +302,8 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         return ys.reshape(n_bands * B, x.shape[1])[:n_rows]
 
     nnz = rows.shape[0]
-    chunk_edges = _chunk_edges_for(n_rows, x.shape[1])
+    chunk_edges = _chunk_edges_for(n_rows, x.shape[1],
+                                   table_rows=x.shape[0])
     if nnz <= chunk_edges:
         gathered = jnp.take(x, cols, axis=0).astype(acc_dtype)
         scaled = gathered * vals[:, None].astype(acc_dtype)

@@ -1,5 +1,9 @@
 """Multi-chip embedding loop: shard_map over a 1D device mesh.
 
+Reference analog: the row-parallel rayon SpMM + per-call thread pools
+(/root/reference/src/embedding.rs:14-136) scaled across chips; the
+reference itself is single-node only (SURVEY.md §2c).
+
 Per-iteration schedule on each device (SURVEY.md §2c):
 1. ``all_gather`` the row shards of X over ICI → full (N, D) gather table;
 2. local gather · scale · segment-sum over the shard's own edges (output rows
@@ -180,7 +184,7 @@ def _local_step(
         raise ValueError(f"Unknown normalization method: {normalization}")
 
     # 4. whitening with global psum statistics
-    if do_whiten:
+    if do_whiten and n_rows > 1:  # n<=1: ops/whiten.py returns x unchanged
         ym = y * valid
         mean = lax.psum(jnp.sum(ym, axis=0), axis) / n_rows
         yc = (y - mean) * valid
@@ -305,6 +309,15 @@ def build_sharded_embed(
     elif banded is not None:
         layout_arrays = (banded.local_rows, banded.cols, banded.vals)
         layout_specs = (P(axis, None, None),) * 3
+    elif overlap is not None:
+        # the overlap step reads only overlap.groups — ship 1-element
+        # placeholders instead of the dead (P, E) flat COO arrays
+        n_sh = sharded.local_rows.shape[0]
+        layout_arrays = (
+            np.zeros(n_sh, np.int32), np.zeros(n_sh, np.int32),
+            np.zeros(n_sh, np.float32),
+        )
+        layout_specs = (P(axis),) * 3
     else:
         cols = halo.remapped_cols if halo is not None else sharded.cols
         layout_arrays = (
@@ -356,6 +369,11 @@ def build_sharded_embed(
         return jax.make_array_from_process_local_data(sh, np.asarray(a))
 
     def place(x_padded: np.ndarray):
+        if x_padded.shape[1] != feature_dim:
+            raise ValueError(
+                f"x_padded has feature dim {x_padded.shape[1]} but the loop "
+                f"was built for feature_dim={feature_dim}"
+            )
         if ell is not None:
             x_padded = ell.permute_state(np.asarray(x_padded))
         xs = _put(x_padded, row_spec)
@@ -521,13 +539,20 @@ def embed_sharded(
             plan = candidate
     if initial_embeddings is not None:
         x0 = np.asarray(initial_embeddings, dtype=np.float32)
+        if x0.ndim != 2 or x0.shape[0] != graph.num_entities:
+            raise ValueError(
+                f"initial_embeddings shape {x0.shape} does not match "
+                f"number of entities {graph.num_entities}"
+            )
         feature_dim = x0.shape[1]
     else:
         x0 = graph.initialize_deterministically(feature_dim, seed)
 
     ell_plan = None
     if overlap_plan is None and ell is not False:
-        if ell in (True, "split") or (ell is None and banded is None):
+        if ell in (True, "split") or (
+            ell is None and banded in (None, False)
+        ):
             from .ell import ell_shards
 
             if ell == "split" and plan is None:

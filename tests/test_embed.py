@@ -444,3 +444,27 @@ def test_embed_bfloat16_storage(graph):
     assert np.isfinite(wh).all()
     with pytest.raises(ValueError, match="Unknown dtype"):
         ct.embed(graph, dtype="float64")
+
+
+def test_embed_callback_matches_fused_ell(monkeypatch):
+    """Callback path on a sliced-ELL layout: the state stays in relabeled
+    row space across iterations and every host-visible view (callback args,
+    final result) is back in original entity order."""
+    import importlib
+
+    from cleora_tpu.ops.spmm_ell import EllPlan
+
+    spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
+
+    monkeypatch.setattr(
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 64
+    )
+    g = make_graph(n=50, m=600, seed=8)
+    rows, _, _ = g._device_coo("left", banded_dim=8)
+    assert isinstance(rows, EllPlan)  # the layout under test
+    outs = []
+    cb = ct.embed(g, feature_dim=8, num_iterations=4, whiten=False,
+                  callback=lambda i, e: outs.append(e.copy()))
+    fused = ct.embed(g, feature_dim=8, num_iterations=4, whiten=False)
+    assert np.allclose(cb, fused, rtol=1e-5, atol=1e-6)
+    assert np.allclose(outs[-1], fused, rtol=1e-5, atol=1e-6)

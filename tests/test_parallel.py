@@ -167,10 +167,12 @@ def test_sharded_chunked_local_spmm(graph, monkeypatch):
     import importlib
 
     spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
-    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 128)
+    monkeypatch.setattr(
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 128
+    )
     kw = dict(feature_dim=16, num_iterations=4, whiten=False)
     single = embed(graph, **kw)
-    sharded = embed_sharded(graph, banded=False, **kw)
+    sharded = embed_sharded(graph, ell=False, banded=False, **kw)
     assert np.allclose(single, sharded, atol=2e-5)
 
 
@@ -332,3 +334,44 @@ def test_overlap_plan_groups_cover_all_edges(graph):
     assert total == int((sharded.vals != 0).sum())
     # round-r group of shard j only references owner (j - r) % 4 slots
     assert len(plan.groups) == 4
+
+
+def test_sharded_banded_false_still_selects_ell(graph, monkeypatch):
+    """banded=False disables only the banded fallback; the sliced-ELL
+    auto-selection still runs (regression: the dispatch condition used to
+    treat banded=False like a forced band count and silently fell to the
+    flat 1-D layout)."""
+    import cleora_tpu.parallel.ell as pe
+
+    called = {}
+    real = pe.ell_shards
+
+    def spy(*a, **k):
+        called["ell"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(pe, "ell_shards", spy)
+    kw = dict(feature_dim=16, num_iterations=3, whiten=False)
+    single = embed(graph, **kw)
+    out = embed_sharded(graph, banded=False, **kw)
+    assert called.get("ell")
+    assert np.allclose(single, out, atol=2e-5)
+
+
+def test_sharded_initial_embeddings_validated(graph):
+    """Row-count mismatch raises instead of silently zero-padding."""
+    with pytest.raises(ValueError, match="initial_embeddings"):
+        embed_sharded(graph, num_iterations=2,
+                      initial_embeddings=np.zeros((3, 8), np.float32))
+
+
+def test_sharded_single_entity_whiten_finite():
+    """1-entity graph with whiten=True: parity with the single-chip path,
+    which skips whitening for n<=1 (regression: cov/(n-1) divided by zero
+    and produced all-NaN embeddings)."""
+    g = SparseMatrix.from_iterator(iter(["a a"]), "complex::reflexive::node")
+    kw = dict(feature_dim=8, num_iterations=2, whiten=True)
+    out = embed_sharded(g, **kw)
+    single = embed(g, **kw)
+    assert np.all(np.isfinite(out))
+    assert np.allclose(out, single, atol=1e-5)

@@ -32,7 +32,9 @@ def _oracle(rows, cols, vals, x, n_rows):
 
 @pytest.fixture
 def tiny_chunks(monkeypatch):
-    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 64)
+    monkeypatch.setattr(
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 64
+    )
 
 
 @pytest.mark.parametrize("n_rows,nnz", [(100, 1000), (97, 531), (257, 2000)])
@@ -147,7 +149,9 @@ def test_boundary_nnz_at_chunk(monkeypatch):
     import importlib
 
     spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
-    monkeypatch.setattr(spmm_mod, "_chunk_edges_for", lambda n, d: 100)
+    monkeypatch.setattr(
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 100
+    )
     rows, cols, vals = _random_coo(50, 100, seed=1)
     assert plan_banded_coo(rows, cols, vals, 50, d=8) is None
     rows, cols, vals = _random_coo(50, 101, seed=1)
