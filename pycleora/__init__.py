@@ -48,3 +48,38 @@ def __getattr__(name):
         _sys.modules[f"{__name__}.{name}"] = mod
         return mod
     return getattr(_impl, name)
+
+
+# `import pycleora.metrics` (the import STATEMENT, not attribute access) goes
+# through the import system, which knows nothing of __getattr__ — register a
+# meta-path alias so every reference submodule path imports cleora_tpu's.
+import importlib as _importlib
+import importlib.abc as _abc
+import importlib.util as _util
+
+
+class _AliasLoader(_abc.Loader):
+    def __init__(self, target):
+        self._target = target
+
+    def create_module(self, spec):
+        return _importlib.import_module(self._target)
+
+    def exec_module(self, module):
+        pass  # already executed under its real name
+
+
+class _AliasFinder(_abc.MetaPathFinder):
+    def find_spec(self, fullname, path=None, target=None):
+        prefix = __name__ + "."
+        if not fullname.startswith(prefix):
+            return None
+        sub = fullname[len(prefix):]
+        if sub == "pycleora":  # the PyO3 extension path
+            return _util.spec_from_loader(fullname, _AliasLoader("cleora_tpu.sparse"))
+        if sub in _SUBMODULES:
+            return _util.spec_from_loader(fullname, _AliasLoader(f"cleora_tpu.{sub}"))
+        return None
+
+
+_sys.meta_path.append(_AliasFinder())

@@ -68,3 +68,26 @@ def test_outputs_are_writable():
     ):
         assert out.flags.writeable
         out[0, 0] = 1.0  # must not raise
+
+
+def test_shim_import_statements():
+    """`import pycleora.X` (the import STATEMENT — goes through the import
+    system, not module __getattr__) resolves every reference submodule path,
+    matching real-package behavior."""
+    import importlib
+    import subprocess
+    import sys
+
+    for sub in ("metrics", "viz", "pycleora", "datasets", "cli"):
+        mod = importlib.import_module(f"pycleora.{sub}")
+        assert mod is not None, sub
+    import pycleora.metrics as m
+
+    assert m.node_classification_scores is not None
+    # `python -m pycleora` drives the CLI like the reference package
+    out = subprocess.run(
+        [sys.executable, "-m", "pycleora", "--help"],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0 and "embed" in out.stdout
