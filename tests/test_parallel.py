@@ -375,3 +375,17 @@ def test_sharded_single_entity_whiten_finite():
     single = embed(g, **kw)
     assert np.all(np.isfinite(out))
     assert np.allclose(out, single, atol=1e-5)
+
+
+def test_build_sharded_embed_place_validates_dim(graph):
+    """place() rejects state whose feature dim differs from the one the
+    loop was compiled for."""
+    from cleora_tpu.parallel.embed import build_sharded_embed
+    from cleora_tpu.parallel.shard import pad_rows
+
+    mesh = make_mesh(8)
+    sharded = shard_graph(graph, "left", 8)
+    fn, place = build_sharded_embed(mesh, sharded, 16, 1)
+    x0 = graph.initialize_deterministically(8, 0)  # wrong width
+    with pytest.raises(ValueError, match="feature_dim=16"):
+        place(pad_rows(x0, sharded.n_rows_padded))
