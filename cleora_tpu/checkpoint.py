@@ -122,6 +122,12 @@ def embed_with_checkpointing(
                 f"Checkpoint feature_dim {x.shape[1]} != requested {feature_dim}"
             )
 
+    if x is None and start_iter >= num_iterations:
+        # num_iterations == 0 with no checkpoint: still return the
+        # (deterministic-init) embeddings, like embed() itself would
+        return embed(graph, feature_dim=feature_dim, num_iterations=0,
+                     **embed_kwargs)
+
     it = start_iter
     while it < num_iterations:
         chunk = min(checkpoint_every, num_iterations - it)

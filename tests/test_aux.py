@@ -57,6 +57,17 @@ def test_embed_with_checkpointing_resumes_partial(graph, tmp_path):
     assert it == 5
 
 
+def test_embed_with_checkpointing_zero_iterations(graph, tmp_path):
+    # no checkpoint + num_iterations=0: returns the deterministic init,
+    # same as embed() itself (not None)
+    d = str(tmp_path / "ckpt0")
+    out = embed_with_checkpointing(
+        graph, feature_dim=8, num_iterations=0, checkpoint_dir=d,
+    )
+    plain = embed(graph, feature_dim=8, num_iterations=0)
+    assert np.allclose(out, plain)
+
+
 def test_checkpoint_dim_mismatch(graph, tmp_path):
     d = str(tmp_path / "ckpt4")
     save_checkpoint(d, graph, np.zeros((7, 4), np.float32), 1)
