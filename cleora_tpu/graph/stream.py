@@ -194,6 +194,15 @@ def _feed_source(lib, handle, source, files: bool, chunk_bytes: int) -> None:
             lib.ct_stream_free(handle)
             raise ValueError(msg)
 
+    if files and isinstance(source, (str, bytes, os.PathLike)):
+        # a bare path would be iterated CHARACTER by character below —
+        # each char "opened" as a file and skipped with a warning,
+        # silently producing an empty graph
+        lib.ct_stream_free(handle)
+        raise ValueError(
+            "files=True needs a LIST of paths; wrap the single path: "
+            f"[{os.fspath(source)!r}]"
+        )
     if files:
         for path in source:
             try:

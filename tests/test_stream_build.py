@@ -478,3 +478,13 @@ def test_huge_trim_n_small_edge_overflow(tmp_path, monkeypatch):
     dg = build_graph_streaming(iter(lines), cols, str(tmp_path / "g"),
                                hyperedge_trim_n=1000)
     _assert_matches(dg, ref)
+
+
+def test_files_mode_rejects_bare_path_string(tmp_path):
+    """A single path (not a list) would be iterated char-by-char as file
+    names, warning per character and silently building an EMPTY graph."""
+    p = tmp_path / "edges.tsv"
+    p.write_text("a b\nb c\n")
+    with pytest.raises(ValueError, match="LIST of paths"):
+        build_graph_streaming(str(p), "complex::reflexive::node",
+                              str(tmp_path / "g"), files=True)
