@@ -67,18 +67,47 @@ def _svd_sqrt(M: np.ndarray, k: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------------- device
+def _device_layout(rows, cols, vals, n: int, d: int):
+    """Device SpMM layout for the algorithm loops: the production sliced-ELL
+    plan (ops/spmm_ell.py — dense fixed-width gather+reduce, no HBM edge
+    intermediate) with the flat padded-COO fallback when ELL padding is
+    pathological.  Returns (layout_args, order, rank): ``layout_args``
+    unpacks into spmm_inner's (rows, cols, vals); with an ELL plan the state
+    must live in relabeled row space — permute in with ``x[order]``, out
+    with ``y[rank]`` (both None for the COO fallback; all the algorithm
+    recurrences are row-permutation-invariant)."""
+    import jax.numpy as jnp
+
+    from .ops.spmm import pad_coo
+    from .ops.spmm_ell import plan_ell
+
+    plan = plan_ell(rows, cols, vals, n, d=d)
+    if plan is not None:
+        return (plan.device(), (), ()), plan.order, plan.rank
+    prow, pcol, pval = pad_coo(rows, cols, vals, n)
+    return (
+        (jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval)),
+        None, None,
+    )
+
+
 def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
                               sym_norm: bool) -> np.ndarray:
     """Σ_i weights[i] · N^i · R on the TPU (N = adjacency, optionally
-    D^-1/2 A D^-1/2), one fused jit."""
+    D^-1/2 A D^-1/2), one fused jit over the production SpMM layout."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from .ops.spmm import pad_coo, spmm_inner
+    from .ops.spmm import spmm_inner
 
     rows, cols, vals, n, _ = graph.to_sparse_csr()
+    from .ops.memory import check_device_fit
+
+    # the scan carries (acc, x) plus the SpMM output — the embed-loop
+    # estimate (4 N·D f32 arrays + edges) upper-bounds it
+    check_device_fit(n, R.shape[1], rows.shape[0])
     vals = vals.astype(np.float64)
     if sym_norm:
         deg = np.zeros(n, dtype=np.float64)
@@ -87,10 +116,14 @@ def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
         vals = d_inv_sqrt[rows.astype(np.int64)] * vals * d_inv_sqrt[
             cols.astype(np.int64)
         ]
-    prow, pcol, pval = pad_coo(
-        rows.astype(np.int32), cols.astype(np.int32), vals.astype(np.float32), n
+    layout, order, rank = _device_layout(
+        rows.astype(np.int32), cols.astype(np.int32),
+        vals.astype(np.float32), n, R.shape[1],
     )
     w = jnp.asarray(np.asarray(weights, dtype=np.float32))
+    x0 = R.astype(np.float32)
+    if order is not None:
+        x0 = x0[order]
 
     @functools.partial(jax.jit, static_argnames=("n_rows", "steps"))
     def run(rows, cols, vals, x0, w, *, n_rows, steps):
@@ -104,12 +137,11 @@ def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
         )
         return acc
 
-    out = run(
-        jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval),
-        jnp.asarray(R.astype(np.float32)), w,
-        n_rows=n, steps=len(weights) - 1,
+    out = np.asarray(
+        run(*layout, jnp.asarray(x0), w, n_rows=n, steps=len(weights) - 1),
+        dtype=np.float64,
     )
-    return np.asarray(out, dtype=np.float64)
+    return out[rank] if rank is not None else out
 
 
 # ---------------------------------------------------------------- algorithms
@@ -136,9 +168,13 @@ def embed_prone(
         import jax
         import jax.numpy as jnp
 
-        from .ops.spmm import pad_coo, spmm_inner
+        from .ops.memory import check_device_fit
+        from .ops.spmm import spmm_inner
 
         rows, cols, vals, _, _ = graph.to_sparse_csr()
+        # Chebyshev keeps (U, prev, curr) + the SpMM output — bounded by
+        # the embed-loop estimate (4 N·D f32 arrays + edges)
+        check_device_fit(n, feature_dim, rows.shape[0])
         deg = np.zeros(n, dtype=np.float64)
         np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
         dis = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
@@ -146,13 +182,15 @@ def embed_prone(
             dis[rows.astype(np.int64)] * vals.astype(np.float64)
             * dis[cols.astype(np.int64)]
         ).astype(np.float32)
-        prow, pcol, pval = pad_coo(
-            rows.astype(np.int32), cols.astype(np.int32), nvals, n
+        layout, order, rank = _device_layout(
+            rows.astype(np.int32), cols.astype(np.int32), nvals, n,
+            feature_dim,
         )
-        dr, dc, dv = jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval)
 
         rng = np.random.default_rng(seed)
         R = rng.standard_normal((n, feature_dim)).astype(np.float32)
+        if order is not None:
+            R = R[order]
 
         @functools.partial(jax.jit, static_argnames=("n_rows", "kmax"))
         def cheb(rows, cols, vals, R, *, n_rows, kmax):
@@ -173,9 +211,11 @@ def embed_prone(
             return U
 
         U = np.asarray(
-            cheb(dr, dc, dv, jnp.asarray(R), n_rows=n, kmax=min(10, n)),
+            cheb(*layout, jnp.asarray(R), n_rows=n, kmax=min(10, n)),
             dtype=np.float64,
         )
+        if rank is not None:
+            U = U[rank]
     else:
         from scipy.sparse import eye
 

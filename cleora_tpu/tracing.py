@@ -111,11 +111,15 @@ class log_every:
         self.every = every
         self.fmt = fmt
         self.count = 0
+        self._next = every
         self._t0 = time.perf_counter()
 
     def __call__(self, n: int = 1):
         self.count += n
-        if self.count % self.every == 0:
+        # threshold, not modulo: chunked feeds (n > 1) must not skip a
+        # milestone when a chunk jumps across it
+        if self.count >= self._next:
+            self._next += ((self.count - self._next) // self.every + 1) * self.every
             elapsed = time.perf_counter() - self._t0
             logger.info(
                 self.fmt.format(count=self.count)
