@@ -91,16 +91,42 @@ def _device_layout(rows, cols, vals, n: int, d: int):
     )
 
 
-def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
-                              sym_norm: bool) -> np.ndarray:
-    """Σ_i weights[i] · N^i · R on the TPU (N = adjacency, optionally
-    D^-1/2 A D^-1/2), one fused jit over the production SpMM layout."""
-    import functools
+def _weighted_sum_jit():
+    """Module-level jitted Σ_i w_i·N^i·x0 (one trace per shape, not per
+    embed_randne call)."""
+    global _WEIGHTED_SUM_FN
+    if _WEIGHTED_SUM_FN is None:
+        import functools
 
-    import jax
+        import jax
+
+        from .ops.spmm import spmm_inner
+
+        @functools.partial(jax.jit, static_argnames=("n_rows", "steps"))
+        def run(rows, cols, vals, x0, w, *, n_rows, steps):
+            def body(carry, wi):
+                acc, x = carry
+                x = spmm_inner(rows, cols, vals, x, n_rows)
+                return (acc + wi * x, x), None
+
+            (acc, _), _ = jax.lax.scan(
+                body, (w[0] * x0, x0), w[1 : steps + 1]
+            )
+            return acc
+
+        _WEIGHTED_SUM_FN = run
+    return _WEIGHTED_SUM_FN
+
+
+_WEIGHTED_SUM_FN = None
+
+
+def _device_weighted_sum_core(graph, R: np.ndarray, weights: List[float],
+                              sym_norm: bool):
+    """Device half of :func:`_device_spmm_weighted_sum`: returns
+    (device_array, rank) with the result still on device in the layout's
+    relabeled row space — probes time this with a scalar fetch."""
     import jax.numpy as jnp
-
-    from .ops.spmm import spmm_inner
 
     rows, cols, vals, n, _ = graph.to_sparse_csr()
     from .ops.memory import check_device_fit
@@ -125,75 +151,35 @@ def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
     if order is not None:
         x0 = x0[order]
 
-    @functools.partial(jax.jit, static_argnames=("n_rows", "steps"))
-    def run(rows, cols, vals, x0, w, *, n_rows, steps):
-        def body(carry, wi):
-            acc, x = carry
-            x = spmm_inner(rows, cols, vals, x, n_rows)
-            return (acc + wi * x, x), None
+    return _weighted_sum_jit()(
+        *layout, jnp.asarray(x0), w, n_rows=n, steps=len(weights) - 1
+    ), rank
 
-        (acc, _), _ = jax.lax.scan(
-            body, (w[0] * x0, x0), w[1 : steps + 1]
-        )
-        return acc
 
-    out = np.asarray(
-        run(*layout, jnp.asarray(x0), w, n_rows=n, steps=len(weights) - 1),
-        dtype=np.float64,
-    )
+def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
+                              sym_norm: bool) -> np.ndarray:
+    """Σ_i weights[i] · N^i · R on the TPU (N = adjacency, optionally
+    D^-1/2 A D^-1/2), one fused jit over the production SpMM layout."""
+    dev, rank = _device_weighted_sum_core(graph, R, weights, sym_norm)
+    out = np.asarray(dev, dtype=np.float64)
     return out[rank] if rank is not None else out
 
 
-# ---------------------------------------------------------------- algorithms
-def embed_prone(
-    graph,
-    feature_dim: int = 256,
-    mu: float = 0.2,
-    theta: float = 0.5,
-    seed: int = 0,
-    backend: str = "host",
-) -> np.ndarray:
-    """ProNE spectral propagation (reference algorithms.py:23-64):
-    U = R + Σ_{k=2}^{min(10,n)-1} exp(-θk)·μ · T_k(L_norm)·R, then
-    SVD sqrt-singular rescale."""
-    n = graph.num_entities
-    A = _adjacency(graph)
-    L_norm_mul = None
-
-    if backend == "device":
-        # Chebyshev on device: T_k(L) R with L = I - D^-1/2 A D^-1/2.
-        # L@X = X - N@X where N is the sym-normalized adjacency.
+def _cheb_jit():
+    """Module-level jitted Chebyshev filter (one trace per shape, not per
+    embed_prone call; theta/mu are traced scalars so hyperparameter sweeps
+    reuse the compiled program)."""
+    global _CHEB_FN
+    if _CHEB_FN is None:
         import functools
 
         import jax
         import jax.numpy as jnp
 
-        from .ops.memory import check_device_fit
         from .ops.spmm import spmm_inner
 
-        rows, cols, vals, _, _ = graph.to_sparse_csr()
-        # Chebyshev keeps (U, prev, curr) + the SpMM output — bounded by
-        # the embed-loop estimate (4 N·D f32 arrays + edges)
-        check_device_fit(n, feature_dim, rows.shape[0])
-        deg = np.zeros(n, dtype=np.float64)
-        np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
-        dis = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
-        nvals = (
-            dis[rows.astype(np.int64)] * vals.astype(np.float64)
-            * dis[cols.astype(np.int64)]
-        ).astype(np.float32)
-        layout, order, rank = _device_layout(
-            rows.astype(np.int32), cols.astype(np.int32), nvals, n,
-            feature_dim,
-        )
-
-        rng = np.random.default_rng(seed)
-        R = rng.standard_normal((n, feature_dim)).astype(np.float32)
-        if order is not None:
-            R = R[order]
-
         @functools.partial(jax.jit, static_argnames=("n_rows", "kmax"))
-        def cheb(rows, cols, vals, R, *, n_rows, kmax):
+        def cheb(rows, cols, vals, R, theta, mu, *, n_rows, kmax):
             def lmul(x):
                 return x - spmm_inner(rows, cols, vals, x, n_rows)
 
@@ -210,16 +196,73 @@ def embed_prone(
             U, _, _ = jax.lax.fori_loop(2, kmax, body, (U, prev, curr))
             return U
 
-        U = np.asarray(
-            cheb(*layout, jnp.asarray(R), n_rows=n, kmax=min(10, n)),
-            dtype=np.float64,
-        )
+        _CHEB_FN = cheb
+    return _CHEB_FN
+
+
+_CHEB_FN = None
+
+
+def _prone_chebyshev_core(graph, feature_dim: int, mu: float, theta: float,
+                          seed: int):
+    """Device half of ProNE: Chebyshev filtering T_k(L)·R on the production
+    SpMM layout (L@X = X - N@X, N = D^-1/2 A D^-1/2).  Returns
+    (device_array, rank) with the result still on device in the layout's
+    relabeled row space — probes time this with a scalar fetch."""
+    import jax.numpy as jnp
+
+    from .ops.memory import check_device_fit
+
+    n = graph.num_entities
+    rows, cols, vals, _, _ = graph.to_sparse_csr()
+    # Chebyshev keeps (U, prev, curr) + the SpMM output — bounded by
+    # the embed-loop estimate (4 N·D f32 arrays + edges)
+    check_device_fit(n, feature_dim, rows.shape[0])
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
+    nvals = (
+        dis[rows.astype(np.int64)] * vals.astype(np.float64)
+        * dis[cols.astype(np.int64)]
+    ).astype(np.float32)
+    layout, order, rank = _device_layout(
+        rows.astype(np.int32), cols.astype(np.int32), nvals, n, feature_dim,
+    )
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((n, feature_dim)).astype(np.float32)
+    if order is not None:
+        R = R[order]
+
+    return _cheb_jit()(
+        *layout, jnp.asarray(R), jnp.float32(theta), jnp.float32(mu),
+        n_rows=n, kmax=min(10, n),
+    ), rank
+
+
+# ---------------------------------------------------------------- algorithms
+def embed_prone(
+    graph,
+    feature_dim: int = 256,
+    mu: float = 0.2,
+    theta: float = 0.5,
+    seed: int = 0,
+    backend: str = "host",
+) -> np.ndarray:
+    """ProNE spectral propagation (reference algorithms.py:23-64):
+    U = R + Σ_{k=2}^{min(10,n)-1} exp(-θk)·μ · T_k(L_norm)·R, then
+    SVD sqrt-singular rescale."""
+    n = graph.num_entities
+
+    if backend == "device":
+        dev, rank = _prone_chebyshev_core(graph, feature_dim, mu, theta, seed)
+        U = np.asarray(dev, dtype=np.float64)
         if rank is not None:
             U = U[rank]
     else:
         from scipy.sparse import eye
 
-        N, _ = _sym_normalized(A)
+        N, _ = _sym_normalized(_adjacency(graph))
         L_norm = eye(n) - N
         rng = np.random.default_rng(seed)
         R = rng.standard_normal((n, feature_dim)).astype(np.float64)
