@@ -132,3 +132,27 @@ def test_list_algorithms(ref):
     theirs = ref.list_algorithms()
     assert [d["name"] for d in ours] == [d["name"] for d in theirs]
     assert [d["function"] for d in ours] == [d["function"] for d in theirs]
+
+
+def test_device_layout_coo_fallback(graph):
+    """When plan_ell declines (pathological padding), _device_layout falls
+    back to padded COO with identity permutes — and the device backends
+    still match the host path."""
+    import numpy as np
+
+    from cleora_tpu.ops import spmm_ell
+
+    orig = spmm_ell.plan_ell
+    try:
+        spmm_ell.plan_ell = lambda *a, **k: None  # force the decline
+        rows = np.array([0, 1, 2], dtype=np.int32)
+        cols = np.array([1, 2, 0], dtype=np.int32)
+        vals = np.ones(3, dtype=np.float32)
+        layout, order, rank = alg._device_layout(rows, cols, vals, 3, 8)
+        assert order is None and rank is None
+        host = alg.embed_randne(graph, feature_dim=16, num_iterations=4)
+        dev = alg.embed_randne(graph, feature_dim=16, num_iterations=4,
+                               backend="device")
+        assert np.allclose(host, dev, atol=1e-3)
+    finally:
+        spmm_ell.plan_ell = orig
