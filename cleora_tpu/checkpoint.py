@@ -74,19 +74,26 @@ def save_checkpoint(
 
 
 def load_checkpoint(directory: str) -> Tuple[object, np.ndarray, int]:
-    """Load (graph, embeddings, iteration) from a checkpoint directory
-    (either backend; orbax state wins when both exist)."""
+    """Load (graph, embeddings, iteration) from a checkpoint directory.
+
+    When both backends' state exists (e.g. one orbax save followed by npz
+    saves from a resumed run), the most recently WRITTEN one wins — a stale
+    orbax save must not silently roll back newer npz progress."""
     with open(os.path.join(directory, _GRAPH_FILE), "rb") as f:
         graph = pickle.load(f)
     orbax_path = os.path.abspath(os.path.join(directory, _ORBAX_DIR))
-    if os.path.exists(orbax_path):
+    npz_path = os.path.join(directory, _STATE_FILE)
+    use_orbax = os.path.exists(orbax_path)
+    if use_orbax and os.path.exists(npz_path):
+        use_orbax = os.path.getmtime(orbax_path) >= os.path.getmtime(npz_path)
+    if use_orbax:
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(orbax_path)
         return graph, np.asarray(state["embeddings"]), int(state["iteration"])
-    state = np.load(os.path.join(directory, _STATE_FILE))
-    return graph, state["embeddings"], int(state["iteration"])
+    with np.load(npz_path) as state:
+        return graph, np.asarray(state["embeddings"]), int(state["iteration"])
 
 
 def has_checkpoint(directory: str) -> bool:
@@ -103,13 +110,15 @@ def embed_with_checkpointing(
     checkpoint_dir: str = "cleora_ckpt",
     checkpoint_every: int = 5,
     resume: bool = True,
+    backend: str = "npz",
     **embed_kwargs,
 ) -> np.ndarray:
     """embed() that checkpoints every ``checkpoint_every`` iterations and
     resumes from the last checkpoint when ``resume`` and one exists.
 
     Runs ``checkpoint_every`` iterations per fused device dispatch — the
-    checkpoint cadence is the only host sync.
+    checkpoint cadence is the only host sync.  ``backend`` selects the
+    state writer ("npz" or "orbax"), as in :func:`save_checkpoint`.
     """
     from . import embed
 
@@ -139,7 +148,8 @@ def embed_with_checkpointing(
             **embed_kwargs,
         )
         it += chunk
-        save_checkpoint(checkpoint_dir, graph, x, it, save_graph=(it == chunk))
+        save_checkpoint(checkpoint_dir, graph, x, it,
+                        save_graph=(it == chunk), backend=backend)
     return x
 
 

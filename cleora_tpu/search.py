@@ -193,6 +193,8 @@ class ANNIndex:
             rs = np.take_along_axis(rs, order, axis=1)
             return [self._results(top[i], rs[i]) for i in range(len(qn))]
         if self._hnsw_index is not None:
+            if k > 50:  # hnswlib raises when k > ef (pinned at 50 on build)
+                self._hnsw_index.set_ef(k)
             labels, distances = self._hnsw_index.knn_query(qn, k=k)
             return [
                 self._results(labels[i], 1.0 - distances[i])
@@ -217,6 +219,8 @@ class ANNIndex:
             top = top[np.argsort(sims[top])[::-1]]
             return self._results(top, sims[top])
         if self._hnsw_index is not None:
+            if k > 50:  # hnswlib raises when k > ef (pinned at 50 on build)
+                self._hnsw_index.set_ef(k)
             labels, distances = self._hnsw_index.knn_query(
                 _unit(query_vec).reshape(1, -1), k=k
             )
@@ -294,7 +298,6 @@ class ShardedDeviceIndex:
             _shard_data,
         )
         rows_per_shard = n_padded // n_shards
-        n_real = self._n
         axis = self._axis
 
         def _local_topk(table, q, k):
@@ -369,11 +372,26 @@ class ShardedDeviceIndex:
             raise ValueError(f"top_k must be positive, got {top_k}")
         idx = self._graph.get_entity_index(entity_id)
         fetch_k = top_k + 1 if exclude_self else top_k
-        table_row = np.asarray(self._table[idx], dtype=np.float32)
+        table_row = np.asarray(self._row(idx), dtype=np.float32)
         results = self.query_batch(table_row.reshape(1, -1), fetch_k)[0]
         if exclude_self:
             results = [r for r in results if r["entity_id"] != entity_id]
         return results[:top_k]
+
+    def _row(self, idx: int):
+        """One table row, gathered on device into a REPLICATED output so the
+        host fetch is addressable in every process (direct indexing of the
+        row-sharded table would raise for rows owned by a remote host)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if getattr(self, "_row_fn", None) is None:
+            self._row_fn = jax.jit(
+                lambda t, i: t[i],
+                out_shardings=NamedSharding(self._mesh, PartitionSpec()),
+            )
+        return self._row_fn(self._table, jnp.int32(idx))
 
     def _results(self, indices, sims) -> List[Dict]:
         ids = self._graph.entity_ids

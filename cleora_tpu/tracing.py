@@ -38,13 +38,14 @@ class EmbedTracer:
     iter_times: List[float] = field(default_factory=list)
     _last: Optional[float] = None
 
+    def __post_init__(self):
+        # count the first iteration from construction (its interval thus
+        # includes embed()'s setup/dispatch — the conservative direction)
+        self._last = time.perf_counter()
+
     def __call__(self, iteration: int, embeddings) -> None:
         now = time.perf_counter()
-        if self._last is not None:
-            self.iter_times.append(now - self._last)
-        elif iteration == 0:
-            # first callback: no start reference, count from construction
-            pass
+        self.iter_times.append(now - self._last)
         self._last = now
 
     def summary(self) -> Dict[str, float]:

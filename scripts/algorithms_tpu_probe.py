@@ -93,7 +93,7 @@ def main():
         )
 
     for name, fn, spmms in [
-        ("prone", prone_call, 17),       # 1 + 2×8 Chebyshev L-muls
+        ("prone", prone_call, 9),        # 1 + 8 Chebyshev L-muls
         ("randne", randne_call, rand_iters),
     ]:
         t = time.perf_counter()
@@ -115,14 +115,18 @@ def main():
             float(out[-1, -1]))
         del out
 
-        # host float64 (the reference-semantics path), same shape
+        # host float64 (the reference-semantics path), same shape.
+        # Prep (adjacency build + sym-normalize) happens OUTSIDE the timed
+        # region — the device number likewise excludes its plan/upload prep
+        # (printed separately above), so the comparison is propagate-only
+        # on both sides.
+        N, _ = alg._sym_normalized(alg._adjacency(g))
+        r = np.random.default_rng(0).standard_normal((n, dim))
         t = time.perf_counter()
         if name == "prone":
             from scipy.sparse import eye
 
-            N, _ = alg._sym_normalized(alg._adjacency(g))
             L = eye(n) - N
-            r = np.random.default_rng(0).standard_normal((n, dim))
             U = r.copy()
             prev = r.copy()
             curr = alg._dense(L @ r)
@@ -131,8 +135,6 @@ def main():
                 U += np.exp(-0.5 * k) * 0.2 * nxt
                 prev, curr = curr, nxt
         else:
-            N, _ = alg._sym_normalized(alg._adjacency(g))
-            r = np.random.default_rng(0).standard_normal((n, dim))
             U = weights[0] * r
             current = r.copy()
             for i in range(rand_iters):

@@ -79,7 +79,16 @@ def test_embed_tracer(graph):
     tracer = EmbedTracer(num_edges=graph.num_edges)
     embed(graph, feature_dim=8, num_iterations=4, callback=tracer)
     s = tracer.summary()
-    assert s["iterations"] == 3  # n-1 inter-callback gaps
+    # every iteration counted; the first interval runs from construction
+    assert s["iterations"] == 4
+    assert s["edges_per_s"] > 0
+
+
+def test_embed_tracer_single_iteration(graph):
+    tracer = EmbedTracer(num_edges=graph.num_edges)
+    embed(graph, feature_dim=8, num_iterations=1, callback=tracer)
+    s = tracer.summary()
+    assert s["iterations"] == 1
     assert s["edges_per_s"] > 0
 
 
