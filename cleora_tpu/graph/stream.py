@@ -354,9 +354,12 @@ def build_graph_streaming_pairs(
     for src, dst in pair_chunks:
         src = np.ascontiguousarray(src, dtype=np.int64)
         dst = np.ascontiguousarray(dst, dtype=np.int64)
-        if src.shape != dst.shape:
+        if src.shape != dst.shape or src.ndim != 1:
             lib.ct_stream_free(handle)
-            raise ValueError("src/dst chunk shapes differ")
+            raise ValueError(
+                "src/dst chunks must be 1-D arrays of equal length, got "
+                f"shapes {src.shape} and {dst.shape}"
+            )
         if lib.ct_stream_feed_pairs(
             handle, src.ctypes.data_as(ctypes.c_void_p),
             dst.ctypes.data_as(ctypes.c_void_p), src.shape[0],
@@ -441,12 +444,14 @@ def build_graph_streaming_sharded(
     def _fresh():
         return source() if callable(source) else source
 
-    if not (files or callable(source)
-            or isinstance(source, (Sequence, list, tuple))):
+    if not (callable(source) or isinstance(source, (Sequence, list, tuple))):
+        # applies in files mode too: a one-shot iterator of paths would be
+        # exhausted by the pass-1 entity scan and pass 2 would silently
+        # build an empty graph
         raise ValueError(
-            "sharded build needs a re-iterable source: file paths "
-            "(files=True), a sequence of lines, or a callable returning a "
-            "fresh iterator"
+            "sharded build needs a re-iterable source (both passes scan "
+            "it): a list of file paths (files=True), a sequence of lines, "
+            "or a callable returning a fresh iterator"
         )
     if n_entities is None:
         n_entities = count_entities_streaming(
@@ -498,7 +503,10 @@ def merge_disk_graph_shards(shard_dirs: Sequence[str],
         if "row_range" not in m:
             raise ValueError("merge_disk_graph_shards needs sharded pieces "
                              "(built with row_range)")
-    order = sorted(range(len(metas)), key=lambda i: metas[i]["row_range"][0])
+    # (lo, hi) key: an empty piece (hi == lo) must sort BEFORE the
+    # non-empty piece starting at the same row or the tiling check trips
+    order = sorted(range(len(metas)),
+                   key=lambda i: tuple(metas[i]["row_range"]))
     dirs = [shard_dirs[i] for i in order]
     metas = [metas[i] for i in order]
     n = metas[0]["num_entities"]

@@ -136,12 +136,29 @@ def _widths_for(degrees: np.ndarray, max_buckets: int = _MAX_BUCKETS) -> list:
     return widths[::-1]
 
 
+def ragged_slot_indices(counts: np.ndarray):
+    """(i_idx, j_idx) covering slot (i, j) for j < counts[i] — the
+    vectorized ragged-scatter index pattern shared by the single-chip
+    bucket packer (``_fill``) and the sharded packer (parallel/ell.py)."""
+    total = int(counts.sum())
+    i_idx = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+    j_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return i_idx, j_idx
+
+
 def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
              n_rows: int, d: int = 256, max_waste: float = 2.0):
     """Build the sliced-ELL layout.  Returns EllPlan, or None when padding
     would exceed ``max_waste`` × nnz (caller falls back to a COO layout).
 
     rows must be sorted ascending (the standard COO contract in this repo).
+    ``d`` (the feature width) is currently unused: measured on v5e the
+    gather issue rate tracks the EDGE count, not padded slots or row
+    bytes (RESULTS.md), so the waste thresholds are dim-independent.  It
+    stays in the signature for future dim-aware budgets (e.g. VMEM-sized
+    bucket splitting).
     """
     nnz = int(rows.shape[0])
     if nnz == 0 or n_rows == 0:
@@ -190,11 +207,7 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         v = np.zeros((n_b, k), dtype=np.float32)
         starts = indptr[first_row:first_row + n_b]
         counts = (indptr[first_row + 1:first_row + n_b + 1] - starts)
-        # vectorized ragged scatter: slot (i, j) for j < counts[i]
-        i_idx = np.repeat(np.arange(n_b, dtype=np.int64), counts)
-        j_idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
+        i_idx, j_idx = ragged_slot_indices(counts)
         src = np.repeat(starts, counts) + j_idx
         c[i_idx, j_idx] = ec[src]
         v[i_idx, j_idx] = ev[src]

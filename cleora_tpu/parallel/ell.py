@@ -147,8 +147,9 @@ def ell_shards(
     if nnz == 0:
         return None
 
-    owner_all = (sharded.cols // rps).astype(np.int64)
+    owner_all = None
     if split:
+        owner_all = (sharded.cols // rps).astype(np.int64)
         is_local = owner_all == np.arange(P)[:, None]
         bucketed = real & is_local  # edges packed into the ELL slabs
     else:
@@ -248,14 +249,7 @@ def ell_shards(
             np.full((P, n_virt), max(n_hub - 1, 0), dtype=np.int32),
         )
 
-    def _ragged(counts):
-        """(i_idx, j_idx) covering slot (i, j) for j < counts[i]."""
-        total = int(counts.sum())
-        i_idx = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
-        j_idx = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        return i_idx, j_idx
+    from ..ops.spmm_ell import ragged_slot_indices as _ragged
 
     for k in range(P):
         m = bucketed[k]

@@ -445,6 +445,14 @@ def embed_sharded(
         raise ValueError(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
         )
+    if propagation not in ("left", "symmetric"):
+        # same check (and message) as cleora_tpu._validate_propagation —
+        # the DiskGraph loaders treat any other string as "left", which
+        # would silently return wrong numerics
+        raise ValueError(
+            f"Unknown propagation type: '{propagation}'. "
+            "Use 'left' or 'symmetric'."
+        )
     if mesh is None:
         import jax as _jax
 
@@ -527,6 +535,7 @@ def embed_sharded(
     else:
         sharded = shard_graph(graph, propagation, n_shards)
     plan = None
+    candidate = None
     overlap_plan = None
     if halo == "overlap" and n_shards > 1:
         from .shard import plan_overlap
@@ -556,7 +565,16 @@ def embed_sharded(
             from .ell import ell_shards
 
             if ell == "split" and plan is None:
-                plan = plan_halo(sharded)  # split needs the slab exchange
+                if halo is False:
+                    raise ValueError(
+                        "ell='split' overlaps the boundary-row exchange "
+                        "with the local SpMM and cannot run with "
+                        "halo=False; drop one of the two."
+                    )
+                # split needs the slab exchange; reuse the auto-select's
+                # already-computed candidate instead of re-planning
+                plan = candidate if candidate is not None else \
+                    plan_halo(sharded)
             ell_plan = ell_shards(
                 sharded, d=feature_dim, halo=plan,
                 force=ell in (True, "split"), split=ell == "split",
@@ -609,8 +627,10 @@ def embed_sharded(
         x, rest = placed[0], placed[1:]
         prev_host = None
         # num_iterations == 0 runs no steps: return the initial embeddings,
-        # matching the non-callback path
-        host = _view(x)
+        # matching the non-callback path.  With iterations to run, skip the
+        # pre-loop host view — it is a full device→host (and cross-process
+        # allgather) copy that iteration 0 would immediately overwrite.
+        host = _view(x) if int(num_iterations) == 0 else None
         for i in range(int(num_iterations)):
             x = fn(x, *rest)
             host = _view(x)
