@@ -81,6 +81,8 @@ def build_graph_native_files(
 
 
 def _extract(lib, handle, descriptor) -> GraphData:
+    if not handle:  # allocation of the result struct itself failed
+        raise MemoryError("native graph build could not allocate its state")
     try:
         err = lib.ct_error(handle)
         if err:

@@ -10,7 +10,11 @@ and the legacy mmap persistence (/root/reference/legacy/src/persistence.rs).
 Result ordering, trimming and Markov numerics are identical to the in-RAM
 builder: chunks are consumed in input order, so first-seen entity indexing
 and the running-occurrence trimming see the same sequence
-(src/sparse_matrix_builder.rs:188-207 semantics).
+(src/sparse_matrix_builder.rs:188-207 semantics).  One f64-rounding caveat:
+duplicate pairs whose occurrences straddle a spill-run boundary are summed
+as per-run partials combined at merge time, a different grouping than the
+in-RAM sequential sum — equal after the final f32 rounding on every tested
+input, but not guaranteed bitwise at arbitrary scale.
 
 The output directory holds flat binary arrays (indices.bin int32,
 left_vals.bin/sym_vals.bin float32, indptr.bin int64, hashes.bin uint64,
@@ -148,6 +152,11 @@ def _open_stream(lib, columns: str, hyperedge_trim_n: int,
         ncols, complex_flags, reflexive_flags, int(hyperedge_trim_n),
         int(num_workers or 0), out_dir.encode(), int(ram_cap_bytes),
     )
+    if not handle:
+        raise MemoryError(
+            "streaming build could not allocate its pair buffer "
+            f"(ram_cap_bytes={ram_cap_bytes}); lower the cap"
+        )
     return handle, cols
 
 

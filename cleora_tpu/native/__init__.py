@@ -25,9 +25,13 @@ _load_failed = False
 
 
 def _compile() -> bool:
+    # per-process temp name: concurrent processes (multi-process sharded
+    # builds) would otherwise write the SAME .tmp dirent and could publish
+    # a corrupt .so newer than the sources (never rebuilt again)
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", _SRC, "-o", _LIB + ".tmp",
+        "-fopenmp", _SRC, "-o", tmp,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
@@ -37,8 +41,12 @@ def _compile() -> bool:
         sys.stderr.write(
             f"cleora_tpu: native builder compile failed:\n{proc.stderr}\n"
         )
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
     return True
 
 
@@ -120,6 +128,20 @@ def get_lib():
                 _load_failed = True
                 return None
             _lib = _bind(ctypes.CDLL(_LIB))
+        except AttributeError:
+            # a stale .so (newer mtime than the sources, e.g. restored from
+            # a cache) missing newly-added exports: rebuild once, else fall
+            # back to numpy rather than crash callers expecting None
+            try:
+                if _compile():
+                    _lib = _bind(ctypes.CDLL(_LIB))
+                else:
+                    _load_failed = True
+            except (OSError, AttributeError) as e:
+                sys.stderr.write(
+                    f"cleora_tpu: native builder unavailable: {e}\n"
+                )
+                _load_failed = True
         except OSError as e:
             sys.stderr.write(f"cleora_tpu: native builder unavailable: {e}\n")
             _load_failed = True

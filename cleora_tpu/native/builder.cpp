@@ -785,15 +785,32 @@ static BuildResult* build(BuildResult* res, const std::vector<Buf>& bufs,
 // ------------------------------------------------------------------- C ABI
 extern "C" {
 
+// An exception (bad_alloc, primarily) escaping these extern "C" frames
+// would std::terminate Python; convert to the handle error string (or a
+// null handle when even the result struct can't be allocated).
+static void* build_fail(BuildResult* res) {
+  if (!res) return nullptr;
+  try {
+    if (res->error.empty()) res->error = "out of memory during graph build";
+  } catch (...) {
+  }
+  return res;
+}
+
 void* ct_build(const char* buf, int64_t buf_len, int ncols,
                const uint8_t* complex_flags, const uint8_t* reflexive_flags,
                int trim_n, int num_workers) {
-  ColumnSpec cols[64];
-  for (int i = 0; i < ncols && i < 64; ++i)
-    cols[i] = {complex_flags[i], reflexive_flags[i]};
-  auto* res = new BuildResult();
-  return build(res, {{buf, buf_len}}, ncols, cols, trim_n, num_workers,
-               /*skip_empty=*/false);
+  BuildResult* res = nullptr;
+  try {
+    ColumnSpec cols[64];
+    for (int i = 0; i < ncols && i < 64; ++i)
+      cols[i] = {complex_flags[i], reflexive_flags[i]};
+    res = new BuildResult();
+    return build(res, {{buf, buf_len}}, ncols, cols, trim_n, num_workers,
+                 /*skip_empty=*/false);
+  } catch (...) {
+    return build_fail(res);
+  }
 }
 
 // Reads the files itself (parallel reader threads, reference
@@ -804,10 +821,12 @@ void* ct_build_files(const char** paths, int n_files, int ncols,
                      const uint8_t* complex_flags,
                      const uint8_t* reflexive_flags, int trim_n,
                      int num_workers) {
+  BuildResult* res = nullptr;
+  try {
   ColumnSpec cols[64];
   for (int i = 0; i < ncols && i < 64; ++i)
     cols[i] = {complex_flags[i], reflexive_flags[i]};
-  auto* res = new BuildResult();
+  res = new BuildResult();
   res->owned_buffers.resize((size_t)n_files);
   {
     int readers = std::min(n_files, 4);
@@ -820,13 +839,18 @@ void* ct_build_files(const char** paths, int n_files, int ncols,
           if (i >= n_files) break;
           FILE* f = std::fopen(paths[i], "rb");
           if (!f) continue;
-          std::fseek(f, 0, SEEK_END);
-          long sz = std::ftell(f);
-          std::fseek(f, 0, SEEK_SET);
-          std::string& s = res->owned_buffers[(size_t)i];
-          s.resize((size_t)std::max(0L, sz));
-          size_t got = sz > 0 ? std::fread(&s[0], 1, (size_t)sz, f) : 0;
-          s.resize(got);
+          try {  // a bad_alloc here would terminate (thread boundary) —
+            // treat an unloadable file like an unreadable one (skipped)
+            std::fseek(f, 0, SEEK_END);
+            long sz = std::ftell(f);
+            std::fseek(f, 0, SEEK_SET);
+            std::string& s = res->owned_buffers[(size_t)i];
+            s.resize((size_t)std::max(0L, sz));
+            size_t got = sz > 0 ? std::fread(&s[0], 1, (size_t)sz, f) : 0;
+            s.resize(got);
+          } catch (...) {
+            res->owned_buffers[(size_t)i].clear();
+          }
           std::fclose(f);
         }
       });
@@ -838,6 +862,9 @@ void* ct_build_files(const char** paths, int n_files, int ncols,
     bufs.push_back({s.data(), (int64_t)s.size()});
   return build(res, bufs, ncols, cols, trim_n, num_workers,
                /*skip_empty=*/true);
+  } catch (...) {
+    return build_fail(res);
+  }
 }
 
 const char* ct_error(void* h) {

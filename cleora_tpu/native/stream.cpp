@@ -7,9 +7,15 @@
 // Shape: the caller feeds newline-terminated text chunks (or raw integer
 // pair arrays) in order.  Per chunk: parallel parse+hash, then a SEQUENTIAL
 // incremental first-seen indexer + row stats + trimming + pair emission —
-// sequential order is what makes the result bitwise-identical to the
-// in-RAM builder (first-seen entity order and the running-occurrence
-// trimming are input-order-dependent, src/sparse_matrix_builder.rs:188-207).
+// sequential order is what makes the result match the in-RAM builder
+// (first-seen entity order and the running-occurrence trimming are
+// input-order-dependent, src/sparse_matrix_builder.rs:188-207).  Caveat on
+// "bitwise": a duplicate (row,col) pair whose occurrences straddle a spill
+// -run boundary is summed as per-run f64 partials added at merge time —
+// a different grouping than the in-RAM sequential sum, so at most-extreme
+// scales a value can differ by an f64 ULP before the final f32 rounding
+// (every tested input rounds identically; the tests assert allclose at
+// 1e-7 on values and exact equality on structure).
 // Emitted (row,col,val) pairs accumulate in a bounded buffer; at the cap the
 // buffer is sorted, duplicate-summed (f64) and spilled as a sorted run.
 // finish() k-way-merges the runs and streams the final CSR
@@ -102,6 +108,9 @@ struct StreamState {
   bool emit = true;
   int64_t filt_lo = 0;
   int64_t filt_hi = INT64_MAX;
+  // true when the pending buffer may hold out-of-range pairs (only the
+  // trim path appends unfiltered); flush_run compacts only then
+  bool pend_unfiltered = false;
 
   // pending pair buffer: raw (no zero-init, unchecked writes); slack above
   // run_pairs absorbs one edge's worst-case emission between flush checks
@@ -152,9 +161,12 @@ static bool flush_run(StreamState* st) {
   StreamLap lap;
   KV* p = st->pending.get();
   size_t n = st->pend_n;
-  if (st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX) {
+  if ((st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX) &&
+      st->pend_unfiltered) {
     // row-sharded build: drop pairs outside this host's row block before
-    // the sort — compaction is one linear pass, the sort then costs 1/P
+    // the sort — compaction is one linear pass, the sort then costs 1/P.
+    // Skipped when every pair in the buffer came from the fast path,
+    // which already filters at emission time (pend_unfiltered tracks it).
     uint64_t lo = (uint64_t)st->filt_lo, hi = (uint64_t)st->filt_hi;
     size_t m = 0;
     for (size_t i = 0; i < n; ++i) {
@@ -163,7 +175,10 @@ static bool flush_run(StreamState* st) {
     }
     n = m;
     st->pend_n = m;
-    if (n == 0) return true;
+    if (n == 0) {
+      st->pend_unfiltered = false;
+      return true;
+    }
   }
   st->n_pairs_emitted += (int64_t)n;
   sort_kv_by_key(p, n, st->num_workers);
@@ -199,6 +214,7 @@ static bool flush_run(StreamState* st) {
   lap("  run:dedup+io");
   ++st->n_runs;
   st->pend_n = 0;
+  st->pend_unfiltered = false;
   return true;
 }
 
@@ -404,6 +420,12 @@ static bool stream_consume(StreamState* st, const std::vector<Token>& tokens,
     return true;
   }
 
+  // general (trim) path: pairs are appended WITHOUT the row filter; mark
+  // the buffer so flush_run compacts it (the fast path above filters at
+  // emission and leaves the flag unset)
+  if (st->filt_lo > 0 || st->filt_hi <= (int64_t)UINT32_MAX)
+    st->pend_unfiltered = true;
+
   for (const Edge& e : edges) {
     if (e.a_len == 0 || e.b_len == 0) continue;
     edge_stats(stats, tok_index, e);
@@ -495,6 +517,12 @@ struct RunReader {
   size_t pos = 0, have = 0;
   bool done = false;
 
+  // close on destruction so every early-error return path in
+  // stream_finish releases the K spill-file handles
+  ~RunReader() {
+    if (f) std::fclose(f);
+  }
+
   bool refill() {
     have = std::fread(buf.data(), sizeof(RunEntry), buf.size(), f);
     pos = 0;
@@ -537,6 +565,9 @@ struct BufWriter {
       ok &= std::fclose(f) == 0;
       f = nullptr;
     }
+  }
+  ~BufWriter() {  // error-path cleanup; success paths call close()
+    if (f) std::fclose(f);
   }
 };
 
@@ -679,8 +710,10 @@ static bool stream_finish(StreamState* st) {
     st->error = "short write to output CSR in " + st->dir + " (disk full?)";
     return false;
   }
-  for (auto& r : readers)
+  for (auto& r : readers) {
     if (r.f) std::fclose(r.f);
+    r.f = nullptr;  // the destructor must not close again
+  }
   for (int k = 0; k < K; ++k) std::remove(run_path(st, k).c_str());
 
   for (int64_t i = 0; i < n_ent; ++i) indptr[(size_t)i + 1] += indptr[(size_t)i];
@@ -720,7 +753,7 @@ extern "C" {
 void* ct_stream_open(int ncols, const uint8_t* complex_flags,
                      const uint8_t* reflexive_flags, int trim_n,
                      int num_workers, const char* spill_dir,
-                     int64_t ram_cap_bytes) {
+                     int64_t ram_cap_bytes) try {
   auto* st = new StreamState();
   st->ncols = ncols;
   for (int i = 0; i < ncols && i < 64; ++i)
@@ -740,8 +773,16 @@ void* ct_stream_open(int ncols, const uint8_t* complex_flags,
   // 64 each in practice, but a no-trim build can have wider lines; 1M slots
   // of slack covers sides up to ~700x700) between flush checks
   st->pend_cap = st->run_pairs + (1u << 20);
-  st->pending.reset(new KV[st->pend_cap]);
+  st->pending.reset(new (std::nothrow) KV[st->pend_cap]);
+  if (!st->pending) {
+    delete st;
+    return nullptr;  // impossible ram_cap: caller raises a clean error
+  }
   return st;
+} catch (...) {
+  // bad_alloc (or any other exception) must not unwind through the
+  // ctypes frame — that would std::terminate the Python process
+  return nullptr;
 }
 
 // Sharded-build controls (set before the first feed).  emit=0 runs the
@@ -761,7 +802,19 @@ void ct_stream_set_row_filter(void* h, int64_t lo, int64_t hi) {
 // Feed one newline-terminated text chunk (must not split a line across
 // feeds).  is_file_mode=1 applies the file-path semantics: skip empty and
 // invalid-UTF-8 lines.  Returns 0 on success.
-int ct_stream_feed(void* h, const char* buf, int64_t len, int is_file_mode) {
+// Converts any escaping exception (bad_alloc from the token/edge vectors
+// and arenas, primarily) into the handle's error string — an exception
+// crossing the extern "C" ctypes frame would std::terminate Python.
+static int guard_fail(StreamState* st) {
+  try {
+    if (st->error.empty()) st->error = "out of memory in streaming build";
+  } catch (...) {
+  }
+  return 1;
+}
+
+int ct_stream_feed(void* h, const char* buf, int64_t len, int is_file_mode)
+try {
   auto* st = (StreamState*)h;
   if (!st->error.empty() || st->finished) return 1;
 
@@ -822,13 +875,15 @@ int ct_stream_feed(void* h, const char* buf, int64_t len, int is_file_mode) {
     }
   }
   return stream_consume(st, tokens, edges) ? 0 : 1;
+} catch (...) {
+  return guard_fail((StreamState*)h);
 }
 
 // Feed raw integer pairs (the synthetic-scale and from_edge_arrays path).
 // Ids are formatted as decimal strings internally, so hashing, the entity
 // table and the output are bitwise-identical to feeding "src dst" text.
 int ct_stream_feed_pairs(void* h, const int64_t* src, const int64_t* dst,
-                         int64_t n) {
+                         int64_t n) try {
   auto* st = (StreamState*)h;
   StreamLap lap;
   if (!st->error.empty() || st->finished) return 1;
@@ -906,12 +961,16 @@ int ct_stream_feed_pairs(void* h, const int64_t* src, const int64_t* dst,
   }
   lap("stitch");
   return stream_consume(st, tokens, edges) ? 0 : 1;
+} catch (...) {
+  return guard_fail((StreamState*)h);
 }
 
-int ct_stream_finish(void* h) {
+int ct_stream_finish(void* h) try {
   auto* st = (StreamState*)h;
   if (!st->error.empty()) return 1;
   return stream_finish(st) ? 0 : 1;
+} catch (...) {
+  return guard_fail((StreamState*)h);
 }
 
 const char* ct_stream_error(void* h) {
