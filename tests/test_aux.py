@@ -217,3 +217,22 @@ print("env init ok")
 """], env=env, capture_output=True, timeout=120)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert b"env init ok" in r.stdout
+
+
+def test_checkpoint_newest_backend_wins(graph, tmp_path):
+    """A stale orbax save must not roll back newer npz progress (and vice
+    versa): load_checkpoint picks the most recently written state."""
+    import time
+
+    d = str(tmp_path / "ckpt_mixed")
+    a = np.full((7, 4), 1.0, np.float32)
+    b = np.full((7, 4), 2.0, np.float32)
+    save_checkpoint(d, graph, a, 5, backend="orbax")
+    time.sleep(0.05)
+    save_checkpoint(d, graph, b, 10, backend="npz")
+    _, x, it = load_checkpoint(d)
+    assert it == 10 and np.array_equal(x, b)
+    time.sleep(0.05)
+    save_checkpoint(d, graph, a, 15, backend="orbax")
+    _, x, it = load_checkpoint(d)
+    assert it == 15 and np.array_equal(x, a)
