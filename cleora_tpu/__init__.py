@@ -132,11 +132,20 @@ def embed(
     import jax.numpy as jnp
 
     from .ops.loop import (
+        effective_residual_weight,
         embed_loop,
         embed_loop_convergence,
         embed_step,
         from_layout_order,
         to_layout_order,
+    )
+
+    # which reference path would this configuration have taken?  (Their
+    # residual semantics differ — see effective_residual_weight.)
+    residual_weight = effective_residual_weight(
+        residual_weight,
+        rust_fast_semantics=(initial_embeddings is None and callback is None
+                             and normalization == "l2" and not whiten),
     )
 
     if initial_embeddings is not None:
@@ -239,6 +248,16 @@ def embed_dim_sharded(
             f"feature_dim ({feature_dim}) must be a multiple of slice_dim "
             f"({slice_dim})"
         )
+    if "initial_embeddings" in embed_kwargs:
+        # forwarding it would make every slice a full-dim run of the same
+        # init (embed() overrides feature_dim from the array's width) and
+        # return a silently wrong (n, dim²/slice_dim) concatenation
+        raise ValueError(
+            "embed_dim_sharded derives each slice's init from the "
+            "deterministic hash (seed + k*slice_dim); initial_embeddings "
+            "is not supported — slice it yourself and call embed() per "
+            "slice instead"
+        )
     if not hasattr(graph, "data"):
         # streamed build (graph.stream.DiskGraph): each slice runs through
         # the sharded loop, which loads edges off the memmapped CSR one row
@@ -334,7 +353,7 @@ def embed_with_node_features(
     feat_dim = len(sample_feat)
 
     init_emb = graph.initialize_deterministically(feat_dim)
-    index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
+    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
     for eid, feat in node_features.items():
         idx = index_map.get(eid)
         if idx is not None:
@@ -387,10 +406,12 @@ def embed_with_attention(
     import jax.numpy as jnp
 
     from .ops.loop import embed_step
+    from .ops.memory import check_device_fit
     from .ops.normalize import l2_normalize
     from .ops.spmm import spmm_inner
 
     n = graph.num_entities
+    check_device_fit(n, int(feature_dim), int(graph.data.indices.shape[0]))
     rows, cols, vals = graph._device_coo(propagation)
 
     x = jnp.asarray(graph.initialize_deterministically(feature_dim, seed))
@@ -471,8 +492,10 @@ def embed_multiscale(
     import jax.numpy as jnp
 
     from .ops.loop import embed_loop
+    from .ops.memory import check_device_fit
 
     n = graph.num_entities
+    check_device_fit(n, int(feature_dim), int(graph.data.indices.shape[0]))
     rows, cols, vals = graph._device_coo(propagation, banded_dim=int(feature_dim))
     x = jnp.asarray(graph.initialize_deterministically(feature_dim, seed))
 
@@ -512,7 +535,7 @@ def embed_weighted(
 
     n = graph.num_entities
     weight_diag = np.ones(n, dtype=np.float64)
-    index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
+    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
     for edge_str, w in edges_with_weights:
         for ent in edge_str.strip().split():
             idx = index_map.get(ent)
@@ -629,7 +652,7 @@ def supervised_refine(
 
     refined = embeddings.copy().astype(np.float64)
     n_entities = graph.num_entities
-    index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
+    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
 
     def lookup(pairs):
         out = []
@@ -744,7 +767,7 @@ def embed_inductive(
 
     updated_graph = update_graph(existing_edges, new_edges, columns,
                                  hyperedge_trim_n, num_workers)
-    old_index_map = {eid: i for i, eid in enumerate(trained_graph.entity_ids)}
+    old_index_map = trained_graph._index_map  # cached on the graph
     dim = trained_embeddings.shape[1]
     init = np.random.randn(updated_graph.num_entities, dim).astype(np.float32) * 0.01
     for i, eid in enumerate(updated_graph.entity_ids):
@@ -966,7 +989,7 @@ def embed_edge_features(
     sample_feat = next(iter(edge_features.values()))
     edge_feat_dim = len(sample_feat)
     n = graph.num_entities
-    index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
+    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
 
     node_feats = np.zeros((n, edge_feat_dim), dtype=np.float64)
     node_counts = np.zeros(n, dtype=np.float64)
@@ -1053,7 +1076,7 @@ class CleoraEmbedder:
             raise RuntimeError("Call fit() before transform()")
         if edges is None:
             return self.embeddings_
-        index_map = {eid: i for i, eid in enumerate(self.entity_ids_)}
+        index_map = self.graph_._index_map  # cached on the fitted graph
         seen = set()
         ordered_indices = []
         for edge in edges:

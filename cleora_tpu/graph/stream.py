@@ -243,6 +243,13 @@ def _feed_source(lib, handle, source, files: bool, chunk_bytes: int) -> None:
             if not isinstance(line, str):
                 lib.ct_stream_free(handle)
                 raise ValueError("Iterator must yield strings")
+            if "\n" in line:  # same one-element-one-line contract as
+                # SparseMatrix.from_iterator (the chunks below are joined
+                # with newlines)
+                lib.ct_stream_free(handle)
+                raise ValueError(
+                    "Iterator elements must be single lines without '\\n'"
+                )
             batch.append(line)
             size += len(line) + 1
             if size >= chunk_bytes:

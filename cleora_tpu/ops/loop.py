@@ -45,11 +45,24 @@ def _from_relabeled(rows, x):
     return x
 
 
+def effective_residual_weight(w: float, rust_fast_semantics: bool) -> float:
+    """The reference has TWO residual behaviors: its Rust fast path applies
+    the mix only for 0 < w < 1 (src/embedding.rs:121-129), while its Python
+    slow path — taken whenever whitening / a callback / non-l2 normalization
+    / initial embeddings are in play (pycleora/__init__.py:70-96) — applies
+    it for ANY w > 0.  Callers pass the semantics their entry point mirrors;
+    the loop then applies any non-zero weight it receives."""
+    w = float(w)
+    if w <= 0.0 or (rust_fast_semantics and w >= 1.0):
+        return 0.0
+    return w
+
+
 def _step(rows, cols, vals, x, n_rows, residual_weight, normalization, do_whiten):
     # bf16 storage mode: propagate/normalize/whiten compute in f32 (spmm_inner
     # promotes), then the state is stored back at the x dtype
     y = spmm_inner(rows, cols, vals, x, n_rows)
-    if 0.0 < residual_weight < 1.0:
+    if residual_weight > 0.0:  # callers pre-clamp via effective_residual_weight
         y = (1.0 - residual_weight) * y + residual_weight * x.astype(y.dtype)
     y = normalize(y, normalization)
     if do_whiten:

@@ -152,8 +152,9 @@ def _local_step(
             y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
     y = y.astype(jnp.float32)
 
-    # 3. residual + row normalization (purely local)
-    if 0.0 < residual_weight < 1.0:
+    # 3. residual + row normalization (purely local); weight pre-clamped by
+    # embed_sharded via ops.loop.effective_residual_weight
+    if residual_weight > 0.0:
         y = (1.0 - residual_weight) * y + residual_weight * x_local.astype(y.dtype)
 
     if ell is not None:
@@ -445,6 +446,14 @@ def embed_sharded(
         raise ValueError(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
         )
+    from ..ops.loop import effective_residual_weight
+
+    # same reference-path semantics as cleora_tpu.embed (see ops/loop.py)
+    residual_weight = effective_residual_weight(
+        residual_weight,
+        rust_fast_semantics=(initial_embeddings is None and callback is None
+                             and normalization == "l2" and not whiten),
+    )
     if propagation not in ("left", "symmetric"):
         # same check (and message) as cleora_tpu._validate_propagation —
         # the DiskGraph loaders treat any other string as "left", which

@@ -86,6 +86,16 @@ class SparseMatrix:
         for line in hyperedges:
             if not isinstance(line, str):
                 raise ValueError("Iterator elements must be strings")
+            if "\n" in line:
+                # one iterator element IS one line — an embedded newline
+                # would silently mean different graphs on the native path
+                # (splits into two lines) vs the numpy fallback / reference
+                # (newline becomes part of an entity id)
+                raise ValueError(
+                    "Iterator elements must be single lines without '\\n' "
+                    "(split multi-line strings before feeding, and strip "
+                    "trailing newlines from file-read lines)"
+                )
             lines.append(line)
         data = _build_dispatch(lines, columns, hyperedge_trim_n, num_workers)
         return SparseMatrix._from_graph_data(data)
@@ -344,8 +354,11 @@ class SparseMatrix:
                         rows, data.indices, vals, n, d=dim_bucket
                     )
             if triple is None:
-                if dim_bucket:  # banding declined — share the 1-D cache entry
-                    return self._device_coo(markov_type)
+                if dim_bucket:
+                    # banding declined — alias this (markov, dim) key to the
+                    # 1-D entry so repeat calls skip the O(nnz) re-planning
+                    self._device_cache[key] = self._device_coo(markov_type)
+                    return self._device_cache[key]
                 triple = pad_coo(rows, data.indices, vals, n)
 
             from .ops.spmm_ell import EllPlan
@@ -411,8 +424,10 @@ class SparseMatrix:
         """Fused on-device loop: one dispatch for all iterations."""
         mt = self._markov_name(propagation)
         jax, jnp = _require_jax()
-        from .ops.loop import embed_loop
+        from .ops.loop import effective_residual_weight, embed_loop
 
+        # embed_fast mirrors the Rust fast path: w outside (0,1) is ignored
+        residual_weight = effective_residual_weight(residual_weight, True)
         from .ops.memory import check_device_fit
 
         check_device_fit(self.num_entities, int(feature_dim),
@@ -441,8 +456,9 @@ class SparseMatrix:
     ) -> Tuple[np.ndarray, int]:
         mt = self._markov_name(propagation)
         jax, jnp = _require_jax()
-        from .ops.loop import embed_loop_convergence
+        from .ops.loop import effective_residual_weight, embed_loop_convergence
 
+        residual_weight = effective_residual_weight(residual_weight, True)
         from .ops.memory import check_device_fit
 
         check_device_fit(self.num_entities, int(feature_dim),

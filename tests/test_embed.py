@@ -468,3 +468,37 @@ def test_embed_callback_matches_fused_ell(monkeypatch):
     fused = ct.embed(g, feature_dim=8, num_iterations=4, whiten=False)
     assert np.allclose(cb, fused, rtol=1e-5, atol=1e-6)
     assert np.allclose(outs[-1], fused, rtol=1e-5, atol=1e-6)
+
+
+def test_residual_weight_one_reference_path_semantics(graph):
+    """The reference's two residual behaviors (ops/loop.py:
+    effective_residual_weight): the Rust fast path ignores w >= 1, while the
+    Python slow path (whiten=True default) applies it — at w=1 each
+    iteration reduces to normalize+whiten of the previous state."""
+    base = ct.embed(graph, feature_dim=8, num_iterations=3, whiten=False)
+    fast_w1 = ct.embed(graph, feature_dim=8, num_iterations=3, whiten=False,
+                       residual_weight=1.0)
+    assert np.allclose(base, fast_w1)
+
+    out = ct.embed(graph, feature_dim=8, num_iterations=3, whiten=True,
+                   residual_weight=1.0)
+    x = graph.initialize_deterministically(8, 0).astype(np.float64)
+    for _ in range(3):
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-10)
+        x = ct.whiten_embeddings(x)
+    assert np.allclose(out @ out.T, x @ x.T, atol=5e-3)
+
+
+def test_from_iterator_rejects_embedded_newline():
+    # the native path would split it into two lines; the numpy fallback /
+    # reference would embed '\n' into an entity id — both silent
+    with pytest.raises(ValueError, match="single lines"):
+        SparseMatrix.from_iterator(
+            iter(["a b\nc d"]), "complex::reflexive::node")
+
+
+def test_embed_dim_sharded_rejects_initial_embeddings(graph):
+    with pytest.raises(ValueError, match="initial_embeddings"):
+        ct.embed_dim_sharded(graph, feature_dim=16, slice_dim=8,
+                             initial_embeddings=np.zeros((7, 16), np.float32))
