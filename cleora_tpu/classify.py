@@ -79,6 +79,127 @@ def _row_normalized_coo(graph):
     return pad_coo(rows.astype(np.int32), cols.astype(np.int32), svals, n), n
 
 
+# ---- module-level jitted kernels: one trace per SHAPE, not per call (the
+# ---- remote-compile path makes per-call retraces cost minutes, CLAUDE.md);
+# ---- hyperparameters enter as traced scalars so sweeps reuse the program.
+_JITS: dict = {}
+
+
+def _label_prop_jit():
+    if "label_prop" not in _JITS:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm import spmm_inner
+
+        @functools.partial(jax.jit, static_argnames=("n_rows", "iters"))
+        def run(rows, cols, vals, Y, mask, alpha, *, n_rows, iters):
+            def body(_, F):
+                F = (alpha * spmm_inner(rows, cols, vals, F, n_rows)
+                     + (1 - alpha) * Y)
+                return jnp.where(mask[:, None], Y, F)
+
+            return jax.lax.fori_loop(0, iters, body, Y)
+
+        _JITS["label_prop"] = run
+    return _JITS["label_prop"]
+
+
+def _mlp_logits(params, Xb):
+    import jax
+    import jax.numpy as jnp
+
+    # full f32 matmuls: TPU DEFAULT precision truncates inputs to bf16,
+    # shifting probe accuracies vs the reference-parity numbers
+    hp = jax.lax.Precision.HIGHEST
+    if "W2" in params:
+        h = jax.nn.relu(
+            jnp.dot(Xb, params["W1"], precision=hp) + params["b1"])
+        return jnp.dot(h, params["W2"], precision=hp) + params["b2"]
+    return jnp.dot(Xb, params["W1"], precision=hp) + params["b1"]
+
+
+def _gcn_forward(params, key, X, dr, dc, dv, dropout, n):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.spmm import spmm_inner
+
+    hp = jax.lax.Precision.HIGHEST
+    H = X
+    for li, W in enumerate(params):
+        H = spmm_inner(dr, dc, dv, H, n)
+        Z = jnp.dot(H, W, precision=hp)
+        if li < len(params) - 1:
+            H = jax.nn.relu(Z)
+            if key is not None and dropout > 0:
+                key, sub = jax.random.split(key)
+                keep = jax.random.bernoulli(sub, 1 - dropout, H.shape)
+                H = jnp.where(keep, H / (1 - dropout), 0.0)
+        else:
+            H = Z
+    return H
+
+
+def _gcn_jits():
+    if "gcn_step" not in _JITS:
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("n", "dropout"))
+        def step(params, key, X, dr, dc, dv, train_nodes, y_train, lr, l2,
+                 *, n, dropout):
+            def loss_fn(params):
+                logits = _gcn_forward(params, key, X, dr, dc, dv, dropout, n)
+                logp = jax.nn.log_softmax(logits[train_nodes])
+                ce = -jnp.mean(
+                    logp[jnp.arange(train_nodes.shape[0]), y_train])
+                reg = 0.5 * l2 * sum(jnp.sum(W ** 2) for W in params)
+                return ce + reg
+
+            grads = jax.grad(loss_fn)(params)
+            return [p - lr * g for p, g in zip(params, grads)]
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def infer(params, X, dr, dc, dv, *, n):
+            return jnp.argmax(
+                _gcn_forward(params, None, X, dr, dc, dv, 0.0, n), axis=1)
+
+        _JITS["gcn_step"] = step
+        _JITS["gcn_infer"] = infer
+    return _JITS["gcn_step"], _JITS["gcn_infer"]
+
+
+def _mlp_jits():
+    if "mlp_step" not in _JITS:
+        import jax
+        import jax.numpy as jnp
+
+        def loss_fn(params, Xb, yb, lr, l2):
+            logits = _mlp_logits(params, Xb)
+            ce = -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(Xb.shape[0]), yb]
+            )
+            reg = 0.5 * l2 * sum(
+                jnp.sum(w ** 2) for k, w in params.items()
+                if k.startswith("W")
+            )
+            return ce + reg
+
+        @jax.jit
+        def step(params, Xb, yb, lr, l2):
+            grads = jax.grad(loss_fn)(params, Xb, yb, lr, l2)
+            return jax.tree.map(lambda p, g: p - lr * g, params, grads)
+
+        @jax.jit
+        def predict(params, Xb):
+            return jnp.argmax(_mlp_logits(params, Xb), axis=1)
+
+        _JITS["mlp_step"] = step
+        _JITS["mlp_predict"] = predict
+    return _JITS["mlp_step"], _JITS["mlp_predict"]
+
+
 def label_propagation(
     graph,
     labels: Dict[str, int],
@@ -87,16 +208,13 @@ def label_propagation(
 ) -> Dict[str, int]:
     """F ← αSF + (1−α)Y, labeled rows clamped each step
     (reference classify.py:5-53); the whole loop is one jitted fori_loop."""
-    import jax
     import jax.numpy as jnp
-
-    from .ops.spmm import spmm_inner
 
     if not labels:
         raise ValueError("labels must be a non-empty dict")
 
     (prow, pcol, pval), n = _row_normalized_coo(graph)
-    index_map = {eid: i for i, eid in enumerate(graph.entity_ids)}
+    index_map = graph._index_map
     classes = sorted(set(labels.values()))
     class_to_idx = {c: i for i, c in enumerate(classes)}
 
@@ -108,18 +226,10 @@ def label_propagation(
             Y[i, class_to_idx[label]] = 1.0
             labeled[i] = True
 
-    @functools.partial(jax.jit, static_argnames=("n_rows", "iters"))
-    def run(rows, cols, vals, Y, mask, *, n_rows, iters):
-        def body(_, F):
-            F = alpha * spmm_inner(rows, cols, vals, F, n_rows) + (1 - alpha) * Y
-            return jnp.where(mask[:, None], Y, F)
-
-        return jax.lax.fori_loop(0, iters, body, Y)
-
     F = np.asarray(
-        run(
+        _label_prop_jit()(
             jnp.asarray(prow), jnp.asarray(pcol), jnp.asarray(pval),
-            jnp.asarray(Y), jnp.asarray(labeled),
+            jnp.asarray(Y), jnp.asarray(labeled), jnp.float32(alpha),
             n_rows=n, iters=num_iterations,
         )
     )
@@ -200,10 +310,6 @@ def mlp_classify(
             ),
             "b1": jnp.zeros(num_classes, dtype=jnp.float32),
         }
-
-        def logits_fn(params, Xb):
-            return Xb @ params["W1"] + params["b1"]
-
     else:
         params = {
             "W1": jnp.asarray(
@@ -218,28 +324,9 @@ def mlp_classify(
             "b2": jnp.zeros(num_classes, dtype=jnp.float32),
         }
 
-        def logits_fn(params, Xb):
-            h = jax.nn.relu(Xb @ params["W1"] + params["b1"])
-            return h @ params["W2"] + params["b2"]
-
-    def loss_fn(params, Xb, yb):
-        logits = logits_fn(params, Xb)
-        ce = -jnp.mean(
-            jax.nn.log_softmax(logits)[jnp.arange(Xb.shape[0]), yb]
-        )
-        reg = 0.5 * l2_reg * sum(
-            jnp.sum(w ** 2) for k, w in params.items() if k.startswith("W")
-        )
-        return ce + reg
-
-    @jax.jit
-    def step(params, Xb, yb):
-        grads = jax.grad(loss_fn)(params, Xb, yb)
-        return jax.tree.map(lambda p, g: p - learning_rate * g, params, grads)
-
-    @jax.jit
-    def predict(params, Xb):
-        return jnp.argmax(logits_fn(params, Xb), axis=1)
+    step, predict = _mlp_jits()
+    lr = jnp.float32(learning_rate)
+    l2 = jnp.float32(l2_reg)
 
     Xtr = jnp.asarray(X_train)
     ytr = jnp.asarray(y_train)
@@ -251,7 +338,7 @@ def mlp_classify(
         perm_train = rng.permutation(len(X_train))
         for start in range(0, len(X_train), batch_size):
             b = perm_train[start:start + batch_size]
-            params = step(params, Xtr[b], ytr[b])
+            params = step(params, Xtr[b], ytr[b], lr, l2)
         if epoch % 10 == 0 or epoch == num_epochs - 1:
             acc = float(np.mean(np.asarray(predict(params, Xte)) == y_test))
             if acc > best_acc:
@@ -327,49 +414,23 @@ def gcn_classify(
     y_train = jnp.asarray(y_mapped[train_idx])
     y_test = y_mapped[test_idx]
 
-    def forward(params, key=None):
-        H = X
-        for li, W in enumerate(params):
-            H = spmm_inner(dr, dc, dv, H, n)
-            Z = H @ W
-            if li < len(params) - 1:
-                H = jax.nn.relu(Z)
-                if key is not None and dropout > 0:
-                    key, sub = jax.random.split(key)
-                    keep = jax.random.bernoulli(sub, 1 - dropout, H.shape)
-                    H = jnp.where(keep, H / (1 - dropout), 0.0)
-            else:
-                H = Z
-        return H
-
-    def loss_fn(params, key):
-        logits = forward(params, key)
-        logp = jax.nn.log_softmax(logits[train_nodes])
-        ce = -jnp.mean(logp[jnp.arange(train_nodes.shape[0]), y_train])
-        reg = 0.5 * l2_reg * sum(jnp.sum(W**2) for W in params)
-        return ce + reg
-
-    @jax.jit
-    def step(params, key):
-        grads = jax.grad(loss_fn)(params, key)
-        return [p - learning_rate * g for p, g in zip(params, grads)]
-
-    @jax.jit
-    def infer(params):
-        return jnp.argmax(forward(params, None), axis=1)
+    step, infer = _gcn_jits()
+    lr = jnp.float32(learning_rate)
+    l2 = jnp.float32(l2_reg)
 
     key = jax.random.PRNGKey(seed)
     best_acc, best_params = 0.0, params
     for epoch in range(num_epochs):
         key, sub = jax.random.split(key)
-        params = step(params, sub)
+        params = step(params, sub, X, dr, dc, dv, train_nodes, y_train,
+                      lr, l2, n=n, dropout=float(dropout))
         if epoch % 10 == 0 or epoch == num_epochs - 1:
-            preds = np.asarray(infer(params))[test_nodes]
+            preds = np.asarray(infer(params, X, dr, dc, dv, n=n))[test_nodes]
             acc = float(np.mean(preds == y_test))
             if acc > best_acc:
                 best_acc, best_params = acc, params
 
-    y_pred = np.asarray(infer(best_params))[test_nodes]
+    y_pred = np.asarray(infer(best_params, X, dr, dc, dv, n=n))[test_nodes]
     return {
         "accuracy": float(np.mean(y_pred == y_test)),
         "macro_f1": _f1_scores(y_pred, y_test, num_classes),

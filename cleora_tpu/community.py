@@ -25,8 +25,12 @@ def _cosine_kmeans(normed: np.ndarray, k: int, max_iterations: int, seed: int):
         import jax
         import jax.numpy as jnp
 
-        x = jnp.asarray(normed)
-        assign = jax.jit(lambda c: jnp.argmax(x @ c.T, axis=1))
+        x = jnp.asarray(normed.astype(np.float32))
+        # full f32 matmul: the TPU DEFAULT precision truncates inputs to
+        # bf16, which can flip argmax for near-tied centroids and make the
+        # device path diverge from the numpy path / the reference
+        assign = jax.jit(lambda c: jnp.argmax(
+            jnp.dot(x, c.T, precision=jax.lax.Precision.HIGHEST), axis=1))
     labels = np.zeros(n, dtype=np.int32)
     for _ in range(max_iterations):
         if use_device:
@@ -93,9 +97,8 @@ def detect_communities_louvain(
     keep = rows != cols
     rows, cols = rows[keep], cols[keep]
 
-    # CSR-style neighbor layout with unit weights merged per (node, neighbor)
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
+    # neighbor dicts with unit weights merged per (node, neighbor); the
+    # accumulation is order-independent, so no edge sort is needed
     adj: Dict[int, Dict[int, float]] = {}
     for r, c in zip(rows, cols):
         adj.setdefault(int(r), {})

@@ -275,13 +275,10 @@ def ndcg_at_k(graph, embeddings, test_edges, k: int = 10) -> float:
 def adjusted_rand_index(labels_true: np.ndarray, labels_pred: np.ndarray) -> float:
     """ARI from the pair-counting contingency table (reference metrics.py:336-359)."""
     n = len(labels_true)
-    ct, _ = np.unique(labels_true, return_inverse=True)
-    cp, _ = np.unique(labels_pred, return_inverse=True)
-    tmap = {c: i for i, c in enumerate(ct)}
-    pmap = {c: i for i, c in enumerate(cp)}
+    ct, inv_t = np.unique(labels_true, return_inverse=True)
+    cp, inv_p = np.unique(labels_pred, return_inverse=True)
     contingency = np.zeros((len(ct), len(cp)), dtype=np.int64)
-    for t, p in zip(labels_true, labels_pred):
-        contingency[tmap[t], pmap[p]] += 1
+    np.add.at(contingency, (inv_t, inv_p), 1)
 
     def comb2(x):
         x = np.asarray(x, dtype=np.int64)
@@ -390,11 +387,19 @@ def _simple_classify(graph, embeddings, train_labels, test_labels):
         if vecs:
             cents.append(np.mean(vecs, axis=0))
             cent_classes.append(c)
-    cents = np.asarray(cents)
-    cn = np.linalg.norm(cents, axis=1)
-    keep = cn >= 1e-10
-    cents_n = cents[keep] / cn[keep, None]
-    kept_classes = [c for c, k in zip(cent_classes, keep) if k]
+    if not cents:
+        # no train entity resolved to a graph row: fall back to predicting
+        # classes[0], like the reference's empty-centroids branch
+        # (reference metrics.py:461-501) — np.linalg.norm on the empty
+        # (0,)-shaped array would raise AxisError instead
+        cents_n = np.zeros((0, embeddings.shape[1]))
+        kept_classes = []
+    else:
+        cents = np.asarray(cents)
+        cn = np.linalg.norm(cents, axis=1)
+        keep = cn >= 1e-10
+        cents_n = cents[keep] / cn[keep, None]
+        kept_classes = [c for c, k in zip(cent_classes, keep) if k]
 
     y_true, y_pred = [], []
     for eid, true_label in test_labels.items():
