@@ -10,8 +10,11 @@ the reference.
 TPU-first additions: the SpMM-heavy algorithms (ProNE, RandNE) accept
 ``backend="device"`` to run their propagation loops on the TPU in float32 via
 the shared COO SpMM kernel — these scale to graphs the host f64 path cannot
-hold.  HOPE/NetMF/GraRep materialize dense n×n matrices by construction (the
-reference OOMs on them beyond small graphs), so they stay host-side.
+hold.  HOPE also accepts ``backend="device"``: a matrix-free randomized SVD
+of the Katz operator (the (I−βA)^{-1}−I inverse applied as a Neumann series
+of SpMMs) that never materializes the n×n proximity matrix the host path —
+and the reference — must build.  NetMF/GraRep apply an elementwise log to a
+dense n×n matrix by construction, so they stay host-side.
 """
 
 from __future__ import annotations
@@ -240,6 +243,120 @@ def _prone_chebyshev_core(graph, feature_dim: int, mu: float, theta: float,
     ), rank
 
 
+def _hope_rsvd_jit():
+    """Module-level jitted matrix-free randomized SVD of the Katz operator
+    M = (I − βA)^{-1} − I = Σ_{k≥1} β^k A^k (Neumann series, each term one
+    SpMM on the production layout).  Subspace iteration with QR
+    re-orthonormalization; the small SVD runs on the (r, n) projection.
+    Everything stays on device — only the final (n, 2k) embedding leaves."""
+    global _HOPE_RSVD_FN
+    if _HOPE_RSVD_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm import spmm_inner
+
+        def apply_layout(layout, order, rank, x, n_rows):
+            # ELL layouts compute P·A·Pᵀ in relabeled row space; wrap with
+            # the permutation gathers so M and Mᵀ compose in ORIGINAL space
+            # (they carry different relabelings).
+            if order is not None:
+                x = jnp.take(x, order, axis=0)
+            y = spmm_inner(*layout, x, n_rows)
+            return jnp.take(y, rank, axis=0) if rank is not None else y
+
+        def katz(layout, order, rank, x, beta, n_rows, terms):
+            def body(carry, _):
+                acc, cur = carry
+                cur = beta * apply_layout(layout, order, rank, cur, n_rows)
+                return (acc + cur, cur), None
+
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros_like(x), x), None, length=terms
+            )
+            return acc
+
+        @functools.partial(
+            jax.jit, static_argnames=("n_rows", "terms", "k", "power_iters")
+        )
+        def rsvd(layA, ordA, rnkA, layT, ordT, rnkT, omega, beta, *,
+                 n_rows, terms, k, power_iters):
+            M = lambda x: katz(layA, ordA, rnkA, x, beta, n_rows, terms)
+            MT = lambda x: katz(layT, ordT, rnkT, x, beta, n_rows, terms)
+            Y = M(omega)
+            for _ in range(power_iters):  # static unroll
+                Q, _ = jnp.linalg.qr(Y)
+                Y = M(MT(Q))
+            Q, _ = jnp.linalg.qr(Y)
+            C = MT(Q)  # (n, r); Cᵀ = Qᵀ·M — the projected operator
+            Ub, s, Vt = jnp.linalg.svd(C.T, full_matrices=False)
+            su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
+            return jnp.concatenate(
+                [(Q @ Ub[:, :k]) * su, Vt[:k].T * su], axis=1
+            )
+
+        _HOPE_RSVD_FN = rsvd
+    return _HOPE_RSVD_FN
+
+
+_HOPE_RSVD_FN = None
+
+
+def _hope_device(graph, feature_dim: int, beta: float, seed: int,
+                 oversample: int, power_iters: int) -> np.ndarray:
+    """Device half of HOPE: plans A and Aᵀ layouts, sizes the Neumann
+    series from the ∞-norm bound, and runs the randomized SVD on device."""
+    import jax.numpy as jnp
+
+    from .ops.memory import check_device_fit
+
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
+    rows = rows.astype(np.int32)
+    cols = cols.astype(np.int32)
+    vals = vals.astype(np.float32)
+
+    row_sums = np.zeros(n, dtype=np.float64)
+    np.add.at(row_sums, rows.astype(np.int64), np.abs(vals.astype(np.float64)))
+    beta_norm = beta * float(row_sums.max(initial=0.0))
+    if beta_norm >= 1.0:
+        raise ValueError(
+            f"backend='device' needs beta * ||A||_inf < 1 for the Neumann "
+            f"series to converge (got {beta_norm:.3f}); use backend='host' "
+            f"or a smaller beta"
+        )
+    # β^terms ≤ 1e-12 → truncation error below f32 resolution
+    terms = (
+        int(np.ceil(np.log(1e-12) / np.log(beta_norm))) if beta_norm > 0 else 1
+    )
+    terms = max(2, min(terms, 128))
+
+    k = min(feature_dim // 2, n - 1)
+    r = min(n, k + oversample)
+    # live set ≈ Y/Q/C + the scan carry: ~6 (n, r) f32 buffers
+    check_device_fit(n, max(1, (3 * r) // 2), rows.shape[0])
+
+    layA, ordA, rnkA = _device_layout(rows, cols, vals, n, r)
+    t_order = np.argsort(cols, kind="stable")
+    layT, ordT, rnkT = _device_layout(
+        cols[t_order], rows[t_order], vals[t_order], n, r
+    )
+
+    rng = np.random.default_rng(seed)
+    omega = jnp.asarray(rng.standard_normal((n, r)).astype(np.float32))
+    ordA = jnp.asarray(ordA) if ordA is not None else None
+    rnkA = jnp.asarray(rnkA) if rnkA is not None else None
+    ordT = jnp.asarray(ordT) if ordT is not None else None
+    rnkT = jnp.asarray(rnkT) if rnkT is not None else None
+
+    out = _hope_rsvd_jit()(
+        layA, ordA, rnkA, layT, ordT, rnkT, omega, jnp.float32(beta),
+        n_rows=n, terms=terms, k=k, power_iters=power_iters,
+    )
+    return np.asarray(out, dtype=np.float64)
+
+
 # ---------------------------------------------------------------- algorithms
 def embed_prone(
     graph,
@@ -317,10 +434,28 @@ def embed_hope(
     graph,
     feature_dim: int = 256,
     beta: float = 0.1,
+    backend: str = "host",
+    seed: int = 0,
+    oversample: int = 8,
+    power_iters: int = 2,
 ) -> np.ndarray:
     """HOPE Katz-proximity factorization (reference algorithms.py:103-149):
-    M = (I − βA)^-1 − I, truncated SVD at dim/2, concat source ∥ target."""
+    M = (I − βA)^-1 − I, truncated SVD at dim/2, concat source ∥ target.
+
+    ``backend="device"`` runs a matrix-free randomized SVD on the TPU: the
+    Katz inverse is applied as a Neumann series of SpMMs (production sliced-
+    ELL layout), so the n×n proximity matrix is never materialized — HOPE
+    scales to graphs where the host path (and the reference) OOM.  Requires
+    β·‖A‖_∞ < 1; accuracy is the usual randomized-SVD guarantee, tunable via
+    ``oversample``/``power_iters``.  seed only affects the device sketch."""
     n = graph.num_entities
+
+    if backend == "device":
+        result = _hope_device(
+            graph, feature_dim, beta, seed, oversample, power_iters
+        )
+        return _finalize(result, feature_dim)
+
     A = _adjacency(graph)
 
     from scipy.sparse import csr_matrix, eye

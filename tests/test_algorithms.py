@@ -80,6 +80,35 @@ def test_hope_parity(ref, graph):
     assert _aligned_allclose(ours, theirs, atol=1e-4)
 
 
+def test_hope_device_close(graph):
+    """Matrix-free device HOPE vs the host dense-inverse path.  With the
+    sketch width ≥ n the randomized SVD spans the full range, so the only
+    differences are f32 arithmetic and the (sub-f32) Neumann truncation."""
+    host = alg.embed_hope(graph, feature_dim=32)
+    dev = alg.embed_hope(
+        graph, feature_dim=32, backend="device", oversample=40, power_iters=2
+    )
+    assert _aligned_allclose(host, dev, atol=5e-2)
+
+
+def test_hope_device_sketched(graph):
+    """At production sketch widths (r < n) the leading singular directions
+    still agree: top half of the spectrum aligned within tolerance."""
+    host = alg.embed_hope(graph, feature_dim=16)
+    dev = alg.embed_hope(
+        graph, feature_dim=16, backend="device", oversample=8, power_iters=4
+    )
+    # compare the dominant source-embedding columns (k=8 → top 4)
+    assert _aligned_allclose(host[:, :4], dev[:, :4], atol=8e-2)
+
+
+def test_hope_device_beta_validation(graph):
+    """The Neumann series needs β·||A||_inf < 1 — clearly out-of-range betas
+    must raise with guidance rather than silently diverge."""
+    with pytest.raises(ValueError, match="beta"):
+        alg.embed_hope(graph, feature_dim=16, backend="device", beta=1.5)
+
+
 def test_netmf_parity(ref, graph):
     ours = alg.embed_netmf(graph, feature_dim=32)
     theirs = ref.embed_netmf(graph, feature_dim=32)
@@ -154,5 +183,13 @@ def test_device_layout_coo_fallback(graph):
         dev = alg.embed_randne(graph, feature_dim=16, num_iterations=4,
                                backend="device")
         assert np.allclose(host, dev, atol=1e-3)
+        hope_host = alg.embed_hope(graph, feature_dim=16)
+        hope_dev = alg.embed_hope(
+            graph, feature_dim=16, backend="device", oversample=40,
+            power_iters=2,
+        )
+        sign = np.sign(np.sum(hope_host * hope_dev, axis=0))
+        sign[sign == 0] = 1.0
+        assert np.allclose(hope_host, hope_dev * sign, atol=5e-2)
     finally:
         spmm_ell.plan_ell = orig
