@@ -543,6 +543,185 @@ def embed_grarep(
     return _finalize(np.concatenate(embs, axis=1), feature_dim)
 
 
+# ------------------------------------------------- device random-walk engine
+def _device_walk_jit():
+    """Module-level jitted batched uniform random walk: one lax.scan step
+    per hop, each hop a CSR gather ``cols[indptr[cur] + floor(u·deg(cur))]``.
+    Dead ends emit the sentinel ``n_rows`` and stay there; pair extraction
+    masks the sentinel (same co-occurrence semantics as the reference's
+    early-terminated walks, algorithms.py:262-312)."""
+    global _WALK_FN
+    if _WALK_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("walk_length", "n_rows"))
+        def walks(indptr, cols, deg, starts, key, *, walk_length, n_rows):
+            def body(cur, k):
+                valid = cur < n_rows
+                cur_c = jnp.where(valid, cur, 0)
+                d = jnp.take(deg, cur_c)
+                u = jax.random.uniform(k, cur.shape)
+                t = jnp.minimum(
+                    (u * d.astype(jnp.float32)).astype(jnp.int32),
+                    jnp.maximum(d - 1, 0),
+                )
+                nxt = jnp.take(cols, jnp.take(indptr, cur_c) + t)
+                nxt = jnp.where(valid & (d > 0), nxt, n_rows)
+                return nxt, nxt
+
+            keys = jax.random.split(key, walk_length - 1)
+            _, ys = jax.lax.scan(body, starts, keys)
+            return jnp.concatenate([starts[None, :], ys], axis=0).T
+
+        _WALK_FN = walks
+    return _WALK_FN
+
+
+_WALK_FN = None
+
+# Walks fetched per device batch: bounds both device memory and the
+# device→host transfer size (the remote-TPU tunnel wedges on GB fetches).
+_WALK_BATCH = 262_144
+
+
+def _walk_csr(graph):
+    """Self-loop-free CSR on host (reference drops r==c, algorithms.py:248-259)."""
+    rows, cols, _, n, _ = graph.to_sparse_csr()
+    keep = rows != cols
+    rows = rows[keep].astype(np.int64)
+    cols = cols[keep].astype(np.int32)
+    deg = np.bincount(rows, minlength=n).astype(np.int32)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    return indptr[:-1].astype(np.int32), cols, deg, n
+
+
+def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
+                  batch: int = _WALK_BATCH):
+    """Yield (B, walk_length) int32 host walk batches (sentinel == n)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    indptr, cols, deg, n = _walk_csr(graph)
+    starts = np.nonzero(deg > 0)[0].astype(np.int32)
+    if starts.shape[0] == 0:
+        return
+    all_starts = np.tile(starts, num_walks)
+    d_indptr, d_cols, d_deg = (
+        jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(deg),
+    )
+    fn = _device_walk_jit()
+    root = jax.random.PRNGKey(seed)
+    for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
+        chunk = all_starts[lo:lo + batch]
+        if chunk.shape[0] < batch and lo > 0:
+            # pad to the compiled batch shape; padded walks are dropped
+            pad = batch - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.full(pad, n, dtype=np.int32)])
+        else:
+            pad = 0
+        out = fn(
+            d_indptr, d_cols, d_deg, jnp.asarray(chunk),
+            jax.random.fold_in(root, i),
+            walk_length=walk_length, n_rows=n,
+        )
+        w = np.asarray(out)
+        yield w[: w.shape[0] - pad] if pad else w
+
+
+def _merge_counts(keys_parts, counts_parts):
+    """Sort-reduce (keys, counts) fragments into unique keys + summed counts."""
+    keys = np.concatenate(keys_parts)
+    counts = np.concatenate(counts_parts)
+    order = np.argsort(keys, kind="stable")
+    keys, counts = keys[order], counts[order]
+    boundaries = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.nonzero(boundaries)[0]
+    return keys[starts], np.add.reduceat(counts, starts)
+
+
+def _walk_pair_counts(walk_batches, n: int, window: int):
+    """Sparse symmetric windowed co-occurrence over walk batches, as
+    (keys = center·n + context, counts).  Mirrors the dense accumulation in
+    :func:`_walks_to_embeddings` without the n×n matrix."""
+    acc_keys = [np.empty(0, dtype=np.int64)]
+    acc_counts = [np.empty(0, dtype=np.int64)]
+    for walks in walk_batches:
+        parts = []
+        for off in range(1, window + 1):
+            if off >= walks.shape[1]:
+                break
+            a = walks[:, :-off].ravel()
+            b = walks[:, off:].ravel()
+            m = (a < n) & (b < n)
+            a = a[m].astype(np.int64)
+            b = b[m].astype(np.int64)
+            parts.append(a * n + b)
+            parts.append(b * n + a)
+        if not parts:
+            continue
+        batch_keys = np.concatenate(parts)
+        u, c = np.unique(batch_keys, return_counts=True)
+        acc_keys.append(u)
+        acc_counts.append(c)
+        if len(acc_keys) > 16:  # bound the fragment list
+            k, c = _merge_counts(acc_keys, acc_counts)
+            acc_keys, acc_counts = [k], [c]
+    return _merge_counts(acc_keys, acc_counts)
+
+
+def _counts_to_embeddings(keys, counts, n: int, feature_dim: int):
+    """Sparse positive-PMI factorization — numerically identical to the
+    dense path (:func:`_walks_to_embeddings`) on the entries it keeps:
+    entries with PMI ≤ 0 are exactly the dense matrix's zeros."""
+    if keys.shape[0] == 0:
+        return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+    rows = keys // n
+    cols = keys % n
+    counts = counts.astype(np.float64)
+    total = counts.sum()
+    row_sums = np.zeros(n)
+    col_sums = np.zeros(n)
+    np.add.at(row_sums, rows, counts)
+    np.add.at(col_sums, cols, counts)
+    rs = np.maximum(row_sums, 1e-10)
+    cs = np.maximum(col_sums, 1e-10)
+    pmi = np.log(
+        np.maximum(counts * total / (rs[rows] * cs[cols]), 1e-15)
+    )
+    keep = pmi > 0
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import svds
+
+    M = coo_matrix(
+        (pmi[keep], (rows[keep], cols[keep])), shape=(n, n)
+    ).tocsr()
+    k = min(feature_dim, n - 1)
+    if k < 1 or M.nnz == 0:
+        return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+    u, s, _ = svds(M, k=k)
+    order = np.argsort(-s)
+    u = u[:, order]
+    # canonical column signs (ARPACK's are run-dependent): largest-|u| entry
+    # positive per column, ties broken by the first such row
+    pick = np.argmax(np.abs(u), axis=0)
+    sign = np.sign(u[pick, np.arange(u.shape[1])])
+    sign[sign == 0] = 1.0
+    emb = (u * sign) * np.sqrt(np.maximum(s[order], 0))
+    return _finalize(emb, feature_dim)
+
+
+def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
+                     seed):
+    batches = _device_walks(graph, num_walks, walk_length, seed)
+    keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
+    return _counts_to_embeddings(keys, counts, graph.num_entities, feature_dim)
+
+
 # -------------------------------------------------------------- random walks
 def _build_adj_list(graph):
     """Out-neighbor lists + weights, self-loops dropped
@@ -622,8 +801,18 @@ def embed_deepwalk(
     walk_length: int = 80,
     window_size: int = 5,
     seed: int = 0,
+    backend: str = "host",
 ) -> np.ndarray:
-    """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361)."""
+    """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361).
+
+    ``backend="device"`` generates the walks on the TPU (batched CSR-gather
+    hops under lax.scan) and factorizes a SPARSE positive-PMI matrix, so
+    neither the Python per-step walk loop nor the dense n×n co-occurrence
+    matrix limits scale.  Same semantics, different (device) RNG stream."""
+    if backend == "device":
+        return _deepwalk_device(
+            graph, feature_dim, num_walks, walk_length, window_size, seed
+        )
     adj, weights, n = _build_adj_list(graph)
     walks = _random_walks(adj, weights, n, num_walks, walk_length, 1.0, 1.0, seed)
     return _walks_to_embeddings(walks, n, feature_dim, window_size)
@@ -638,8 +827,22 @@ def embed_node2vec(
     p: float = 1.0,
     q: float = 1.0,
     seed: int = 0,
+    backend: str = "host",
 ) -> np.ndarray:
-    """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369)."""
+    """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
+
+    ``backend="device"`` supports the uniform case p == q == 1 (first-order
+    walks — the reference default); second-order p/q biasing needs the
+    previous step's neighbor sets and stays host-side."""
+    if backend == "device":
+        if p != 1.0 or q != 1.0:
+            raise ValueError(
+                "backend='device' supports p == q == 1 (uniform walks); "
+                "use backend='host' for biased p/q walks"
+            )
+        return _deepwalk_device(
+            graph, feature_dim, num_walks, walk_length, window_size, seed
+        )
     adj, weights, n = _build_adj_list(graph)
     walks = _random_walks(adj, weights, n, num_walks, walk_length, p, q, seed)
     return _walks_to_embeddings(walks, n, feature_dim, window_size)

@@ -156,6 +156,92 @@ def test_all_normalized(graph):
         assert np.all((norms < 1.001) & (norms > 0.99) | (norms < 1e-6))
 
 
+def _edge_set(graph):
+    rows, cols, _, _, _ = graph.to_sparse_csr()
+    return set(zip(rows.tolist(), cols.tolist()))
+
+
+def test_device_walks_valid(graph):
+    """Every hop in a device walk is a real (non-self) edge; every positive-
+    degree node starts num_walks walks; same seed → same walks."""
+    n = graph.num_entities
+    edges = _edge_set(graph)
+    batches = list(alg._device_walks(graph, num_walks=3, walk_length=10, seed=1))
+    walks = np.concatenate(batches, axis=0)
+    indptr, cols, deg, _ = alg._walk_csr(graph)
+    assert walks.shape == (3 * int((deg > 0).sum()), 10)
+    for w in walks:
+        for a, b in zip(w[:-1], w[1:]):
+            if b == n:
+                continue
+            assert a != n
+            assert (int(a), int(b)) in edges and a != b
+    again = np.concatenate(
+        list(alg._device_walks(graph, num_walks=3, walk_length=10, seed=1)),
+        axis=0,
+    )
+    assert np.array_equal(walks, again)
+
+
+def test_device_walks_batching(graph):
+    """Batched generation (with sentinel padding of the tail batch) yields
+    exactly the same walk set as one big batch."""
+    one = np.concatenate(
+        list(alg._device_walks(graph, num_walks=2, walk_length=6, seed=3)),
+        axis=0,
+    )
+    batched = np.concatenate(
+        list(alg._device_walks(graph, num_walks=2, walk_length=6, seed=3,
+                               batch=16)),
+        axis=0,
+    )
+    assert one.shape == batched.shape
+    # RNG folds per batch index, so walk CONTENT differs across batchings —
+    # but every batched walk must still be valid and the count exact
+    n = graph.num_entities
+    edges = _edge_set(graph)
+    for w in batched:
+        for a, b in zip(w[:-1], w[1:]):
+            if b != n:
+                assert (int(a), int(b)) in edges
+
+
+def test_sparse_pmi_matches_dense(ref, graph):
+    """The sparse positive-PMI factorization reproduces the dense
+    _walks_to_embeddings result on the same walk set."""
+    adj, weights, n = alg._build_adj_list(graph)
+    walks = alg._random_walks(adj, weights, n, 2, 12, 1.0, 1.0, seed=5)
+    dense = alg._walks_to_embeddings(walks, n, 8, window_size=4)
+    # pad the variable-length walks into a sentinel array batch
+    L = max(len(w) for w in walks)
+    arr = np.full((len(walks), L), n, dtype=np.int64)
+    for i, w in enumerate(walks):
+        arr[i, : len(w)] = w
+    keys, counts = alg._walk_pair_counts([arr], n, window=4)
+    sparse = alg._counts_to_embeddings(keys, counts, n, 8)
+    assert _aligned_allclose(dense, sparse, atol=1e-4)
+
+
+def test_deepwalk_device_end_to_end(graph):
+    emb = alg.embed_deepwalk(graph, feature_dim=16, num_walks=4,
+                             walk_length=20, backend="device", seed=2)
+    assert emb.shape == (graph.num_entities, 16)
+    assert np.isfinite(emb).all()
+    norms = np.linalg.norm(emb, axis=1)
+    assert np.allclose(norms[norms > 1e-6], 1.0, atol=1e-5)
+    again = alg.embed_deepwalk(graph, feature_dim=16, num_walks=4,
+                               walk_length=20, backend="device", seed=2)
+    assert np.allclose(emb, again)
+
+
+def test_node2vec_device_uniform_and_validation(graph):
+    emb = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
+                             walk_length=10, backend="device", seed=4)
+    assert emb.shape == (graph.num_entities, 16)
+    with pytest.raises(ValueError, match="p == q == 1"):
+        alg.embed_node2vec(graph, feature_dim=16, backend="device", p=2.0)
+
+
 def test_list_algorithms(ref):
     ours = alg.list_algorithms()
     theirs = ref.list_algorithms()
