@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="Embedding storage dtype (bfloat16 halves HBM)")
+    p.add_argument("--backend", choices=["host", "device"], default="host",
+                   help="Sibling-algorithm compute backend: 'device' runs "
+                        "prone/randne/hope/deepwalk/node2vec on the TPU "
+                        "(cleora itself always runs on device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--streaming", metavar="DIR", default=None,
                    help="Out-of-core build: spill the graph to DIR "
@@ -186,17 +190,28 @@ def _finish_embed(args, graph):
         print(f"Generating {args.dim}-dim embeddings using {args.algorithm}...")
 
     t0 = time.time()
+    be = getattr(args, "backend", "host")
+    if be == "device" and args.algorithm in ("cleora", "netmf", "grarep"):
+        raise SystemExit(
+            f"--backend device is not applicable to --algorithm "
+            f"{args.algorithm} (cleora always runs on device; netmf/grarep "
+            f"are host-side by construction)"
+        )
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
                                 args.propagation, args.normalization, args.seed,
                                 dtype=args.dtype),
-        "prone": lambda: embed_prone(graph, args.dim, seed=args.seed),
-        "randne": lambda: embed_randne(graph, args.dim, seed=args.seed),
-        "hope": lambda: embed_hope(graph, args.dim),
+        "prone": lambda: embed_prone(graph, args.dim, seed=args.seed,
+                                     backend=be),
+        "randne": lambda: embed_randne(graph, args.dim, seed=args.seed,
+                                       backend=be),
+        "hope": lambda: embed_hope(graph, args.dim, backend=be),
         "netmf": lambda: embed_netmf(graph, args.dim),
         "grarep": lambda: embed_grarep(graph, args.dim),
-        "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed),
-        "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed),
+        "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
+                                           backend=be),
+        "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,
+                                           backend=be),
     }
     emb = algo_map[args.algorithm]()
 

@@ -486,6 +486,28 @@ def test_cli_streaming_embed(tmp_path, capsys):
               "--streaming", str(tmp_path / "spill2")])
 
 
+def test_cli_device_backend(tmp_path, capsys):
+    """--backend device routes the sibling algorithms to the TPU paths and
+    rejects algorithms without a device form."""
+    from cleora_tpu.cli import main
+
+    inp = tmp_path / "edges.txt"
+    inp.write_text("a b\nb c\nc a\na d\nd b\nc d\n")
+    out = tmp_path / "emb.npz"
+    main(["embed", "-i", str(inp), "-o", str(out), "-d", "8",
+          "-a", "hope", "--backend", "device"])
+    assert "saved to" in capsys.readouterr().out
+    import numpy as np
+
+    data = np.load(str(out))
+    assert data["embeddings"].shape == (4, 8)
+    assert np.isfinite(data["embeddings"]).all()
+
+    with pytest.raises(SystemExit):
+        main(["embed", "-i", str(inp), "-o", str(out), "-a", "netmf",
+              "--backend", "device"])
+
+
 @pytest.mark.slow
 def test_cli_benchmark(capsys):
     from cleora_tpu.cli import main
