@@ -14,7 +14,10 @@ hold.  HOPE also accepts ``backend="device"``: a matrix-free randomized SVD
 of the Katz operator (the (I−βA)^{-1}−I inverse applied as a Neumann series
 of SpMMs) that never materializes the n×n proximity matrix the host path —
 and the reference — must build.  NetMF/GraRep apply an elementwise log to a
-dense n×n matrix by construction, so they stay host-side.
+dense n×n matrix by construction, so their device backends are dense: the
+transition powers become full-precision MXU matmuls and the factorization a
+randomized SVD, gated by an HBM fit check (≈45k rows on a 16 GiB chip) with
+the unbounded f64 host path as the documented fallback.
 """
 
 from __future__ import annotations
@@ -357,6 +360,176 @@ def _hope_device(graph, feature_dim: int, beta: float, seed: int,
     return np.asarray(out, dtype=np.float64)
 
 
+# --------------------------------------- device dense log-factorization core
+def _rsvd_u_sqrt(M, omega, k: int, power_iters: int):
+    """Device twin of ``_svd_sqrt``: U_k·√S_k of a dense matrix via
+    randomized subspace iteration (traced under jit; exact when omega has
+    ≥ n columns).  All matmuls run at HIGHEST precision — the factorization
+    compares against an f64 host path."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    hp = lax.Precision.HIGHEST
+    Y = jnp.dot(M, omega, precision=hp)
+    for _ in range(power_iters):  # static unroll
+        Q, _ = jnp.linalg.qr(Y)
+        Y = jnp.dot(M, jnp.dot(M.T, Q, precision=hp), precision=hp)
+    Q, _ = jnp.linalg.qr(Y)
+    C = jnp.dot(M.T, Q, precision=hp)  # (n, r);  Cᵀ = Qᵀ·M
+    # M ≈ Q·Qᵀ·M = (Q·Ub)·S·Vt, so the left singular vectors lift through Q
+    Ub, s, _ = jnp.linalg.svd(C.T, full_matrices=False)
+    su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
+    return jnp.dot(Q, Ub[:, :k], precision=hp) * su
+
+
+def _dense_markov(rows, cols, vals, n: int):
+    """Dense left-Markov transition P = D⁻¹A scattered from COO, plus the
+    degree vector and volume (device, f32)."""
+    import jax.numpy as jnp
+
+    A = jnp.zeros((n, n), jnp.float32).at[rows, cols].add(vals)
+    deg = jnp.maximum(A.sum(axis=1), 1e-10)
+    return A / deg[:, None], deg, A.sum()
+
+
+def _netmf_dense_jit():
+    """Module-level jitted device NetMF: dense transition powers on the MXU,
+    log-PMI clip, randomized SVD (reference algorithms.py:152-198 semantics
+    with the full SVD replaced by a sketch of width r ≥ k)."""
+    global _NETMF_FN
+    if _NETMF_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("n", "window", "k", "power_iters")
+        )
+        def netmf(rows, cols, vals, omega, neg, *, n, window, k, power_iters):
+            hp = jax.lax.Precision.HIGHEST
+            P, deg, vol = _dense_markov(rows, cols, vals, n)
+            acc, Pk = P, P
+            for _ in range(window - 1):  # static unroll, one MXU matmul each
+                Pk = jnp.dot(Pk, P, precision=hp)
+                acc = acc + Pk
+            Mbar = acc / window
+            M = (vol / neg) * (Mbar / deg[:, None]) * deg[None, :]
+            M_log = jnp.log(jnp.maximum(M, 1.0))
+            return _rsvd_u_sqrt(M_log, omega, k, power_iters)
+
+        _NETMF_FN = netmf
+    return _NETMF_FN
+
+
+_NETMF_FN = None
+
+
+def _grarep_dense_jit():
+    """Module-level jitted device GraRep: per-step dense P^k on the MXU,
+    log clip, per-step randomized SVD (reference algorithms.py:201-245)."""
+    global _GRAREP_FN
+    if _GRAREP_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("n", "max_step", "k", "power_iters")
+        )
+        def grarep(rows, cols, vals, omega, *, n, max_step, k, power_iters):
+            hp = jax.lax.Precision.HIGHEST
+            P, _, _ = _dense_markov(rows, cols, vals, n)
+            embs = []
+            Pk = P
+            for step in range(max_step):  # static unroll
+                M_log = (
+                    jnp.log(jnp.maximum(Pk, 1e-10)) - jnp.log(jnp.float32(1e-10))
+                )
+                embs.append(_rsvd_u_sqrt(M_log, omega[step], k, power_iters))
+                if step + 1 < max_step:
+                    Pk = jnp.dot(Pk, P, precision=hp)
+            return jnp.concatenate(embs, axis=1)
+
+        _GRAREP_FN = grarep
+    return _GRAREP_FN
+
+
+_GRAREP_FN = None
+
+
+def _check_dense_fit(n: int, n_bufs: int = 6):
+    """The dense device factorizations hold ~n_bufs (n, n) f32 buffers live
+    (A/P, P^k, accumulator, M_log, rsvd temporaries).  Refuse shapes that
+    cannot fit rather than dying in the allocator."""
+    import os
+
+    from .ops import memory
+
+    if os.environ.get("CLEORA_TPU_SKIP_FIT_CHECK") == "1":
+        return
+    limit = memory.device_hbm_limit()
+    if limit is None:
+        return
+    need = n_bufs * n * n * 4
+    if need > int(limit * 0.9):
+        gib = 1 << 30
+        raise ValueError(
+            f"backend='device' builds dense (n, n) transition powers: "
+            f"n={n} needs ~{need / gib:.1f} GiB HBM (> {limit / gib:.1f} GiB "
+            f"available). Use backend='host' (unbounded, f64) for graphs "
+            f"this large."
+        )
+
+
+def _coo_f32(graph):
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
+    return (
+        rows.astype(np.int32), cols.astype(np.int32),
+        vals.astype(np.float32), n,
+    )
+
+
+def _netmf_device(graph, feature_dim: int, window_size: int,
+                  negative_samples: float, seed: int, oversample: int,
+                  power_iters: int) -> np.ndarray:
+    import jax.numpy as jnp
+
+    rows, cols, vals, n = _coo_f32(graph)
+    _check_dense_fit(n)
+    k = min(feature_dim, n)
+    r = min(n, k + oversample)
+    rng = np.random.default_rng(seed)
+    omega = jnp.asarray(rng.standard_normal((n, r)).astype(np.float32))
+    out = _netmf_dense_jit()(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), omega,
+        jnp.float32(negative_samples),
+        n=n, window=max(1, window_size), k=k, power_iters=power_iters,
+    )
+    return np.asarray(out, dtype=np.float64)
+
+
+def _grarep_device(graph, feature_dim: int, max_step: int, seed: int,
+                   oversample: int, power_iters: int) -> np.ndarray:
+    import jax.numpy as jnp
+
+    rows, cols, vals, n = _coo_f32(graph)
+    _check_dense_fit(n)
+    dim_per_step = max(feature_dim // max_step, 1)
+    k = min(dim_per_step, n)
+    r = min(n, k + oversample)
+    rng = np.random.default_rng(seed)
+    omega = jnp.asarray(
+        rng.standard_normal((max_step, n, r)).astype(np.float32)
+    )
+    out = _grarep_dense_jit()(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), omega,
+        n=n, max_step=max_step, k=k, power_iters=power_iters,
+    )
+    return np.asarray(out, dtype=np.float64)
+
+
 # ---------------------------------------------------------------- algorithms
 def embed_prone(
     graph,
@@ -490,9 +663,26 @@ def embed_netmf(
     feature_dim: int = 256,
     window_size: int = 5,
     negative_samples: float = 1.0,
+    backend: str = "host",
+    seed: int = 0,
+    oversample: int = 10,
+    power_iters: int = 2,
 ) -> np.ndarray:
     """NetMF log-PMI factorization (reference algorithms.py:152-198):
-    M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD."""
+    M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD.
+
+    ``backend="device"`` runs the whole pipeline on the TPU: the transition
+    powers become dense full-precision MXU matmuls and the full SVD a
+    randomized SVD of width ``feature_dim + oversample`` (exact when that
+    reaches n).  The elementwise log forces the dense form, so the device
+    path is HBM-gated (~45k rows on a 16 GiB chip); ``backend="host"`` is
+    the unbounded f64 fallback."""
+    if backend == "device":
+        return _finalize(
+            _netmf_device(graph, feature_dim, window_size, negative_samples,
+                          seed, oversample, power_iters),
+            feature_dim,
+        )
     n = graph.num_entities
     A = _adjacency(graph)
 
@@ -520,9 +710,23 @@ def embed_grarep(
     graph,
     feature_dim: int = 256,
     max_step: int = 4,
+    backend: str = "host",
+    seed: int = 0,
+    oversample: int = 10,
+    power_iters: int = 2,
 ) -> np.ndarray:
     """GraRep per-step log(P^k) SVDs, concat dim/max_step each
-    (reference algorithms.py:201-245)."""
+    (reference algorithms.py:201-245).
+
+    ``backend="device"`` runs dense P^k powers on the MXU and a per-step
+    randomized SVD; HBM-gated like the device NetMF (the log forces the
+    dense n×n form)."""
+    if backend == "device":
+        return _finalize(
+            _grarep_device(graph, feature_dim, max_step, seed, oversample,
+                           power_iters),
+            feature_dim,
+        )
     n = graph.num_entities
     A = _adjacency(graph)
 

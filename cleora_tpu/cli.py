@@ -41,8 +41,8 @@ def main(argv=None):
                    help="Embedding storage dtype (bfloat16 halves HBM)")
     p.add_argument("--backend", choices=["host", "device"], default="host",
                    help="Sibling-algorithm compute backend: 'device' runs "
-                        "prone/randne/hope/deepwalk/node2vec on the TPU "
-                        "(cleora itself always runs on device)")
+                        "prone/randne/hope/netmf/grarep/deepwalk/node2vec "
+                        "on the TPU (cleora itself always runs on device)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--streaming", metavar="DIR", default=None,
                    help="Out-of-core build: spill the graph to DIR "
@@ -191,11 +191,10 @@ def _finish_embed(args, graph):
 
     t0 = time.time()
     be = getattr(args, "backend", "host")
-    if be == "device" and args.algorithm in ("cleora", "netmf", "grarep"):
+    if be == "device" and args.algorithm == "cleora":
         raise SystemExit(
-            f"--backend device is not applicable to --algorithm "
-            f"{args.algorithm} (cleora always runs on device; netmf/grarep "
-            f"are host-side by construction)"
+            "--backend device is not applicable to --algorithm cleora "
+            "(cleora always runs on device)"
         )
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
@@ -206,8 +205,10 @@ def _finish_embed(args, graph):
         "randne": lambda: embed_randne(graph, args.dim, seed=args.seed,
                                        backend=be),
         "hope": lambda: embed_hope(graph, args.dim, backend=be),
-        "netmf": lambda: embed_netmf(graph, args.dim),
-        "grarep": lambda: embed_grarep(graph, args.dim),
+        "netmf": lambda: embed_netmf(graph, args.dim, seed=args.seed,
+                                     backend=be),
+        "grarep": lambda: embed_grarep(graph, args.dim, seed=args.seed,
+                                       backend=be),
         "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
                                            backend=be),
         "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,

@@ -121,6 +121,47 @@ def test_grarep_parity(ref, graph):
     assert _aligned_allclose(ours, theirs)
 
 
+def test_netmf_device_close(graph):
+    """Dense-MXU device NetMF vs the f64 host path.  oversample lifts the
+    sketch width to n, so the randomized SVD spans the full range and the
+    only differences are f32 arithmetic.  Karate's NetMF matrix has a
+    4-fold-degenerate singular value whose subspace rotates freely between
+    the two SVDs, so compare the rotation-invariant Gram matrix plus the
+    leading (distinct-spectrum) columns directly."""
+    host = alg.embed_netmf(graph, feature_dim=32)
+    dev = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                          oversample=64, power_iters=2)
+    assert _aligned_allclose(host[:, :12], dev[:, :12], atol=5e-2)
+    assert np.allclose(host @ host.T, dev @ dev.T, atol=5e-2)
+
+
+def test_grarep_device_close(graph):
+    host = alg.embed_grarep(graph, feature_dim=32, max_step=4)
+    dev = alg.embed_grarep(graph, feature_dim=32, max_step=4,
+                           backend="device", oversample=64, power_iters=2)
+    assert _aligned_allclose(host, dev, atol=5e-2)
+
+
+def test_dense_device_hbm_gate(graph, monkeypatch):
+    """The dense device factorizations refuse shapes whose (n, n) buffers
+    cannot fit the chip, with guidance, instead of an allocator error."""
+    from cleora_tpu.ops import memory
+
+    monkeypatch.setattr(memory, "device_hbm_limit", lambda: 16 << 30)
+    with pytest.raises(ValueError, match="backend='host'"):
+        alg._check_dense_fit(100_000)
+    monkeypatch.setenv("CLEORA_TPU_SKIP_FIT_CHECK", "1")
+    alg._check_dense_fit(100_000)  # bypass honored
+
+
+def test_netmf_device_sketched(graph):
+    """At production sketch widths (r < n) the leading columns still agree."""
+    host = alg.embed_netmf(graph, feature_dim=16)
+    dev = alg.embed_netmf(graph, feature_dim=16, backend="device",
+                          oversample=8, power_iters=4)
+    assert _aligned_allclose(host[:, :4], dev[:, :4], atol=8e-2)
+
+
 def test_deepwalk_parity(ref, graph):
     ours = alg.embed_deepwalk(graph, feature_dim=16, num_walks=2,
                               walk_length=20)

@@ -503,8 +503,15 @@ def test_cli_device_backend(tmp_path, capsys):
     assert data["embeddings"].shape == (4, 8)
     assert np.isfinite(data["embeddings"]).all()
 
+    out2 = tmp_path / "emb2.npz"
+    main(["embed", "-i", str(inp), "-o", str(out2), "-d", "8",
+          "-a", "netmf", "--backend", "device"])
+    data2 = np.load(str(out2))
+    assert data2["embeddings"].shape == (4, 8)
+    assert np.isfinite(data2["embeddings"]).all()
+
     with pytest.raises(SystemExit):
-        main(["embed", "-i", str(inp), "-o", str(out), "-a", "netmf",
+        main(["embed", "-i", str(inp), "-o", str(out), "-a", "cleora",
               "--backend", "device"])
 
 
