@@ -791,16 +791,27 @@ _WALK_FN = None
 _WALK_BATCH = 262_144
 
 
-def _walk_csr(graph):
-    """Self-loop-free CSR on host (reference drops r==c, algorithms.py:248-259)."""
-    rows, cols, _, n, _ = graph.to_sparse_csr()
+def _walk_csr(graph, with_vals: bool = False):
+    """Self-loop-free CSR on host (reference drops r==c, algorithms.py:248-259).
+
+    Column ids stay (row, col)-sorted — to_sparse_csr emits them that way —
+    which the second-order walker's binary-search membership test relies on.
+    ``with_vals`` additionally returns the edge weights and the per-row max
+    weight (the rejection-sampling envelope)."""
+    rows, cols, vals, n, _ = graph.to_sparse_csr()
     keep = rows != cols
     rows = rows[keep].astype(np.int64)
     cols = cols[keep].astype(np.int32)
     deg = np.bincount(rows, minlength=n).astype(np.int32)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
-    return indptr[:-1].astype(np.int32), cols, deg, n
+    ip32 = indptr[:-1].astype(np.int32)
+    if not with_vals:
+        return ip32, cols, deg, n
+    v = vals[keep].astype(np.float32)
+    wmax = np.zeros(n, dtype=np.float32)
+    np.maximum.at(wmax, rows, v)
+    return ip32, cols, deg, n, v, wmax
 
 
 def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
@@ -832,6 +843,154 @@ def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
             d_indptr, d_cols, d_deg, jnp.asarray(chunk),
             jax.random.fold_in(root, i),
             walk_length=walk_length, n_rows=n,
+        )
+        w = np.asarray(out)
+        yield w[: w.shape[0] - pad] if pad else w
+
+
+# ------------------------------------- device second-order (p/q) walk engine
+def _device_walk2_jit():
+    """Module-level jitted batched SECOND-order (Node2Vec p/q-biased) walk.
+
+    Same target distribution as the reference's host walker
+    (algorithms.py:262-312): uniform first hop, then next-hop probability
+    ∝ edge_weight · α where α = 1/p for backtracking, 1 for a common
+    neighbor of (prev, cur), 1/q otherwise.  Sampled by batch-synchronized
+    REJECTION: propose a uniform neighbor of cur, accept with probability
+    w·α / (w_max(cur)·α_max) — exact for any p, q without materializing
+    per-node transition tables.  The common-neighbor test is a fixed-depth
+    binary search over the row's sorted column slice (CSR is (row, col)
+    sorted).  After ``tries`` proposals an element falls back to its last
+    proposal (probability (1−a)^tries for per-try acceptance a — negligible
+    bias at the default 64); the host walker instead terminates rows whose
+    total weight underflows.  Dead ends emit the sentinel ``n_rows``."""
+    global _WALK2_FN
+    if _WALK2_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(
+            jax.jit, static_argnames=("walk_length", "n_rows", "tries")
+        )
+        def walks2(indptr, cols, vals, deg, wmax, starts, key, inv_p, inv_q,
+                   *, walk_length, n_rows, tries):
+            nnz = cols.shape[0]
+            amax = jnp.maximum(jnp.float32(1.0), jnp.maximum(inv_p, inv_q))
+
+            def contains(u, x):
+                # is x among the sorted neighbors cols[indptr[u]:+deg[u]) ?
+                lo0 = jnp.take(indptr, u)
+                hi0 = lo0 + jnp.take(deg, u)
+
+                def bstep(_, lh):
+                    lo, hi = lh
+                    active = lo < hi
+                    mid = (lo + hi) // 2
+                    v = jnp.take(cols, jnp.clip(mid, 0, nnz - 1))
+                    right = active & (v < x)
+                    return (
+                        jnp.where(right, mid + 1, lo),
+                        jnp.where(active & ~right, mid, hi),
+                    )
+
+                # 32 halvings bound any int32 slice length
+                lo, _ = jax.lax.fori_loop(0, 32, bstep, (lo0, hi0))
+                v = jnp.take(cols, jnp.clip(lo, 0, nnz - 1))
+                return (lo < hi0) & (v == x)
+
+            def hop(carry, k):
+                prev, cur = carry
+                valid = cur < n_rows
+                cur_c = jnp.where(valid, cur, 0)
+                d = jnp.take(deg, cur_c)
+                alive = valid & (d > 0)
+                base = jnp.take(indptr, cur_c)
+                wm = jnp.take(wmax, cur_c)
+                first = prev >= n_rows  # no prev yet → uniform hop
+                prev_c = jnp.where(first, 0, prev)
+
+                def cond(st):
+                    t, _, acc, _ = st
+                    return (t < tries) & ~jnp.all(acc)
+
+                def body(st):
+                    t, kk, acc, cand = st
+                    kk, k1, k2 = jax.random.split(kk, 3)
+                    u = jax.random.uniform(k1, cur.shape)
+                    j = jnp.minimum(
+                        (u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0),
+                    )
+                    idx = jnp.clip(base + j, 0, nnz - 1)
+                    x = jnp.take(cols, idx)
+                    w = jnp.take(vals, idx)
+                    alpha = jnp.where(
+                        x == prev_c, inv_p,
+                        jnp.where(contains(prev_c, x), 1.0, inv_q),
+                    )
+                    prob = jnp.where(
+                        first, 1.0,
+                        w * alpha / jnp.maximum(wm * amax, 1e-30),
+                    )
+                    hit = jax.random.uniform(k2, cur.shape) < prob
+                    take_it = alive & ~acc & (hit | (t == tries - 1))
+                    cand = jnp.where(take_it, x, cand)
+                    return t + 1, kk, acc | take_it | ~alive, cand
+
+                init = (
+                    jnp.int32(0), k, ~alive,
+                    jnp.full(cur.shape, n_rows, jnp.int32),
+                )
+                _, _, _, nxt = jax.lax.while_loop(cond, body, init)
+                return (cur, nxt), nxt
+
+            keys = jax.random.split(key, walk_length - 1)
+            prev0 = jnp.full(starts.shape, n_rows, jnp.int32)
+            _, ys = jax.lax.scan(hop, (prev0, starts), keys)
+            return jnp.concatenate([starts[None, :], ys], axis=0).T
+
+        _WALK2_FN = walks2
+    return _WALK2_FN
+
+
+_WALK2_FN = None
+
+# rejection proposals per hop before the fallback accept (see _device_walk2_jit)
+_WALK2_TRIES = 64
+
+
+def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
+                   q: float, seed: int, batch: int = _WALK_BATCH,
+                   tries: int = _WALK2_TRIES):
+    """Yield (B, walk_length) int32 host batches of p/q-biased walks."""
+    import jax
+
+    import jax.numpy as jnp
+
+    indptr, cols, deg, n, vals, wmax = _walk_csr(graph, with_vals=True)
+    starts = np.nonzero(deg > 0)[0].astype(np.int32)
+    if starts.shape[0] == 0:
+        return
+    all_starts = np.tile(starts, num_walks)
+    dev = (
+        jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals),
+        jnp.asarray(deg), jnp.asarray(wmax),
+    )
+    fn = _device_walk2_jit()
+    root = jax.random.PRNGKey(seed)
+    for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
+        chunk = all_starts[lo:lo + batch]
+        if chunk.shape[0] < batch and lo > 0:
+            pad = batch - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.full(pad, n, dtype=np.int32)])
+        else:
+            pad = 0
+        out = fn(
+            *dev, jnp.asarray(chunk), jax.random.fold_in(root, i),
+            jnp.float32(1.0 / p), jnp.float32(1.0 / q),
+            walk_length=walk_length, n_rows=n, tries=tries,
         )
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w
@@ -922,6 +1081,13 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int):
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                      seed):
     batches = _device_walks(graph, num_walks, walk_length, seed)
+    keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
+    return _counts_to_embeddings(keys, counts, graph.num_entities, feature_dim)
+
+
+def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
+                     p, q, seed):
+    batches = _device_walks2(graph, num_walks, walk_length, p, q, seed)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     return _counts_to_embeddings(keys, counts, graph.num_entities, feature_dim)
 
@@ -1035,17 +1201,22 @@ def embed_node2vec(
 ) -> np.ndarray:
     """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
 
-    ``backend="device"`` supports the uniform case p == q == 1 (first-order
-    walks — the reference default); second-order p/q biasing needs the
-    previous step's neighbor sets and stays host-side."""
+    ``backend="device"`` runs on the TPU for ANY p, q: the uniform case
+    (p == q == 1, the reference default) uses the first-order engine; the
+    biased case uses batch-synchronized rejection sampling with a
+    binary-search common-neighbor test (:func:`_device_walk2_jit`) — exact
+    Node2Vec transition probabilities, no per-node alias tables.  Same
+    semantics as the host path, different (device) RNG stream."""
     if backend == "device":
-        if p != 1.0 or q != 1.0:
-            raise ValueError(
-                "backend='device' supports p == q == 1 (uniform walks); "
-                "use backend='host' for biased p/q walks"
+        if p <= 0.0 or q <= 0.0:
+            raise ValueError("p and q must be positive")
+        if p == 1.0 and q == 1.0:
+            return _deepwalk_device(
+                graph, feature_dim, num_walks, walk_length, window_size, seed
             )
-        return _deepwalk_device(
-            graph, feature_dim, num_walks, walk_length, window_size, seed
+        return _node2vec_device(
+            graph, feature_dim, num_walks, walk_length, window_size, p, q,
+            seed,
         )
     adj, weights, n = _build_adj_list(graph)
     walks = _random_walks(adj, weights, n, num_walks, walk_length, p, q, seed)

@@ -279,8 +279,67 @@ def test_node2vec_device_uniform_and_validation(graph):
     emb = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
                              walk_length=10, backend="device", seed=4)
     assert emb.shape == (graph.num_entities, 16)
-    with pytest.raises(ValueError, match="p == q == 1"):
-        alg.embed_node2vec(graph, feature_dim=16, backend="device", p=2.0)
+    with pytest.raises(ValueError, match="positive"):
+        alg.embed_node2vec(graph, feature_dim=16, backend="device", p=0.0)
+
+
+def test_device_walks2_valid(graph):
+    """Every hop of a biased device walk is a real (non-self) edge; count and
+    determinism match the first-order engine's contract."""
+    n = graph.num_entities
+    edges = _edge_set(graph)
+    walks = np.concatenate(
+        list(alg._device_walks2(graph, num_walks=3, walk_length=10,
+                                p=2.0, q=0.5, seed=1)), axis=0)
+    indptr, cols, deg, _ = alg._walk_csr(graph)
+    assert walks.shape == (3 * int((deg > 0).sum()), 10)
+    for w in walks:
+        for a, b in zip(w[:-1], w[1:]):
+            if b == n:
+                continue
+            assert a != n
+            assert (int(a), int(b)) in edges and a != b
+    again = np.concatenate(
+        list(alg._device_walks2(graph, num_walks=3, walk_length=10,
+                                p=2.0, q=0.5, seed=1)), axis=0)
+    assert np.array_equal(walks, again)
+
+
+def test_device_walks2_bias():
+    """With 1/p = 1/q ≈ 0 the walker may only move to common neighbors of
+    (prev, cur).  Triangle 0-1-2 with pendant 3 on 1: after 0→1 the only
+    common-neighbor move is 2; after 0→2 it is 1."""
+    from cleora_tpu import SparseMatrix
+
+    g = SparseMatrix.from_edge_arrays(
+        np.array([0, 1, 0, 1]), np.array([1, 2, 2, 3]))
+    i = {name: g.get_entity_index(name) for name in "0123"}
+    walks = np.concatenate(
+        list(alg._device_walks2(g, num_walks=256, walk_length=3,
+                                p=1e9, q=1e9, seed=0)), axis=0)
+    second = {i["1"]: i["2"], i["2"]: i["1"]}
+    checked = ok = 0
+    for w in walks:
+        if w[0] != i["0"] or w[1] not in second:
+            continue
+        checked += 1
+        ok += int(w[2] == second[int(w[1])])
+    assert checked > 100
+    # the capped rejection loop falls back to an arbitrary proposal with
+    # probability ~(2/3)^64 per hop — allow for it without flaking
+    assert ok / checked >= 0.98
+
+
+def test_node2vec_device_biased_end_to_end(graph):
+    emb = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
+                             walk_length=10, p=4.0, q=0.25,
+                             backend="device", seed=4)
+    assert emb.shape == (graph.num_entities, 16)
+    assert np.isfinite(emb).all()
+    again = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
+                               walk_length=10, p=4.0, q=0.25,
+                               backend="device", seed=4)
+    assert np.allclose(emb, again)
 
 
 def test_list_algorithms(ref):
