@@ -872,10 +872,11 @@ def _device_walk2_jit():
         import jax.numpy as jnp
 
         @functools.partial(
-            jax.jit, static_argnames=("walk_length", "n_rows", "tries")
+            jax.jit,
+            static_argnames=("walk_length", "n_rows", "tries", "bsteps"),
         )
         def walks2(indptr, cols, vals, deg, wmax, starts, key, inv_p, inv_q,
-                   *, walk_length, n_rows, tries):
+                   *, walk_length, n_rows, tries, bsteps=32):
             nnz = cols.shape[0]
             amax = jnp.maximum(jnp.float32(1.0), jnp.maximum(inv_p, inv_q))
 
@@ -895,8 +896,11 @@ def _device_walk2_jit():
                         jnp.where(active & ~right, mid, hi),
                     )
 
-                # 32 halvings bound any int32 slice length
-                lo, _ = jax.lax.fori_loop(0, 32, bstep, (lo0, hi0))
+                # the hop loop is gather-issue-bound and this search is its
+                # dominant gather volume — callers pass bsteps =
+                # ceil(log2(max_degree + 1)) so it halves only as often as
+                # the longest row needs (32 covers any int32 slice)
+                lo, _ = jax.lax.fori_loop(0, bsteps, bstep, (lo0, hi0))
                 v = jnp.take(cols, jnp.clip(lo, 0, nnz - 1))
                 return (lo < hi0) & (v == x)
 
@@ -960,9 +964,14 @@ _WALK2_FN = None
 # rejection proposals per hop before the fallback accept (see _device_walk2_jit)
 _WALK2_TRIES = 64
 
+# Second-order batches are smaller than first-order ones: the rejection
+# loop multiplies per-hop buffer count ~tries-fold, and the 262144×80
+# program crashed the v5e worker where 65536-wide shapes run fine.
+_WALK2_BATCH = 65_536
+
 
 def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
-                   q: float, seed: int, batch: int = _WALK_BATCH,
+                   q: float, seed: int, batch: int = _WALK2_BATCH,
                    tries: int = _WALK2_TRIES):
     """Yield (B, walk_length) int32 host batches of p/q-biased walks."""
     import jax
@@ -970,6 +979,7 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
     import jax.numpy as jnp
 
     indptr, cols, deg, n, vals, wmax = _walk_csr(graph, with_vals=True)
+    bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
     starts = np.nonzero(deg > 0)[0].astype(np.int32)
     if starts.shape[0] == 0:
         return
@@ -990,7 +1000,7 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
         out = fn(
             *dev, jnp.asarray(chunk), jax.random.fold_in(root, i),
             jnp.float32(1.0 / p), jnp.float32(1.0 / q),
-            walk_length=walk_length, n_rows=n, tries=tries,
+            walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
         )
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w

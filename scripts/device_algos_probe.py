@@ -144,6 +144,43 @@ def probe_walks():
           f"{hops / dt / 1e6:.1f} M hops/s (len {walk_length})", flush=True)
 
 
+def probe_walks2():
+    import jax.numpy as jnp
+
+    import cleora_tpu.algorithms as alg
+
+    # NOTE: a 262144×80 second-order program crashed the v5e worker
+    # (recovered on restart); 65536-wide shapes run fine — hence
+    # _WALK2_BATCH and this probe shape.
+    n_nodes, n_und, walk_length, batch = (
+        (2000, 6000, 10, 1024)
+        if CPU else (1_000_000, 5_000_000, 80, alg._WALK2_BATCH)
+    )
+    g = _graph(n_nodes, n_und)
+    indptr, cols, deg, n, vals, wmax = alg._walk_csr(g, with_vals=True)
+    bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
+    dev = (jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals),
+           jnp.asarray(deg), jnp.asarray(wmax))
+    starts = np.nonzero(deg > 0)[0].astype(np.int32)[:batch]
+    if starts.shape[0] < batch:
+        starts = np.resize(starts, batch)
+    d_starts = jnp.asarray(starts)
+    key = jax.random.PRNGKey(0)
+    _ = float(d_starts[0])
+    fn = alg._device_walk2_jit()
+    print(f"walks2: bsteps={bsteps} batch={batch}", flush=True)
+
+    def call():
+        return fn(*dev, d_starts, key, jnp.float32(2.0), jnp.float32(0.5),
+                  walk_length=walk_length, n_rows=n,
+                  tries=alg._WALK2_TRIES, bsteps=bsteps)
+
+    dt = _timed("walk2 batch (p=0.5, q=2)", call)
+    hops = batch * (walk_length - 1)
+    print(f"walks2: {batch / dt / 1e3:.0f} K walks/s, "
+          f"{hops / dt / 1e6:.1f} M hops/s (len {walk_length})", flush=True)
+
+
 def _dense_inputs(n_nodes, n_und):
     import jax.numpy as jnp
 
@@ -211,7 +248,7 @@ def probe_grarep():
           flush=True)
 
 
-PROBES = {"hope": probe_hope, "walks": probe_walks,
+PROBES = {"hope": probe_hope, "walks": probe_walks, "walks2": probe_walks2,
           "netmf": probe_netmf, "grarep": probe_grarep}
 
 if __name__ == "__main__":
