@@ -796,8 +796,9 @@ def _walk_csr(graph, with_vals: bool = False):
 
     Column ids stay (row, col)-sorted — to_sparse_csr emits them that way —
     which the second-order walker's binary-search membership test relies on.
-    ``with_vals`` additionally returns the edge weights and the per-row max
-    weight (the rejection-sampling envelope)."""
+    ``with_vals`` additionally returns the edge weights plus the per-row max
+    weight (the rejection-sampling envelope) and per-row weight sum (the
+    host walker's dead-row termination threshold)."""
     rows, cols, vals, n, _ = graph.to_sparse_csr()
     keep = rows != cols
     rows = rows[keep].astype(np.int64)
@@ -805,13 +806,23 @@ def _walk_csr(graph, with_vals: bool = False):
     deg = np.bincount(rows, minlength=n).astype(np.int32)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
+    if int(indptr[-1]) >= 2**31:
+        # the device walkers gather with int32 edge offsets; a silent wrap
+        # would corrupt hop bases and the binary-search bounds
+        raise ValueError(
+            f"graph has {int(indptr[-1])} self-loop-free edges; the device "
+            "walk engines support < 2**31 — use backend='host' or shard the "
+            "walk workload by subgraph"
+        )
     ip32 = indptr[:-1].astype(np.int32)
     if not with_vals:
         return ip32, cols, deg, n
     v = vals[keep].astype(np.float32)
     wmax = np.zeros(n, dtype=np.float32)
     np.maximum.at(wmax, rows, v)
-    return ip32, cols, deg, n, v, wmax
+    wsum = np.zeros(n, dtype=np.float64)
+    np.add.at(wsum, rows, v.astype(np.float64))
+    return ip32, cols, deg, n, v, wmax, wsum.astype(np.float32)
 
 
 def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
@@ -855,15 +866,22 @@ def _device_walk2_jit():
     Same target distribution as the reference's host walker
     (algorithms.py:262-312): uniform first hop, then next-hop probability
     ∝ edge_weight · α where α = 1/p for backtracking, 1 for a common
-    neighbor of (prev, cur), 1/q otherwise.  Sampled by batch-synchronized
-    REJECTION: propose a uniform neighbor of cur, accept with probability
-    w·α / (w_max(cur)·α_max) — exact for any p, q without materializing
-    per-node transition tables.  The common-neighbor test is a fixed-depth
-    binary search over the row's sorted column slice (CSR is (row, col)
-    sorted).  After ``tries`` proposals an element falls back to its last
-    proposal (probability (1−a)^tries for per-try acceptance a — negligible
-    bias at the default 64); the host walker instead terminates rows whose
-    total weight underflows.  Dead ends emit the sentinel ``n_rows``."""
+    neighbor of (prev, cur), 1/q otherwise.  Sampled by REJECTION in
+    CHUNKS: each while_loop round proposes ``chunk`` uniform neighbors of
+    cur at once, accepting the first with probability w·α / (w_max·α_max)
+    — one batch synchronization per ``chunk`` proposals instead of per
+    proposal.  The common-neighbor test is a fixed-depth binary search
+    over the row's sorted column slice (CSR is (row, col) sorted).
+
+    Approximation bound: after ``tries`` proposals an element falls back
+    to a uniform proposal, so the sampled distribution mixes toward
+    uniform with weight (1−a)^tries for per-proposal acceptance
+    a = Σⱼ wⱼαⱼ / (d·w_max·α_max).  The caller scales ``tries`` with
+    α_max = max(1, 1/p, 1/q) to keep this negligible; the residual regime
+    is extreme p/q on high-degree rows with skewed weights (a ≳ 1/d).
+    Rows whose host-walker transition mass underflows (Σ w·α < 1e-15
+    ⇐ wsum·α_max < 1e-15) terminate with the sentinel, matching the
+    reference's dead-row stop; dead ends likewise emit ``n_rows``."""
     global _WALK2_FN
     if _WALK2_FN is None:
         import functools
@@ -873,12 +891,16 @@ def _device_walk2_jit():
 
         @functools.partial(
             jax.jit,
-            static_argnames=("walk_length", "n_rows", "tries", "bsteps"),
+            static_argnames=(
+                "walk_length", "n_rows", "tries", "bsteps", "chunk",
+            ),
         )
-        def walks2(indptr, cols, vals, deg, wmax, starts, key, inv_p, inv_q,
-                   *, walk_length, n_rows, tries, bsteps=32):
+        def walks2(indptr, cols, vals, deg, wmax, wsum, starts, key,
+                   inv_p, inv_q, *, walk_length, n_rows, tries, bsteps=32,
+                   chunk=8):
             nnz = cols.shape[0]
             amax = jnp.maximum(jnp.float32(1.0), jnp.maximum(inv_p, inv_q))
+            rounds = -(-tries // chunk)
 
             def contains(u, x):
                 # is x among the sorted neighbors cols[indptr[u]:+deg[u]) ?
@@ -909,20 +931,24 @@ def _device_walk2_jit():
                 valid = cur < n_rows
                 cur_c = jnp.where(valid, cur, 0)
                 d = jnp.take(deg, cur_c)
-                alive = valid & (d > 0)
+                # the host walker stops when the row's biased transition
+                # mass underflows; wsum·amax bounds that mass from above
+                dead = jnp.take(wsum, cur_c) * amax < 1e-15
+                alive = valid & (d > 0) & ~dead
                 base = jnp.take(indptr, cur_c)
                 wm = jnp.take(wmax, cur_c)
                 first = prev >= n_rows  # no prev yet → uniform hop
                 prev_c = jnp.where(first, 0, prev)
+                cshape = (chunk,) + cur.shape
 
                 def cond(st):
-                    t, _, acc, _ = st
-                    return (t < tries) & ~jnp.all(acc)
+                    r, _, acc, _ = st
+                    return (r < rounds) & ~jnp.all(acc)
 
                 def body(st):
-                    t, kk, acc, cand = st
+                    r, kk, acc, cand = st
                     kk, k1, k2 = jax.random.split(kk, 3)
-                    u = jax.random.uniform(k1, cur.shape)
+                    u = jax.random.uniform(k1, cshape)
                     j = jnp.minimum(
                         (u * d.astype(jnp.float32)).astype(jnp.int32),
                         jnp.maximum(d - 1, 0),
@@ -932,16 +958,26 @@ def _device_walk2_jit():
                     w = jnp.take(vals, idx)
                     alpha = jnp.where(
                         x == prev_c, inv_p,
-                        jnp.where(contains(prev_c, x), 1.0, inv_q),
+                        jnp.where(
+                            contains(jnp.broadcast_to(prev_c, cshape), x),
+                            1.0, inv_q,
+                        ),
                     )
                     prob = jnp.where(
                         first, 1.0,
                         w * alpha / jnp.maximum(wm * amax, 1e-30),
                     )
-                    hit = jax.random.uniform(k2, cur.shape) < prob
-                    take_it = alive & ~acc & (hit | (t == tries - 1))
-                    cand = jnp.where(take_it, x, cand)
-                    return t + 1, kk, acc | take_it | ~alive, cand
+                    hit = jax.random.uniform(k2, cshape) < prob
+                    any_hit = jnp.any(hit, axis=0)
+                    fi = jnp.argmax(hit, axis=0)  # first accepted proposal
+                    sel = jnp.take_along_axis(x, fi[None, :], axis=0)[0]
+                    take_it = alive & ~acc & (any_hit | (r == rounds - 1))
+                    # exhausted elements fall back to the round's last
+                    # uniform proposal (see docstring bias bound)
+                    cand = jnp.where(
+                        take_it, jnp.where(any_hit, sel, x[-1]), cand
+                    )
+                    return r + 1, kk, acc | take_it | ~alive, cand
 
                 init = (
                     jnp.int32(0), k, ~alive,
@@ -961,46 +997,59 @@ def _device_walk2_jit():
 
 _WALK2_FN = None
 
-# rejection proposals per hop before the fallback accept (see _device_walk2_jit)
+# base rejection-proposal budget per hop; scaled up with
+# α_max = max(1, 1/p, 1/q) so the uniform-fallback mixing weight
+# (1−a)^tries stays negligible as extreme p/q shrink per-try acceptance
+# (see _device_walk2_jit), capped to bound worst-case work
 _WALK2_TRIES = 64
+_WALK2_TRIES_CAP = 1024
+
+# proposals per while_loop round — one batch synchronization buys `chunk`
+# candidate gathers, so slow rejection chains cost rounds ≈ tries/chunk
+_WALK2_CHUNK = 8
 
 # Second-order batches are smaller than first-order ones: the rejection
-# loop multiplies per-hop buffer count ~tries-fold, and the 262144×80
+# loop multiplies per-hop buffer count ~chunk-fold, and the 262144×80
 # program crashed the v5e worker where 65536-wide shapes run fine.
 _WALK2_BATCH = 65_536
 
 
 def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
                    q: float, seed: int, batch: int = _WALK2_BATCH,
-                   tries: int = _WALK2_TRIES):
+                   tries: int | None = None):
     """Yield (B, walk_length) int32 host batches of p/q-biased walks."""
     import jax
 
     import jax.numpy as jnp
 
-    indptr, cols, deg, n, vals, wmax = _walk_csr(graph, with_vals=True)
+    indptr, cols, deg, n, vals, wmax, wsum = _walk_csr(graph, with_vals=True)
     bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
+    if tries is None:
+        amax = max(1.0, 1.0 / p, 1.0 / q)
+        tries = int(min(_WALK2_TRIES_CAP,
+                        max(_WALK2_TRIES, np.ceil(8.0 * amax))))
     starts = np.nonzero(deg > 0)[0].astype(np.int32)
     if starts.shape[0] == 0:
         return
     all_starts = np.tile(starts, num_walks)
     dev = (
         jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals),
-        jnp.asarray(deg), jnp.asarray(wmax),
+        jnp.asarray(deg), jnp.asarray(wmax), jnp.asarray(wsum),
     )
     fn = _device_walk2_jit()
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
-        chunk = all_starts[lo:lo + batch]
-        if chunk.shape[0] < batch and lo > 0:
-            pad = batch - chunk.shape[0]
-            chunk = np.concatenate([chunk, np.full(pad, n, dtype=np.int32)])
+        part = all_starts[lo:lo + batch]
+        if part.shape[0] < batch and lo > 0:
+            pad = batch - part.shape[0]
+            part = np.concatenate([part, np.full(pad, n, dtype=np.int32)])
         else:
             pad = 0
         out = fn(
-            *dev, jnp.asarray(chunk), jax.random.fold_in(root, i),
+            *dev, jnp.asarray(part), jax.random.fold_in(root, i),
             jnp.float32(1.0 / p), jnp.float32(1.0 / q),
             walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
+            chunk=_WALK2_CHUNK,
         )
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w
@@ -1213,13 +1262,16 @@ def embed_node2vec(
 
     ``backend="device"`` runs on the TPU for ANY p, q: the uniform case
     (p == q == 1, the reference default) uses the first-order engine; the
-    biased case uses batch-synchronized rejection sampling with a
-    binary-search common-neighbor test (:func:`_device_walk2_jit`) — exact
-    Node2Vec transition probabilities, no per-node alias tables.  Same
-    semantics as the host path, different (device) RNG stream."""
+    biased case uses chunked rejection sampling with a binary-search
+    common-neighbor test (:func:`_device_walk2_jit`) — correct Node2Vec
+    transition probabilities up to a uniform-fallback mixing weight
+    (1−a)^tries when a proposal budget (scaled with max(1, 1/p, 1/q))
+    is exhausted; negligible except for extreme p/q on high-degree
+    skew-weighted rows.  Host-path semantics otherwise (incl. dead-row
+    termination), different (device) RNG stream."""
+    if p <= 0.0 or q <= 0.0:
+        raise ValueError("p and q must be positive")
     if backend == "device":
-        if p <= 0.0 or q <= 0.0:
-            raise ValueError("p and q must be positive")
         if p == 1.0 and q == 1.0:
             return _deepwalk_device(
                 graph, feature_dim, num_walks, walk_length, window_size, seed

@@ -281,6 +281,8 @@ def test_node2vec_device_uniform_and_validation(graph):
     assert emb.shape == (graph.num_entities, 16)
     with pytest.raises(ValueError, match="positive"):
         alg.embed_node2vec(graph, feature_dim=16, backend="device", p=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        alg.embed_node2vec(graph, feature_dim=16, backend="host", q=0.0)
 
 
 def test_device_walks2_valid(graph):
@@ -328,6 +330,53 @@ def test_device_walks2_bias():
     # the capped rejection loop falls back to an arbitrary proposal with
     # probability ~(2/3)^64 per hop — allow for it without flaking
     assert ok / checked >= 0.98
+
+
+def test_device_walk2_dead_row_terminates():
+    """A row whose weight mass underflows terminates the walk with the
+    sentinel, matching the host walker's probs_sum < 1e-15 stop (instead
+    of force-accepting a uniform proposal whose acceptance prob is 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    # 0 → 1 (weight 1); 1 → 2 (weight 0): the walk must stop at 1
+    indptr = jnp.array([0, 1, 2], dtype=jnp.int32)
+    cols = jnp.array([1, 2], dtype=jnp.int32)
+    vals = jnp.array([1.0, 0.0], dtype=jnp.float32)
+    deg = jnp.array([1, 1, 0], dtype=jnp.int32)
+    wmax = jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32)
+    wsum = jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32)
+    starts = jnp.zeros(8, dtype=jnp.int32)
+    fn = alg._device_walk2_jit()
+    out = np.asarray(fn(
+        indptr, cols, vals, deg, wmax, wsum, starts,
+        jax.random.PRNGKey(0), jnp.float32(1.0), jnp.float32(1.0),
+        walk_length=4, n_rows=3, tries=8, bsteps=2, chunk=4,
+    ))
+    assert np.array_equal(out[:, :2], np.tile([0, 1], (8, 1)))
+    assert (out[:, 2:] == 3).all()
+
+
+def test_device_walks2_tries_scale_with_amax():
+    """Extreme p shrinks per-proposal acceptance; the proposal budget must
+    scale with amax so the uniform fallback stays negligible (advisor
+    finding r2)."""
+    from cleora_tpu import SparseMatrix
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 60, size=600)
+    dst = (src + rng.integers(1, 60, size=600)) % 60
+    g = SparseMatrix.from_edge_arrays(src, dst)
+    walks = np.concatenate(
+        list(alg._device_walks2(g, num_walks=4, walk_length=6,
+                                p=0.01, q=1.0, seed=3)), axis=0)
+    n = g.num_entities
+    edges = _edge_set(g)
+    for w in walks:
+        for a, b in zip(w[:-1], w[1:]):
+            if b == n:
+                continue
+            assert (int(a), int(b)) in edges
 
 
 def test_node2vec_device_biased_end_to_end(graph):
