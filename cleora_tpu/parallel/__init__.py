@@ -9,6 +9,7 @@ from .mesh import (
 from .shard import ShardedCoo, shard_coo, shard_graph, pad_rows
 from .embed import embed_sharded, build_sharded_embed
 from .distributed import init_distributed
+from .state import EmbeddingShards, ShardedCheckpoint
 
 __all__ = [
     "SHARD_AXIS", "HOST_AXIS", "CHIP_AXIS",
@@ -16,4 +17,5 @@ __all__ = [
     "ShardedCoo", "shard_coo", "shard_graph", "pad_rows",
     "embed_sharded", "build_sharded_embed",
     "init_distributed",
+    "EmbeddingShards", "ShardedCheckpoint",
 ]

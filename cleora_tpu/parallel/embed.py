@@ -369,15 +369,20 @@ def build_sharded_embed(
             a = np.asarray(a)[ks[0] * per:(ks[-1] + 1) * per]
         return jax.make_array_from_process_local_data(sh, np.asarray(a))
 
-    def place(x_padded: np.ndarray):
+    def place(x_padded):
         if x_padded.shape[1] != feature_dim:
             raise ValueError(
                 f"x_padded has feature dim {x_padded.shape[1]} but the loop "
                 f"was built for feature_dim={feature_dim}"
             )
-        if ell is not None:
-            x_padded = ell.permute_state(np.asarray(x_padded))
-        xs = _put(x_padded, row_spec)
+        if isinstance(x_padded, jax.Array):
+            # already-placed state-space device array (device-side init or
+            # a checkpoint resume) — no host permute/copy
+            xs = x_padded
+        else:
+            if ell is not None:
+                x_padded = ell.permute_state(np.asarray(x_padded))
+            xs = _put(x_padded, row_spec)
         # paired walk (PartitionSpec is a tuple subclass — tree_map over the
         # spec tree would descend into it, so flatten against the array tree)
         arr_leaves, treedef = jax.tree_util.tree_flatten(layout_arrays)
@@ -422,7 +427,10 @@ def embed_sharded(
     ell=None,
     dtype: str = "float32",
     callback=None,
-) -> np.ndarray:
+    out: str = "full",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
+):
     """Multi-device embed(): same semantics as cleora_tpu.embed, sharded.
 
     ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
@@ -441,10 +449,39 @@ def embed_sharded(
     also disables the ELL auto-selection.
     ``dtype="bfloat16"`` stores and exchanges the state in bf16 (half HBM
     and half interconnect bytes, f32 compute).
+
+    **Memory-bounded lifecycle** (no host ever holds the full (N, D)
+    matrix — parallel/state.py): with ``initial_embeddings=None`` the
+    deterministic hash init runs ON DEVICE per shard (bit-exact vs the
+    host path).  ``out`` selects the output form: ``"full"`` (default)
+    gathers the complete matrix to every process (back-compat;
+    materializes (N, D) on host); ``"shards"`` returns this process's
+    contiguous row block as an :class:`~cleora_tpu.parallel.state.EmbeddingShards`;
+    a path ending in ``.npy`` streams every process's shards into one
+    standard npy file via memmap writes (shared filesystem in
+    multi-process runs) and returns a read-only memmap.
+
+    **Checkpoint/resume**: ``checkpoint_dir`` persists the sharded state
+    every ``checkpoint_every`` iterations (two-phase, per process —
+    parallel/state.py); an interrupted run resumes from the last complete
+    checkpoint when called again with the same parameters.  With
+    checkpointing, ``convergence_threshold`` is evaluated at checkpoint
+    boundaries (not per iteration).
     """
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
+        )
+    if out not in ("full", "shards") and not (
+        isinstance(out, str) and out.endswith(".npy")
+    ):
+        raise ValueError(
+            f"Unknown out {out!r}. Use 'full', 'shards', or a '.npy' path."
+        )
+    if callback is not None and (out != "full" or checkpoint_dir is not None):
+        raise ValueError(
+            "callback requires out='full' and no checkpoint_dir (the "
+            "callback contract passes the full host matrix per iteration)"
         )
     from ..ops.loop import effective_residual_weight
 
@@ -564,7 +601,7 @@ def embed_sharded(
             )
         feature_dim = x0.shape[1]
     else:
-        x0 = graph.initialize_deterministically(feature_dim, seed)
+        x0 = None  # device-side per-shard hash init (parallel/state.py)
 
     ell_plan = None
     if overlap_plan is None and ell is not False:
@@ -596,11 +633,22 @@ def embed_sharded(
             cols=plan.remapped_cols if plan is not None else None,
             n_bands=None if banded in (None, True) else int(banded),
         )
-    x_padded = pad_rows(x0, sharded.n_rows_padded)
-    if dtype == "bfloat16":
-        import ml_dtypes
+    from . import state as lifecycle
 
-        x_padded = x_padded.astype(ml_dtypes.bfloat16)
+    if x0 is None:
+        sdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        from .mesh import shard_axes
+
+        x_state = lifecycle.make_initial_state(
+            mesh, shard_axes(mesh), sharded, lifecycle.entity_hashes(graph),
+            feature_dim, seed, ell_plan=ell_plan, dtype=sdt,
+        )
+    else:
+        x_state = pad_rows(x0, sharded.n_rows_padded)
+        if dtype == "bfloat16":
+            import ml_dtypes
+
+            x_state = x_state.astype(ml_dtypes.bfloat16)
 
     from .._util import to_host as _base_to_host
 
@@ -632,7 +680,7 @@ def embed_sharded(
             do_whiten=whiten, convergence_threshold=0.0, halo=plan,
             banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
         )
-        placed = place(x_padded)
+        placed = place(x_state)
         x, rest = placed[0], placed[1:]
         prev_host = None
         # num_iterations == 0 runs no steps: return the initial embeddings,
@@ -652,11 +700,105 @@ def embed_sharded(
             prev_host = host
         return host.copy()
 
-    fn, place = build_sharded_embed(
-        mesh, sharded, feature_dim, num_iterations,
-        residual_weight=residual_weight, normalization=normalization,
-        do_whiten=whiten, convergence_threshold=convergence_threshold,
-        halo=plan, banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
-    )
-    out = fn(*place(x_padded))
-    return _view(out).copy()
+    if checkpoint_dir is not None:
+        res = _run_checkpointed(
+            mesh, sharded, feature_dim, int(num_iterations),
+            residual_weight=residual_weight, normalization=normalization,
+            whiten=whiten, convergence_threshold=convergence_threshold,
+            plan=plan, banded_plan=banded_plan, overlap_plan=overlap_plan,
+            ell_plan=ell_plan, x_state=x_state, dtype=dtype, seed=seed,
+            propagation=propagation, user_init=x0 is not None,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=int(checkpoint_every),
+        )
+    else:
+        fn, place = build_sharded_embed(
+            mesh, sharded, feature_dim, num_iterations,
+            residual_weight=residual_weight, normalization=normalization,
+            do_whiten=whiten, convergence_threshold=convergence_threshold,
+            halo=plan, banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
+        )
+        res = fn(*place(x_state))
+    if out == "shards":
+        return lifecycle.collect_shards(res, sharded, ell_plan)
+    if out != "full":
+        return lifecycle.write_memmap(out, res, sharded, ell_plan)
+    return _view(res).copy()
+
+
+def _run_checkpointed(
+    mesh, sharded, feature_dim, num_iterations, *, residual_weight,
+    normalization, whiten, convergence_threshold, plan, banded_plan,
+    overlap_plan, ell_plan, x_state, dtype, seed, propagation, user_init,
+    checkpoint_dir, checkpoint_every,
+):
+    """Run the sharded loop in checkpoint_every-iteration segments, saving
+    the per-shard state after each (parallel/state.py), resuming from the
+    last complete checkpoint when the parameters match.  Convergence is
+    evaluated at segment boundaries on device (one psum'd scalar)."""
+    from . import state as lifecycle
+    from .mesh import shard_axes
+
+    axis = shard_axes(mesh)
+    seg = max(1, checkpoint_every)
+    mode = ("overlap" if overlap_plan is not None else
+            "ell-split" if ell_plan is not None and ell_plan.remote is not None
+            else "ell" if ell_plan is not None else
+            "banded" if banded_plan is not None else
+            "halo" if plan is not None else "flat")
+    fp = lifecycle.fingerprint(dict(
+        n_rows=sharded.n_rows, n_rows_padded=sharded.n_rows_padded,
+        rows_per_shard=sharded.rows_per_shard, feature_dim=feature_dim,
+        dtype=dtype, normalization=normalization, whiten=bool(whiten),
+        residual_weight=float(residual_weight), propagation=propagation,
+        seed=seed, num_iterations=num_iterations, seg=seg, mode=mode,
+        R=ell_plan.R if ell_plan is not None else None,
+        user_init=bool(user_init),
+        convergence=float(convergence_threshold),
+        n_shards=int(mesh.devices.size),
+    ))
+    ck = lifecycle.ShardedCheckpoint(checkpoint_dir, fp)
+
+    built = {}
+
+    def fn_for(iters):
+        if iters not in built:
+            built[iters] = build_sharded_embed(
+                mesh, sharded, feature_dim, iters,
+                residual_weight=residual_weight, normalization=normalization,
+                do_whiten=whiten, convergence_threshold=0.0, halo=plan,
+                banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
+            )
+        return built[iters]
+
+    fn, place = fn_for(min(seg, num_iterations) or 1)
+    placed = place(x_state)
+    x, rest = placed[0], placed[1:]
+    meta = ck.latest()
+    done = 0
+    if meta is not None:
+        done = min(int(meta["iteration"]), num_iterations)
+        if done > 0:
+            x = ck.load(mesh, axis, meta)
+
+    rmse_fn = None
+    if convergence_threshold > 0:
+        nd = sharded.n_rows * feature_dim
+
+        def _rmse(a, b):
+            d = a.astype(jnp.float32) - b.astype(jnp.float32)
+            return jnp.sqrt(jnp.sum(d * d) / nd)
+
+        rmse_fn = jax.jit(_rmse)
+
+    while done < num_iterations:
+        it = min(seg, num_iterations - done)
+        f, _ = fn_for(it)
+        prev = x
+        x = f(x, *rest)
+        done += it
+        ck.save(x, done)
+        if rmse_fn is not None and done > it:
+            if float(rmse_fn(x, prev)) < convergence_threshold:
+                break
+    return x

@@ -1,0 +1,362 @@
+"""Embedding-state lifecycle for the sharded loop: device-side init,
+shard-granular output, and per-shard checkpoint/resume.
+
+Closes the round-2 scale defect: ``embed_sharded`` used to build the full
+(N, D) matrix on EVERY host at init (graph.initialize_deterministically)
+and allgather the full result back at exit — 51 GB/host at the 50M-node
+BASELINE config, un-runnable.  Here no host ever materializes (N, D):
+
+* **init** — each device generates its own row shard with the bit-exact
+  FxHash arithmetic on device (ops/init.py); the host only streams the
+  8-byte-per-row entity-hash lanes of its own shards (lazy memmap reads).
+* **output** — per-shard device→host fetches (also the tunnel-friendly
+  pattern), returned as this process's row block (``EmbeddingShards``) or
+  streamed straight into one standard ``.npy`` via memmap writes — the
+  TPU-native analog of the reference's mmap persistence for >RAM
+  embeddings (/root/reference/legacy/src/persistence.rs:1) and its manual
+  dimension-sharding workflow (/root/reference/README.md:359-361).
+* **checkpoint/resume** — per-process state files keyed by the canonical
+  shard row cut (graph.stream.shard_row_bounds), two-phase (state files,
+  barrier, then meta) so a crash never corrupts the last good checkpoint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_META = "checkpoint.json"
+_FORMAT = "cleora_tpu.sharded_checkpoint.v1"
+
+
+def entity_hashes(graph) -> np.ndarray:
+    """The uint64 entity-hash table of a SparseMatrix / DiskGraph / piece
+    (memmap for disk graphs — slicing reads lazily)."""
+    if hasattr(graph, "data"):  # SparseMatrix
+        return graph.data.entity_hashes
+    return graph.entity_hashes
+
+
+def make_initial_state(
+    mesh,
+    axis,
+    sharded,
+    hashes: np.ndarray,
+    feature_dim: int,
+    seed: int,
+    ell_plan=None,
+    dtype=None,
+):
+    """Deterministic-init state as a device array in loop state space.
+
+    Bit-exact vs the host path ``pad_rows(init_embeddings(...))`` (+ ELL
+    permutation): each shard computes rows [k·rps, (k+1)·rps) on device
+    from its own hash-lane slice; rows ≥ n_rows are exactly zero and, in
+    ELL mode, the block is scattered to the shard's ELL positions (garbage
+    rows stay zero), matching ``EllShards.permute_state``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.init import col_offsets, device_init_rows
+
+    rps = sharded.rows_per_shard
+    n_rows = sharded.n_rows
+    n_padded = sharded.n_rows_padded
+    c_hi, c_lo = col_offsets(feature_dim, seed)
+    state_dtype = jnp.float32 if dtype is None else dtype
+
+    lane_sh = NamedSharding(mesh, P(axis))
+
+    def _lane(shift):
+        def cb(index):
+            (sl,) = index
+            start = sl.start or 0
+            stop = n_padded if sl.stop is None else sl.stop
+            out = np.zeros(stop - start, dtype=np.uint32)
+            real = min(stop, n_rows) - start
+            if real > 0:
+                h = np.asarray(hashes[start:start + real], dtype=np.uint64)
+                if shift:
+                    out[:real] = (h >> np.uint64(32)).astype(np.uint32)
+                else:
+                    out[:real] = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            return out
+
+        return jax.make_array_from_callback((n_padded,), lane_sh, cb)
+
+    h_hi = _lane(True)
+    h_lo = _lane(False)
+
+    rank = None
+    if ell_plan is not None:
+        rank = ell_plan.rank.astype(np.int32)
+
+    def init_fn(hh, hl, rk=None):
+        block = device_init_rows(hh, hl, jnp.asarray(c_hi), jnp.asarray(c_lo))
+        k = lax.axis_index(axis)
+        grow = k * rps + jnp.arange(rps)
+        block = jnp.where((grow < n_rows)[:, None], block, 0.0)
+        if rk is not None:
+            out = jnp.zeros((ell_plan.R, feature_dim), block.dtype)
+            out = out.at[rk.reshape(-1)].set(block)
+        else:
+            out = block
+        return out.astype(state_dtype)
+
+    in_specs = [P(axis), P(axis)]
+    args = [h_hi, h_lo]
+    if rank is not None:
+        in_specs.append(P(axis, None))
+        args.append(jax.device_put(rank, NamedSharding(mesh, P(axis, None)))
+                    if jax.process_count() == 1 else
+                    jax.make_array_from_process_local_data(
+                        NamedSharding(mesh, P(axis, None)), _local_rows(
+                            mesh, rank)))
+    mapped = jax.shard_map(
+        init_fn, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=P(axis, None),
+    )
+    return jax.jit(mapped)(*args)
+
+
+def _local_rows(mesh, a: np.ndarray) -> np.ndarray:
+    """This process's contiguous leading-dim slice of a (P, ...) array."""
+    import jax
+
+    me = jax.process_index()
+    ks = [k for k in range(mesh.devices.size)
+          if mesh.devices.flat[k].process_index == me]
+    return np.ascontiguousarray(a[ks[0]:ks[-1] + 1])
+
+
+def iter_local_blocks(
+    arr, sharded, ell_plan=None
+) -> Iterator[Tuple[int, int, int, np.ndarray]]:
+    """Per-addressable-shard (k, row_lo, row_hi, block_f32) in row order.
+
+    Each yield fetches ONE shard device→host (bounded transfers through
+    the remote-TPU tunnel), un-permutes ELL state per shard, and trims to
+    real rows; shards entirely past n_rows are skipped."""
+    rps = sharded.rows_per_shard
+    n = sharded.n_rows
+    span = ell_plan.R if ell_plan is not None else rps
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start)
+    seen = set()
+    for s in shards:
+        start = s.index[0].start or 0
+        k = start // span
+        if k in seen:  # replicated spec would repeat shards
+            continue
+        seen.add(k)
+        lo, hi = k * rps, min((k + 1) * rps, n)
+        if lo >= n:
+            continue
+        block = np.asarray(s.data).astype(np.float32, copy=False)
+        if ell_plan is not None:
+            block = block[ell_plan.rank[k]]
+        yield k, lo, hi, block[: hi - lo]
+
+
+@dataclass
+class EmbeddingShards:
+    """This process's contiguous row block of a sharded embedding.
+
+    ``rows`` covers global rows [lo, hi) of the (n_rows, feature_dim)
+    matrix; ``bounds`` is the canonical device-shard row cut
+    (graph.stream.shard_row_bounds) so blocks from all processes tile the
+    full matrix exactly."""
+
+    lo: int
+    hi: int
+    rows: np.ndarray
+    n_rows: int
+    feature_dim: int
+    bounds: tuple
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.feature_dim)
+
+
+def collect_shards(arr, sharded, ell_plan=None) -> EmbeddingShards:
+    """Assemble this process's row block from per-shard fetches."""
+    from ..graph.stream import shard_row_bounds
+
+    parts = []
+    lo = hi = None
+    for _, blo, bhi, block in iter_local_blocks(arr, sharded, ell_plan):
+        if lo is None:
+            lo = blo
+        hi = bhi
+        parts.append(block)
+    d = arr.shape[1]
+    if lo is None:  # every local shard is past n_rows (pathological pad)
+        lo = hi = sharded.n_rows
+        rows = np.empty((0, d), dtype=np.float32)
+    else:
+        rows = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    n_sh = sharded.local_rows.shape[0]
+    return EmbeddingShards(
+        lo=int(lo), hi=int(hi), rows=rows, n_rows=sharded.n_rows,
+        feature_dim=d,
+        bounds=tuple(shard_row_bounds(sharded.n_rows, n_sh)),
+    )
+
+
+def write_memmap(path: str, arr, sharded, ell_plan=None) -> np.memmap:
+    """Stream the sharded embedding into ONE standard ``.npy`` file.
+
+    Every process memmap-writes its own row blocks (shared filesystem in
+    multi-process runs — the usual pod checkpointing setup); peak host
+    memory is one shard block.  Returns a read-only memmap of the full
+    (n_rows, D) matrix."""
+    import jax
+
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
+
+    d = arr.shape[1]
+    if jax.process_index() == 0:
+        mm = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.float32,
+            shape=(sharded.n_rows, d),
+        )
+        del mm
+    if multi:
+        multihost_utils.sync_global_devices("cleora_tpu.memmap.create")
+    mm = np.lib.format.open_memmap(path, mode="r+")
+    for _, lo, hi, block in iter_local_blocks(arr, sharded, ell_plan):
+        mm[lo:hi] = block
+    mm.flush()
+    del mm
+    if multi:
+        multihost_utils.sync_global_devices("cleora_tpu.memmap.written")
+    return np.load(path, mmap_mode="r")
+
+
+def fingerprint(params: dict) -> str:
+    """Stable hash of the loop/layout parameters a checkpoint depends on."""
+    blob = json.dumps(params, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class ShardedCheckpoint:
+    """Two-phase per-process checkpoint of the sharded loop state.
+
+    Layout: ``state_i{iter}_p{proc}.npy`` (this process's contiguous
+    state-space rows, stored dtype preserved — bf16 saved as a uint16
+    view) + ``checkpoint.json`` written by process 0 only after ALL
+    processes have renamed their state files into place (barrier), so the
+    meta always points at a complete iteration; stale files are removed
+    only after the new meta lands.  Mirrors the single-chip
+    ``checkpoint.py`` contract, per shard (VERDICT r2 #3).
+    """
+
+    def __init__(self, directory: str, fp: str):
+        self.dir = directory
+        self.fp = fp
+        os.makedirs(directory, exist_ok=True)
+
+    def _meta_path(self):
+        return os.path.join(self.dir, _META)
+
+    def latest(self) -> Optional[dict]:
+        """The last complete checkpoint's meta, or None (missing or a
+        different run configuration)."""
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        if meta.get("format") != _FORMAT or meta.get("fingerprint") != self.fp:
+            return None
+        return meta
+
+    def _state_path(self, iteration: int, proc: int) -> str:
+        return os.path.join(self.dir, f"state_i{iteration}_p{proc}.npy")
+
+    def save(self, arr, iteration: int) -> None:
+        """Persist the device state array at ``iteration`` (all processes
+        call this collectively)."""
+        import jax
+
+        multi = jax.process_count() > 1
+        me = jax.process_index()
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start)
+        seen = set()
+        parts = []
+        for s in shards:
+            start = s.index[0].start or 0
+            if start in seen:
+                continue
+            seen.add(start)
+            parts.append(np.asarray(s.data))
+        local = parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
+        if local.dtype not in (np.float32, np.float64):
+            local = local.view(np.uint16)  # bf16 → storable view
+        path = self._state_path(iteration, me)
+        tmp = path + ".tmp.npy"
+        np.save(tmp, local)
+        os.replace(tmp, path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                f"cleora_tpu.ckpt.state.{iteration}"
+            )
+        if me == 0:
+            meta = {
+                "format": _FORMAT,
+                "fingerprint": self.fp,
+                "iteration": int(iteration),
+                "processes": int(jax.process_count()),
+                "dtype": str(arr.dtype),
+                "state_shape": [int(x) for x in arr.shape],
+            }
+            tmp = self._meta_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1)
+            os.replace(tmp, self._meta_path())
+        if multi:
+            multihost_utils.sync_global_devices(
+                f"cleora_tpu.ckpt.meta.{iteration}"
+            )
+        # the new meta is durable — drop this process's stale iterations
+        for name in os.listdir(self.dir):
+            if (name.startswith("state_i") and name.endswith(f"_p{me}.npy")
+                    and name != os.path.basename(path)):
+                try:
+                    os.remove(os.path.join(self.dir, name))
+                except OSError:
+                    pass
+
+    def load(self, mesh, axis, meta: dict):
+        """Rebuild the device state array from the last checkpoint."""
+        import jax
+        import ml_dtypes
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        me = jax.process_index()
+        if meta["processes"] != jax.process_count():
+            raise ValueError(
+                f"checkpoint was written by {meta['processes']} processes; "
+                f"this run has {jax.process_count()} — process topology "
+                "must match for resume"
+            )
+        local = np.load(self._state_path(meta["iteration"], me))
+        if meta["dtype"] == "bfloat16":
+            local = local.view(ml_dtypes.bfloat16)
+        sh = NamedSharding(mesh, P(axis, None))
+        if jax.process_count() == 1:
+            return jax.device_put(local, sh)
+        return jax.make_array_from_process_local_data(sh, local)

@@ -64,3 +64,41 @@ def test_two_process_sharded_embed(tmp_path):
     graph = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
     single = embed(graph, feature_dim=16, num_iterations=4, whiten=False)
     assert np.allclose(single, allgather, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_eight_process_memory_bounded_lifecycle(tmp_path):
+    """8 jax.distributed processes (1 device each): per-host sharded-build
+    pieces embed with device-side init, shard-granular output, a shared
+    single-npy memmap write, and a crash/resume checkpoint cycle — each
+    process asserting its host numpy peak stays far below one full (N, D)
+    matrix (VERDICT r2 #1)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    nprocs = 8
+    worker = os.path.join(
+        os.path.dirname(__file__), "..", "scripts",
+        "multiprocess_lifecycle_worker.py",
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(nprocs), str(i),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nprocs)
+    ]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out[-3000:]
+    for i in range(nprocs):
+        assert (tmp_path / f"ok_{i}").exists()
+    # the memmap written collectively is a complete, loadable npy
+    emb = np.load(str(tmp_path / "emb.npy"))
+    assert emb.shape[0] == 20_000 and np.isfinite(emb).all()

@@ -1,0 +1,258 @@
+"""Memory-bounded sharded-embed lifecycle (parallel/state.py):
+device-side deterministic init, shard-granular output, checkpoint/resume.
+
+Closes the round-2 scale defect (VERDICT r2 #1): no host materializes the
+full (N, D) matrix at init or output.  Reference anchor: the mmap >RAM
+design this replaces (/root/reference/legacy/src/persistence.rs:1,
+README.md:359-361).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import cleora_tpu as ct
+from cleora_tpu.parallel import embed_sharded
+from cleora_tpu.parallel import state as lifecycle
+from cleora_tpu.parallel.embed import build_sharded_embed
+from cleora_tpu.parallel.mesh import make_mesh
+from cleora_tpu.parallel.shard import pad_rows, shard_graph
+from cleora_tpu.graph.hashing import init_embeddings
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 300, size=3000)
+    dst = rng.integers(0, 300, size=3000)
+    return ct.SparseMatrix.from_edge_arrays(src, dst)
+
+
+# ------------------------------------------------------------ device init
+def test_device_init_bit_exact_row_space(graph):
+    """make_initial_state == pad_rows(init_embeddings(...)) bitwise."""
+    mesh = make_mesh(8)
+    sharded = shard_graph(graph, "left", 8)
+    for seed in (0, 13, -5):
+        dev = lifecycle.make_initial_state(
+            mesh, "shard", sharded, lifecycle.entity_hashes(graph),
+            24, seed,
+        )
+        host = pad_rows(
+            init_embeddings(
+                np.asarray(lifecycle.entity_hashes(graph)), 24, seed
+            ),
+            sharded.n_rows_padded,
+        )
+        assert np.array_equal(np.asarray(dev), host)
+
+
+def test_device_init_bit_exact_ell_and_bf16(graph):
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from cleora_tpu.parallel.ell import ell_shards
+
+    mesh = make_mesh(8)
+    sharded = shard_graph(graph, "left", 8)
+    ell = ell_shards(sharded, d=24, force=True)
+    dev = lifecycle.make_initial_state(
+        mesh, "shard", sharded, lifecycle.entity_hashes(graph),
+        24, 0, ell_plan=ell, dtype=jnp.bfloat16,
+    )
+    host = ell.permute_state(
+        pad_rows(
+            init_embeddings(np.asarray(lifecycle.entity_hashes(graph)), 24, 0),
+            sharded.n_rows_padded,
+        ).astype(ml_dtypes.bfloat16)
+    )
+    assert np.array_equal(
+        np.asarray(dev).view(np.uint16), host.view(np.uint16)
+    )
+
+
+def test_embed_sharded_device_init_matches_host_init(graph):
+    """embed_sharded's default (device) init is bitwise identical to
+    passing the host-computed deterministic init explicitly."""
+    x0 = graph.initialize_deterministically(16, 0)
+    for kw in (dict(), dict(dtype="bfloat16"), dict(halo="overlap")):
+        a = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                          n_devices=8, whiten=False, **kw)
+        b = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                          n_devices=8, whiten=False,
+                          initial_embeddings=x0, **kw)
+        assert np.array_equal(a, b), kw
+
+
+# ------------------------------------------------------------ output forms
+def test_out_shards_and_memmap(graph, tmp_path):
+    full = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                         n_devices=8)
+    sh = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                       n_devices=8, out="shards")
+    assert isinstance(sh, lifecycle.EmbeddingShards)
+    assert (sh.lo, sh.hi) == (0, graph.num_entities)  # single process
+    assert sh.shape == full.shape
+    assert len(sh.bounds) == 9 and sh.bounds[-1] == graph.num_entities
+    assert np.array_equal(sh.rows, full)
+
+    path = str(tmp_path / "emb.npy")
+    mm = embed_sharded(graph, feature_dim=16, num_iterations=3,
+                       n_devices=8, out=path)
+    assert isinstance(mm, np.memmap)
+    assert np.array_equal(np.asarray(mm), full)
+    # a standard npy: plain np.load sees the same matrix
+    assert np.array_equal(np.load(path), full)
+
+
+def test_out_validation(graph):
+    with pytest.raises(ValueError, match="full"):
+        embed_sharded(graph, feature_dim=8, num_iterations=1,
+                      n_devices=2, out="bogus")
+    with pytest.raises(ValueError, match="callback"):
+        embed_sharded(graph, feature_dim=8, num_iterations=1, n_devices=2,
+                      out="shards", callback=lambda i, x: None)
+    with pytest.raises(ValueError, match="callback"):
+        embed_sharded(graph, feature_dim=8, num_iterations=1, n_devices=2,
+                      checkpoint_dir="/tmp/x", callback=lambda i, x: None)
+
+
+def test_host_peak_memory_bounded(tmp_path):
+    """The memory-bounded promise, asserted: embedding to a .npy touches
+    host-side numpy peaks far below one full (N, D) matrix."""
+    import tracemalloc
+
+    rng = np.random.default_rng(0)
+    # dimension-dominant shape: host layout temporaries are O(nnz) and
+    # small, so any O(N·D) materialization stands out
+    n, d = 40_000, 128
+    src = rng.integers(0, n, size=40_000)
+    dst = rng.integers(0, n, size=40_000)
+    g = ct.SparseMatrix.from_edge_arrays(src, dst)
+    full_bytes = n * d * 4
+    path = str(tmp_path / "emb.npy")
+    # warm the jit caches so compile-time temporaries don't count
+    embed_sharded(g, feature_dim=d, num_iterations=2, n_devices=8,
+                  whiten=False, halo=False, ell=False, banded=False,
+                  out=path)
+    tracemalloc.start()
+    embed_sharded(g, feature_dim=d, num_iterations=2, n_devices=8,
+                  whiten=False, halo=False, ell=False, banded=False,
+                  out=str(tmp_path / "emb2.npy"))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 0.5 * full_bytes, (
+        f"host numpy peak {peak/1e6:.1f} MB vs full matrix "
+        f"{full_bytes/1e6:.1f} MB — the (N, D) matrix must never be "
+        "materialized on host"
+    )
+
+
+# ------------------------------------------------------- checkpoint/resume
+def test_checkpoint_resume_bitwise(graph, tmp_path):
+    plain = embed_sharded(graph, feature_dim=16, num_iterations=6,
+                          n_devices=8,
+                          checkpoint_dir=str(tmp_path / "ck_plain"),
+                          checkpoint_every=2)
+
+    d = str(tmp_path / "ck_crash")
+    orig = lifecycle.ShardedCheckpoint.save
+    calls = {"n": 0}
+
+    def crashing(self, arr, it):
+        orig(self, arr, it)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+
+    lifecycle.ShardedCheckpoint.save = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            embed_sharded(graph, feature_dim=16, num_iterations=6,
+                          n_devices=8, checkpoint_dir=d, checkpoint_every=2)
+    finally:
+        lifecycle.ShardedCheckpoint.save = orig
+
+    meta = json.load(open(os.path.join(d, "checkpoint.json")))
+    assert meta["iteration"] == 4  # crashed after the 2nd segment's save
+    resumed = embed_sharded(graph, feature_dim=16, num_iterations=6,
+                            n_devices=8, checkpoint_dir=d,
+                            checkpoint_every=2)
+    assert np.array_equal(resumed, plain)
+    # the stale iteration-2 state files were garbage-collected
+    stale = [f for f in os.listdir(d) if f.startswith("state_i2_")]
+    assert stale == []
+
+
+def test_checkpoint_matches_unsegmented(graph, tmp_path):
+    """Segmented (checkpointed) and monolithic runs agree numerically."""
+    a = embed_sharded(graph, feature_dim=16, num_iterations=6, n_devices=8,
+                      whiten=False)
+    b = embed_sharded(graph, feature_dim=16, num_iterations=6, n_devices=8,
+                      whiten=False, checkpoint_dir=str(tmp_path / "ck"),
+                      checkpoint_every=4)
+    assert np.allclose(a, b, atol=2e-5)
+
+
+def test_checkpoint_fingerprint_mismatch_restarts(graph, tmp_path):
+    """A checkpoint from different parameters is ignored, not loaded."""
+    d = str(tmp_path / "ck")
+    embed_sharded(graph, feature_dim=16, num_iterations=4, n_devices=8,
+                  checkpoint_dir=d, checkpoint_every=2)
+    # different feature_dim → fresh run, not a shape crash
+    res = embed_sharded(graph, feature_dim=8, num_iterations=4, n_devices=8,
+                        checkpoint_dir=d, checkpoint_every=2)
+    assert res.shape == (graph.num_entities, 8)
+
+
+def test_checkpoint_ell_and_bf16_spaces(graph, tmp_path):
+    """Checkpoint/resume round-trips state stored in ELL space and bf16."""
+    for kw, sub in ((dict(ell=True), "ell"), (dict(dtype="bfloat16"), "bf")):
+        plain = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                              n_devices=8, whiten=False, **kw)
+        d = str(tmp_path / f"ck_{sub}")
+        orig = lifecycle.ShardedCheckpoint.save
+        calls = {"n": 0}
+
+        def crashing(self, arr, it):
+            orig(self, arr, it)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+
+        lifecycle.ShardedCheckpoint.save = crashing
+        try:
+            with pytest.raises(RuntimeError):
+                embed_sharded(graph, feature_dim=16, num_iterations=4,
+                              n_devices=8, whiten=False, checkpoint_dir=d,
+                              checkpoint_every=2, **kw)
+        finally:
+            lifecycle.ShardedCheckpoint.save = orig
+        resumed = embed_sharded(graph, feature_dim=16, num_iterations=4,
+                                n_devices=8, whiten=False, checkpoint_dir=d,
+                                checkpoint_every=2, **kw)
+        assert np.array_equal(resumed, plain), sub
+
+
+def test_checkpoint_convergence_at_boundary(graph, tmp_path):
+    """A loose threshold stops the segmented loop early (boundary check)."""
+    saves = []
+    orig = lifecycle.ShardedCheckpoint.save
+
+    def spy(self, arr, it):
+        saves.append(it)
+        orig(self, arr, it)
+
+    lifecycle.ShardedCheckpoint.save = spy
+    try:
+        res = embed_sharded(graph, feature_dim=16, num_iterations=40,
+                            n_devices=8, whiten=False,
+                            convergence_threshold=0.5,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            checkpoint_every=2)
+    finally:
+        lifecycle.ShardedCheckpoint.save = orig
+    assert np.isfinite(res).all()
+    assert saves and saves[-1] < 40  # stopped before all 40 iterations
