@@ -123,6 +123,7 @@ def ell_shards(
     row_waste: float = 1.5,
     force: bool = False,
     split: bool = False,
+    global_deg=None,
 ) -> EllShards | None:
     """Build the uniform sharded ELL layout from a ShardedCoo.
 
@@ -135,6 +136,14 @@ def ell_shards(
     the device's own state and routes the remainder through a segment-sum
     over the received slab, letting the exchange overlap the bulk compute
     (see module docstring).
+
+    ``global_deg`` ((P, rps) int64) supplies the TRUE per-shard degree
+    histogram when ``sharded`` is one host's piece of a sharded build
+    (edge data for other hosts' shards is all-padding here, but the
+    layout's shapes must be identical on every process —
+    shard.allgather_degrees).  The packing loops still only fill the
+    shards whose edges this host holds; the rest stay zero slabs and are
+    never placed.
     """
     if split and halo is None:
         raise ValueError("split=True requires a halo plan")
@@ -144,7 +153,7 @@ def ell_shards(
     rps = sharded.rows_per_shard
     real = vals_all != 0.0
     nnz = int(real.sum())
-    if nnz == 0:
+    if nnz == 0 and global_deg is None:
         return None
 
     owner_all = None
@@ -155,9 +164,28 @@ def ell_shards(
     else:
         bucketed = real
 
-    deg = np.zeros((P, rps), dtype=np.int64)
-    for k in range(P):
-        deg[k] = np.bincount(lrows_all[k][bucketed[k]], minlength=rps)
+    if global_deg is not None:
+        deg = np.asarray(global_deg, dtype=np.int64)
+        if deg.shape != (P, rps):
+            raise ValueError(
+                f"global_deg shape {deg.shape} != {(P, rps)}"
+            )
+        if split:
+            # bucketed widths come from LOCAL-owner degrees; recompute the
+            # local-owner split of the global histogram is impossible from
+            # degrees alone, so split mode still needs global edge data
+            raise ValueError(
+                "split=True is unsupported with global_deg (piece mode)"
+            )
+        # budget decisions must use the global edge count, not this
+        # host's piece
+        nnz = int(deg.sum())
+        if nnz == 0:
+            return None
+    else:
+        deg = np.zeros((P, rps), dtype=np.int64)
+        for k in range(P):
+            deg[k] = np.bincount(lrows_all[k][bucketed[k]], minlength=rps)
 
     widths = _widths_for(deg.reshape(-1))
     band_lo = [0] + widths[:-1]

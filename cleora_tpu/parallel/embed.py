@@ -535,13 +535,13 @@ def embed_sharded(
                 "merged graph (graph.stream.merge_disk_graph_shards) or a "
                 "multi-process run where every host holds its own piece."
             )
-        if halo or banded or ell in (True, "split"):
+        if banded or halo == "overlap" or ell == "split":
             raise ValueError(
-                "halo/banded/ell layouts need global edge data; a sharded-"
-                "build piece supports only the default flat layout "
-                "(merge the pieces for the optimized layouts)."
+                "banded/overlap/ell-split layouts need global edge data; "
+                "a sharded-build piece supports the flat, halo and ELL "
+                "layouts (merge the pieces for the others)."
             )
-        halo, banded, ell = False, False, False
+        banded = False
         n = graph.num_entities
         from ..graph.stream import shard_row_bounds
 
@@ -583,7 +583,21 @@ def embed_sharded(
     plan = None
     candidate = None
     overlap_plan = None
-    if halo == "overlap" and n_shards > 1:
+    ell_extra = {}
+    if piece:
+        # piece-mode planners: the exchange plan and the ELL degree
+        # histogram are assembled from small allgathers of per-shard
+        # knowledge (need-lists, degree rows) — no host ever holds the
+        # global edge list (parallel/shard.py)
+        from .shard import allgather_degrees, plan_halo_distributed
+
+        if ell is not False:
+            ell_extra = {"global_deg": allgather_degrees(sharded, mesh)}
+        if halo is not False and n_shards > 1:
+            candidate = plan_halo_distributed(sharded, mesh)
+            if halo or candidate.table_rows < sharded.n_rows_padded:
+                plan = candidate
+    elif halo == "overlap" and n_shards > 1:
         from .shard import plan_overlap
 
         overlap_plan = plan_overlap(sharded)
@@ -624,6 +638,7 @@ def embed_sharded(
             ell_plan = ell_shards(
                 sharded, d=feature_dim, halo=plan,
                 force=ell in (True, "split"), split=ell == "split",
+                **ell_extra,
             )
     banded_plan = None
     if ell_plan is None and banded is not False:

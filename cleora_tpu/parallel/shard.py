@@ -283,6 +283,107 @@ def plan_halo(sharded: ShardedCoo) -> HaloPlan:
     return HaloPlan(send_idx=send_idx, remapped_cols=remapped, M=M)
 
 
+def plan_halo_distributed(sharded: ShardedCoo, mesh) -> HaloPlan:
+    """Halo planning when each PROCESS holds edge data only for its own
+    shards (a sharded-build piece, graph/stream.py) — the remaining shards
+    of the ShardedCoo are all-padding on this host.
+
+    The exchange plan needs two kinds of global knowledge:
+
+    * ``M`` — the max rows any shard needs from any owner: an allgathered
+      scalar max;
+    * ``send_idx[k, j]`` — what shard j needs FROM k: known only to j's
+      process, so each process allgathers the need-lists of its own shards
+      ((P_local, P, M) int32) and every process assembles the full
+      (P, P, M) table.  Cost: P²·M ints once per embed — e.g. 16 shards ×
+      M=1M boundary rows = 16 GB?  No: M counts DISTINCT boundary rows per
+      (owner, reader) pair, bounded by rows_per_shard; for power-law
+      graphs it is typically ≪ rows_per_shard, and the alternative is
+      shipping the full (N, D) gather table every iteration.
+
+    ``remapped_cols`` is local per shard (each process computes its own
+    shards' slots; unowned shards keep zeros — their edges are never
+    placed).  Output is a normal :class:`HaloPlan`, byte-identical to
+    ``plan_halo`` of the merged graph (asserted in tests)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    P, E = sharded.cols.shape
+    rps = sharded.rows_per_shard
+    me = jax.process_index()
+    owned = [k for k in range(P)
+             if mesh.devices.flat[k].process_index == me]
+    n_owned = len(owned)
+    counts = multihost_utils.process_allgather(
+        np.asarray([n_owned], dtype=np.int64))
+    if int(counts.min()) != int(counts.max()):
+        raise ValueError(
+            "plan_halo_distributed needs an equal shard count per process"
+        )
+
+    uniqs, group_starts = {}, {}
+    local_m = 1
+    for j in owned:
+        uniq = np.unique(sharded.cols[j])
+        owner = uniq // rps
+        gs = np.searchsorted(owner, np.arange(P + 1))
+        uniqs[j] = uniq
+        group_starts[j] = gs
+        local_m = max(local_m, int(np.max(np.diff(gs))))
+    M = int(np.max(multihost_utils.process_allgather(
+        np.asarray([local_m], dtype=np.int64))))
+
+    # need[j, k]: LOCAL rows of owner k that shard j reads (0-padded)
+    need_local = np.zeros((n_owned, P, M), dtype=np.int32)
+    for i, j in enumerate(owned):
+        uniq, gs = uniqs[j], group_starts[j]
+        for k in range(P):
+            rows_needed = uniq[gs[k]:gs[k + 1]] - k * rps
+            need_local[i, k, : len(rows_needed)] = rows_needed
+    need = multihost_utils.process_allgather(need_local)  # (nproc, no, P, M)
+    need = np.asarray(need).reshape(P, P, M)
+
+    # send_idx[k, j] = what j needs from k
+    send_idx = np.ascontiguousarray(np.swapaxes(need, 0, 1))
+
+    remapped = np.zeros_like(sharded.cols)
+    for j in owned:
+        uniq, gs = uniqs[j], group_starts[j]
+        rank = np.searchsorted(uniq, sharded.cols[j])
+        owner = sharded.cols[j] // rps
+        remapped[j] = (owner * M + (rank - gs[owner])).astype(np.int32)
+
+    return HaloPlan(send_idx=send_idx, remapped_cols=remapped, M=M)
+
+
+def local_shard_degrees(sharded: ShardedCoo) -> np.ndarray:
+    """(P, rps) per-shard local-row degree counts from real edges (zero
+    rows for shards whose data this host does not hold)."""
+    P, _ = sharded.local_rows.shape
+    rps = sharded.rows_per_shard
+    deg = np.zeros((P, rps), dtype=np.int64)
+    real = sharded.vals != 0.0
+    for k in range(P):
+        deg[k] = np.bincount(sharded.local_rows[k][real[k]], minlength=rps)
+    return deg
+
+
+def allgather_degrees(sharded: ShardedCoo, mesh) -> np.ndarray:
+    """Global (P, rps) degree matrix for a piece-mode ShardedCoo: each
+    process contributes its own shards' rows (the ELL layout's bucket
+    widths and row counts must be identical on every process)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    deg = local_shard_degrees(sharded)
+    me = jax.process_index()
+    owned = [k for k in range(sharded.local_rows.shape[0])
+             if mesh.devices.flat[k].process_index == me]
+    local = np.ascontiguousarray(deg[owned])
+    out = multihost_utils.process_allgather(local)
+    return np.asarray(out).reshape(deg.shape)
+
+
 def pad_rows(x: np.ndarray, n_rows_padded: int) -> np.ndarray:
     """Zero-pad embedding rows up to the sharded row count."""
     n, d = x.shape

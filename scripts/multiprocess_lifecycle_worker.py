@@ -67,11 +67,14 @@ assert piece.num_entities == n_entities
 # ---- per-process peak host memory around the embed, out="shards"
 # (first call warms the jit cache so compile-time temporaries — host-side
 # MLIR/lowering buffers — don't count against the lifecycle)
+# flat layout for the measurement: the halo/ELL planners allocate
+# edge-proportional (O(nnz + P^2 M)) temporaries that are part of graph
+# layout, not the state lifecycle under test
 embed_sharded(piece, feature_dim=D, num_iterations=3, whiten=False,
-              out="shards")
+              halo=False, ell=False, out="shards")
 tracemalloc.start()
 sh = embed_sharded(piece, feature_dim=D, num_iterations=3, whiten=False,
-                   out="shards")
+                   halo=False, ell=False, out="shards")
 _, peak = tracemalloc.get_traced_memory()
 tracemalloc.stop()
 assert peak < 0.35 * full_bytes, (
@@ -81,10 +84,12 @@ assert peak < 0.35 * full_bytes, (
 assert sh.lo == lo and sh.hi == min(hi, n_entities)
 assert sh.rows.shape == (sh.hi - sh.lo, D)
 
-# ---- shared-filesystem single-npy memmap output
+# ---- shared-filesystem single-npy memmap output (same flat layout as
+# ``sh`` so the comparison is bitwise; the ELL/halo layouts reorder the
+# reduction and are checked by allclose below)
 mm_path = os.path.join(work_dir, "emb.npy")
 mm = embed_sharded(piece, feature_dim=D, num_iterations=3, whiten=False,
-                   out=mm_path)
+                   halo=False, ell=False, out=mm_path)
 assert mm.shape == (n_entities, D)
 assert np.array_equal(np.asarray(mm[sh.lo:sh.hi]), sh.rows)
 
@@ -120,8 +125,17 @@ resumed = embed_sharded(piece, feature_dim=D, num_iterations=4,
 assert np.array_equal(resumed.rows, plain.rows)
 
 # ---- cross-process consistency: full gather equals the shard blocks
-full = embed_sharded(piece, feature_dim=D, num_iterations=3, whiten=False)
+full = embed_sharded(piece, feature_dim=D, num_iterations=3, whiten=False,
+                     halo=False, ell=False)
 assert np.array_equal(full[sh.lo:sh.hi], sh.rows)
+
+# ---- piece-mode optimized exchanges: distributed halo planning and the
+# sharded ELL layout from allgathered degree histograms — no process ever
+# sees the global edge list (parallel/shard.py:plan_halo_distributed)
+for kw in (dict(halo=True), dict(ell=True), dict(halo=True, ell=True)):
+    opt = embed_sharded(piece, feature_dim=D, num_iterations=3,
+                        whiten=False, out="shards", **kw)
+    assert np.allclose(opt.rows, sh.rows, atol=2e-5), kw
 
 with open(os.path.join(work_dir, f"ok_{proc_id}"), "w") as f:
     f.write(f"{peak}")

@@ -389,3 +389,62 @@ def test_build_sharded_embed_place_validates_dim(graph):
     x0 = graph.initialize_deterministically(8, 0)  # wrong width
     with pytest.raises(ValueError, match="feature_dim=16"):
         place(pad_rows(x0, sharded.n_rows_padded))
+
+
+def test_plan_halo_distributed_single_process_parity(graph):
+    """With one process owning every shard the distributed planner's
+    allgathers are identities, so it must reproduce plan_halo byte for
+    byte (the multi-process path is exercised in test_multiprocess.py)."""
+    from cleora_tpu.parallel.shard import plan_halo, plan_halo_distributed
+
+    sharded = shard_graph(graph, "left", 8)
+    mesh = make_mesh(8)
+    a = plan_halo(sharded)
+    b = plan_halo_distributed(sharded, mesh)
+    assert a.M == b.M
+    assert np.array_equal(a.send_idx, b.send_idx)
+    assert np.array_equal(a.remapped_cols, b.remapped_cols)
+
+
+def test_allgather_degrees_matches_local(graph):
+    from cleora_tpu.parallel.shard import (
+        allgather_degrees,
+        local_shard_degrees,
+    )
+
+    sharded = shard_graph(graph, "left", 8)
+    mesh = make_mesh(8)
+    got = allgather_degrees(sharded, mesh)
+    want = local_shard_degrees(sharded)
+    assert np.array_equal(got, want)
+    # real (non-padding) edge count is preserved
+    assert int(got.sum()) == int((sharded.vals != 0.0).sum())
+
+
+def test_ell_shards_global_deg_matches_local(graph):
+    """Supplying the true degree histogram explicitly must reproduce the
+    locally-computed layout exactly (piece mode builds deg by allgather)."""
+    from cleora_tpu.parallel.ell import ell_shards
+    from cleora_tpu.parallel.shard import local_shard_degrees
+
+    sharded = shard_graph(graph, "left", 8)
+    a = ell_shards(sharded, d=16, force=True)
+    b = ell_shards(sharded, d=16, force=True,
+                   global_deg=local_shard_degrees(sharded))
+    assert a is not None and b is not None
+    assert a.R == b.R and a.nnz == b.nnz
+    assert np.array_equal(a.rank, b.rank)
+    assert np.array_equal(a.valid, b.valid)
+    for (ca, va), (cb, vb) in zip(a.buckets, b.buckets):
+        assert np.array_equal(ca, cb) and np.array_equal(va, vb)
+
+
+def test_ell_shards_global_deg_rejects_split(graph):
+    from cleora_tpu.parallel.ell import ell_shards
+    from cleora_tpu.parallel.shard import local_shard_degrees, plan_halo
+
+    sharded = shard_graph(graph, "left", 8)
+    plan = plan_halo(sharded)
+    with pytest.raises(ValueError, match="split"):
+        ell_shards(sharded, d=16, halo=plan, split=True, force=True,
+                   global_deg=local_shard_degrees(sharded))
