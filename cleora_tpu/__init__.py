@@ -11,6 +11,7 @@ Top-level API parity: /root/reference/pycleora/__init__.py.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
@@ -83,6 +84,7 @@ def embed(
     convergence_threshold: float = 0.0,
     whiten: bool = True,
     dtype: str = "float32",
+    canonical_shapes: Optional[bool] = None,
 ) -> np.ndarray:
     """Cleora embedding: num_iterations × [propagate → normalize → whiten].
 
@@ -96,6 +98,14 @@ def embed(
     bf16 — half the HBM, double the per-chip graph capacity — while all
     accumulation, normalization, and whitening compute in float32.  The
     returned array is always float32.
+
+    ``canonical_shapes=True`` (default: the ``CLEORA_TPU_CANON=1`` env
+    var) quantizes the sliced-ELL layout to graph-independent shapes so
+    graphs of similar scale reuse one compiled XLA program (the cold
+    remote compile costs minutes per shape in this environment); padding
+    rows stay exactly zero and are excluded from whitening/RMSE
+    statistics (ops/spmm_ell.py:_plan_ell_canonical).  Output is
+    numerically equivalent to the default layout at float tolerance.
     """
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(
@@ -163,33 +173,52 @@ def embed(
 
     check_device_fit(graph.num_entities, int(feature_dim),
                      int(graph.data.indices.shape[0]), dtype)
-    rows, cols, vals = graph._device_coo(propagation, banded_dim=int(feature_dim))
+    if canonical_shapes is None:
+        canonical_shapes = os.environ.get("CLEORA_TPU_CANON", "0") == "1"
+    rows, cols, vals = graph._device_coo(
+        propagation, banded_dim=int(feature_dim),
+        canonical=bool(canonical_shapes),
+    )
+    n = graph.num_entities
+    from .ops.spmm_ell import EllPlan
+
+    state_rows = rows.state_rows if isinstance(rows, EllPlan) else n
+    if state_rows != n:
+        # canonical-shape plan: the loop state is padded to the plan's
+        # quantized row grid; pad rows are zero and sliced off on return
+        x0 = np.concatenate(
+            [np.asarray(x0, dtype=np.float32),
+             np.zeros((state_rows - n, int(feature_dim)), dtype=np.float32)]
+        )
     x0 = jnp.asarray(x0)
     if dtype == "bfloat16":
         x0 = x0.astype(jnp.bfloat16)
-    n = graph.num_entities
 
     if callback is None and convergence_threshold <= 0:
         out = embed_loop(
             rows, cols, vals, x0,
-            n_rows=n,
+            n_rows=state_rows,
             num_iterations=int(num_iterations),
             residual_weight=float(residual_weight),
             normalization=normalization,
             do_whiten=bool(whiten),
         )
+        if state_rows != n:
+            out = out[:n]
         return to_host(out.astype(jnp.float32))
 
     if callback is None:
         out, _ = embed_loop_convergence(
             rows, cols, vals, x0,
-            n_rows=n,
+            n_rows=state_rows,
             max_iterations=int(num_iterations),
             residual_weight=float(residual_weight),
             convergence_threshold=float(convergence_threshold),
             normalization=normalization,
             do_whiten=bool(whiten),
         )
+        if state_rows != n:
+            out = out[:n]
         return to_host(out.astype(jnp.float32))
 
     # callback path: one jitted step per iteration, convergence on host.
@@ -201,21 +230,26 @@ def embed(
         prev = x
         x = embed_step(
             rows, cols, vals, x,
-            n_rows=n,
+            n_rows=state_rows,
             residual_weight=float(residual_weight),
             normalization=normalization,
             do_whiten=bool(whiten),
             relabeled=True,
         )
-        callback(i, np.asarray(from_layout_order(rows, x).astype(jnp.float32)))
+        callback(
+            i,
+            np.asarray(from_layout_order(rows, x).astype(jnp.float32))[:n],
+        )
         if convergence_threshold > 0 and i > 0:
+            # canonical padding rows are exactly zero in both x and prev, so
+            # only the denominator needs the true row count
             rmse = _compute_rmse(
                 np.asarray(x.astype(jnp.float32)),
                 np.asarray(prev.astype(jnp.float32)),
-            )
+            ) * np.sqrt(state_rows / n)
             if rmse < convergence_threshold:
                 break
-    return to_host(from_layout_order(rows, x).astype(jnp.float32))
+    return to_host(from_layout_order(rows, x).astype(jnp.float32)[:n])
 
 
 def embed_dim_sharded(

@@ -66,7 +66,12 @@ def _step(rows, cols, vals, x, n_rows, residual_weight, normalization, do_whiten
         y = (1.0 - residual_weight) * y + residual_weight * x.astype(y.dtype)
     y = normalize(y, normalization)
     if do_whiten:
-        y = whiten(y)
+        if isinstance(rows, EllPlan) and rows.valid is not None:
+            # canonical-shape plan: padded state rows are excluded from the
+            # whitening statistics and forced back to zero (spmm_ell.py)
+            y = whiten(y, mask=rows.valid, count=rows.count)
+        else:
+            y = whiten(y)
     return y.astype(x.dtype)
 
 
@@ -104,6 +109,10 @@ def embed_loop_convergence(rows, cols, vals, x0, *, n_rows, max_iterations,
     only when iter > 0, and on early stop actual_iterations = iter + 1.
     """
     nd = x0.shape[0] * x0.shape[1]
+    if isinstance(rows, EllPlan) and rows.count is not None:
+        # canonical-shape plan: padded rows stay exactly zero (zero diff),
+        # but the RMSE denominator must count only the real rows
+        nd = rows.count * x0.shape[1]
 
     def cond(state):
         i, _, done = state

@@ -41,6 +41,29 @@ _K_MAX = 64
 # at negligible launch cost.
 _MAX_BUCKETS = 16
 
+# Canonical bucket-width ladder for compile-cache-portable plans
+# (plan_ell(canonical=True)): every graph uses these 12 widths, so two
+# graphs of similar scale lower to the SAME XLA program.  Padding is
+# nearly free on this hardware — the gather issue limit tracks edges, not
+# padded slots (RESULTS.md) — so the ladder trades a few % of slots for
+# program reuse (cold remote compiles cost 12-32 min in this environment).
+_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def _grid_up(n: int, lo: int = 8) -> int:
+    """Round ``n`` up to the canonical row-count grid: multiples of
+    2^(ceil(log2 n) - 3) (eighth steps of the NEXT power of two — worst
+    case <25% overshoot just above a power of two, typically ~6%),
+    minimum ``lo``.  Similar-scale graphs land on the same grid value,
+    making every slab shape — and hence the lowered program — identical;
+    the deliberately coarse grid favors program reuse over padding
+    (padded slots are nearly free: the gather issue limit tracks edges)."""
+    n = int(n)
+    if n <= lo:
+        return lo
+    q = 1 << max((n - 1).bit_length() - 3, 3)
+    return -(-n // q) * q
+
 
 @jax.tree_util.register_pytree_node_class
 class EllPlan:
@@ -58,10 +81,21 @@ class EllPlan:
         (x_relabeled = x[order]).
     rank : (n_rows,) int32 — new position of each old row
         (out_old = out_new[rank]).
+
+    Canonical plans (``plan_ell(canonical=True)``) carry two extra leaves:
+    ``valid`` ((R, 1) f32, 1.0 at positions holding a real row) and
+    ``count`` (0-d f32, the true row count) — both traced operands, so the
+    whitening statistics and RMSE denominators stay exact without baking
+    graph-specific integers into the program.  For canonical plans
+    ``n_rows`` is the PADDED state row count R (``order``/``rank`` have
+    length R; positions not covered by a real row read a zeroed pad row
+    and stay exactly zero through the loop) and ``nnz`` is stored as 0 in
+    the static aux (the true value lives in ``nnz_real``) so the jit cache
+    key carries no graph-exact scalars.
     """
 
     def __init__(self, buckets, hub, order, rank, n_zero: int, n_rows: int,
-                 nnz: int, n_hub: int = 0):
+                 nnz: int, n_hub: int = 0, valid=None, count=None):
         self.buckets = tuple(buckets)
         self.hub = hub  # (cols, vals, seg_ids) or None
         self.n_hub = int(n_hub)
@@ -70,17 +104,27 @@ class EllPlan:
         self.n_zero = int(n_zero)
         self.n_rows = int(n_rows)
         self.nnz = int(nnz)
+        self.nnz_real = int(nnz)
+        self.valid = valid
+        self.count = count
 
     def tree_flatten(self):
         return (
-            (self.buckets, self.hub, self.order, self.rank),
+            (self.buckets, self.hub, self.order, self.rank, self.valid,
+             self.count),
             (self.n_zero, self.n_rows, self.nnz, self.n_hub),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        buckets, hub, order, rank = children
-        return cls(buckets, hub, order, rank, *aux)
+        buckets, hub, order, rank, valid, count = children
+        return cls(buckets, hub, order, rank, *aux, valid=valid, count=count)
+
+    @property
+    def state_rows(self) -> int:
+        """Rows of the loop state (== n_rows except for canonical plans,
+        where the state is padded to the canonical grid)."""
+        return int(self.order.shape[0])
 
     def device(self):
         return jax.tree_util.tree_map(jnp.asarray, self)
@@ -148,8 +192,23 @@ def ragged_slot_indices(counts: np.ndarray):
     return i_idx, j_idx
 
 
+def _fill_slab(indptr, ec, ev, first_row, n_b, k):
+    """Pack positions [first_row, first_row+n_b) into an (n_b, k) slab from
+    the position-sorted edge arrays (ec, ev) indexed by ``indptr``."""
+    c = np.zeros((n_b, k), dtype=np.int32)
+    v = np.zeros((n_b, k), dtype=np.float32)
+    starts = indptr[first_row:first_row + n_b]
+    counts = (indptr[first_row + 1:first_row + n_b + 1] - starts)
+    i_idx, j_idx = ragged_slot_indices(counts)
+    src = np.repeat(starts, counts) + j_idx
+    c[i_idx, j_idx] = ec[src]
+    v[i_idx, j_idx] = ev[src]
+    return c, v
+
+
 def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
-             n_rows: int, d: int = 256, max_waste: float = 2.0):
+             n_rows: int, d: int = 256, max_waste: float = 2.0,
+             canonical: bool = False):
     """Build the sliced-ELL layout.  Returns EllPlan, or None when padding
     would exceed ``max_waste`` × nnz (caller falls back to a COO layout).
 
@@ -159,7 +218,14 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     bytes (RESULTS.md), so the waste thresholds are dim-independent.  It
     stays in the signature for future dim-aware budgets (e.g. VMEM-sized
     bucket splitting).
+
+    ``canonical=True`` quantizes every shape to a graph-independent grid
+    (the ``_LADDER`` widths, ``_grid_up`` row counts) so graphs of similar
+    scale lower to the SAME XLA program and hit the persistent compile
+    cache warm — see :func:`_plan_ell_canonical`.
     """
+    if canonical:
+        return _plan_ell_canonical(rows, cols, vals, n_rows, max_waste)
     nnz = int(rows.shape[0])
     if nnz == 0 or n_rows == 0:
         return None
@@ -201,18 +267,6 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     indptr = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(np.bincount(er, minlength=n_rows), out=indptr[1:])
 
-    def _fill(first_row, n_b, k):
-        """Pack rows [first_row, first_row+n_b) into an (n_b, k) slab."""
-        c = np.zeros((n_b, k), dtype=np.int32)
-        v = np.zeros((n_b, k), dtype=np.float32)
-        starts = indptr[first_row:first_row + n_b]
-        counts = (indptr[first_row + 1:first_row + n_b + 1] - starts)
-        i_idx, j_idx = ragged_slot_indices(counts)
-        src = np.repeat(starts, counts) + j_idx
-        c[i_idx, j_idx] = ec[src]
-        v[i_idx, j_idx] = ev[src]
-        return c, v
-
     buckets = []
     row_cursor = n_zero
     for w in widths:
@@ -220,7 +274,7 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         hi = min(hi, n_rows - n_hub_rows)
         n_b = hi - row_cursor
         if n_b > 0:
-            buckets.append(_fill(row_cursor, n_b, w))
+            buckets.append(_fill_slab(indptr, ec, ev, row_cursor, n_b, w))
             row_cursor = hi
 
     hub = None
@@ -244,6 +298,115 @@ def plan_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
     return EllPlan(buckets, hub, order, rank, n_zero, n_rows, nnz,
                    n_hub=n_hub_rows)
+
+
+def _plan_ell_canonical(rows, cols, vals, n_rows: int, max_waste: float):
+    """Compile-cache-portable sliced-ELL plan (VERDICT r2 #4).
+
+    Every shape in the emitted pytree is quantized to a graph-independent
+    grid: all 12 ``_LADDER`` width buckets are always present, each slab's
+    row count (and the zero block, hub block, and virtual-row slab) is
+    rounded up with ``_grid_up``, and the state row count R is their sum.
+    Positions not covered by a real row are "garbage" rows: their slots
+    hold (col=0, val=0) edges, nothing ever gathers them, and the loop
+    keeps them exactly zero (the whitening statistics and the RMSE
+    denominator use the traced ``valid``/``count`` leaves instead of
+    shape-derived constants).  Two graphs whose quantized block sizes
+    coincide — typical for graphs within a few % of each other in scale —
+    lower to the SAME XLA program, so the second one compiles for free
+    (12-32 min saved per shape through this environment's remote-compile
+    tunnel; see tests/test_canonical_ell.py for the cache-hit assertion).
+
+    Returns None when even the quantized padding exceeds
+    ``max(max_waste · nnz, 4096)`` slots — tiny graphs below the fixed
+    floor always build (their minimum-size slabs cost microseconds).
+    """
+    nnz = int(rows.shape[0])
+    if nnz == 0 or n_rows == 0:
+        return None
+    rows = np.asarray(rows, dtype=np.int64)
+    degrees = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    order = np.argsort(degrees, kind="stable").astype(np.int32)
+    deg_sorted = degrees[order]
+    n_zero_real = int(np.searchsorted(deg_sorted, 1))
+    n_hub_rows = int(n_rows - np.searchsorted(deg_sorted, _K_MAX + 1))
+    n_nonhub = n_rows - n_hub_rows
+
+    widths = list(_LADDER)
+    # +8 guarantees garbage zero rows exist (R > n): they are the read
+    # target of padded order entries and the park position of padded rank
+    # entries
+    z_pad = _grid_up(n_zero_real + 8)
+    cuts = [n_zero_real]
+    for w in widths:
+        cuts.append(min(int(np.searchsorted(deg_sorted, w + 1)), n_nonhub))
+    nb_real = [cuts[b + 1] - cuts[b] for b in range(len(widths))]
+    nb_pad = [_grid_up(c) for c in nb_real]
+    n_hub_pad = _grid_up(n_hub_rows)
+    hub_deg = deg_sorted[n_nonhub:]
+    vcounts = np.ceil(hub_deg / _K_MAX).astype(np.int64)
+    n_virt_real = int(vcounts.sum())
+    n_virt_pad = _grid_up(n_virt_real)
+
+    slots = sum(nb * w for nb, w in zip(nb_pad, widths)) + n_virt_pad * _K_MAX
+    if slots > max(max_waste * nnz, 4096):
+        return None
+
+    bucket_base = []
+    base = z_pad
+    for c in nb_pad:
+        bucket_base.append(base)
+        base += c
+    hub_base = base
+    R = hub_base + n_hub_pad
+
+    pos_sorted = np.empty(n_rows, dtype=np.int64)
+    pos_sorted[:n_zero_real] = np.arange(n_zero_real)
+    for b in range(len(widths)):
+        lo_i, hi_i = cuts[b], cuts[b + 1]
+        pos_sorted[lo_i:hi_i] = bucket_base[b] + np.arange(hi_i - lo_i)
+    pos_sorted[n_nonhub:] = hub_base + np.arange(n_hub_rows)
+
+    order_p = np.full(R, n_rows, dtype=np.int32)  # garbage → zeroed pad row
+    order_p[pos_sorted] = order
+    rank_p = np.full(R, z_pad - 1, dtype=np.int32)  # pad → a garbage zero row
+    rank_p[order.astype(np.int64)] = pos_sorted
+    valid = np.zeros((R, 1), dtype=np.float32)
+    valid[pos_sorted, 0] = 1.0
+    count = np.asarray(n_rows, dtype=np.float32)
+
+    new_rows = rank_p[rows]
+    eorder = np.argsort(new_rows, kind="stable")
+    er = new_rows[eorder]
+    ec = rank_p[np.asarray(cols, dtype=np.int64)].astype(np.int32)[eorder]
+    ev = np.asarray(vals, dtype=np.float32)[eorder]
+    indptr = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(np.bincount(er, minlength=R), out=indptr[1:])
+
+    buckets = [
+        _fill_slab(indptr, ec, ev, bucket_base[b], nb_pad[b], widths[b])
+        for b in range(len(widths))
+    ]
+
+    hc = np.zeros((n_virt_pad, _K_MAX), dtype=np.int32)
+    hv = np.zeros((n_virt_pad, _K_MAX), dtype=np.float32)
+    seg = np.full(n_virt_pad, max(n_hub_pad - 1, 0), dtype=np.int32)
+    if n_hub_rows:
+        starts = indptr[hub_base:hub_base + n_hub_rows]
+        counts = indptr[hub_base + 1:hub_base + n_hub_rows + 1] - starts
+        h_idx, j_idx = ragged_slot_indices(counts)
+        src = np.repeat(starts, counts) + j_idx
+        vstart = np.cumsum(vcounts) - vcounts
+        hc[vstart[h_idx] + j_idx // _K_MAX, j_idx % _K_MAX] = ec[src]
+        hv[vstart[h_idx] + j_idx // _K_MAX, j_idx % _K_MAX] = ev[src]
+        seg[:n_virt_real] = np.repeat(
+            np.arange(n_hub_rows, dtype=np.int32), vcounts
+        )
+
+    plan = EllPlan(buckets, (hc, hv, seg), order_p, rank_p, z_pad, R,
+                   0, n_hub=n_hub_pad, valid=valid, count=count)
+    plan.nnz_real = nnz
+    return plan
 
 
 # Bucket propagate formulation.  "unroll" = k separate column gathers summed

@@ -17,15 +17,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def whiten(x, n_components=None, eps: float = 1e-10):
+def whiten(x, n_components=None, eps: float = 1e-10, mask=None, count=None):
+    """``mask``/``count`` (canonical-shape plans, ops/spmm_ell.py): rows
+    where ``mask`` ((n, 1) f32) is 0 are padding — they are excluded from
+    the mean/covariance statistics (``count`` is the traced true row
+    count) and forced back to exactly zero in the output, so padded state
+    rows never contaminate the whitening."""
     n = x.shape[0]
-    if n <= 1:
+    if mask is None and n <= 1:
         return x
     compute_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
     xf = x.astype(compute_dtype)
-    mean = jnp.mean(xf, axis=0)
-    xc = xf - mean
-    cov = jnp.dot(xc.T, xc, preferred_element_type=compute_dtype) / (n - 1)
+    if mask is not None:
+        m = mask.astype(compute_dtype)
+        cnt = jnp.asarray(count, compute_dtype)
+        mean = jnp.sum(xf * m, axis=0) / cnt
+        xc = (xf - mean) * m
+        denom = jnp.maximum(cnt - 1.0, 1.0)
+    else:
+        mean = jnp.mean(xf, axis=0)
+        xc = xf - mean
+        denom = n - 1
+    cov = jnp.dot(xc.T, xc, preferred_element_type=compute_dtype) / denom
     eigenvalues, eigenvectors = jnp.linalg.eigh(cov)
     # eigh returns ascending; reference sorts descending
     eigenvalues = eigenvalues[::-1]
@@ -35,4 +48,9 @@ def whiten(x, n_components=None, eps: float = 1e-10):
         eigenvectors = eigenvectors[:, :n_components]
     scale = 1.0 / jnp.sqrt(jnp.maximum(eigenvalues, eps))
     transform = eigenvectors * scale
-    return jnp.dot(xc, transform, preferred_element_type=compute_dtype).astype(x.dtype)
+    out = jnp.dot(xc, transform, preferred_element_type=compute_dtype)
+    if mask is not None:
+        # parity with the unmasked n <= 1 early-return: a single real row
+        # passes through unwhitened (count is traced, so select not branch)
+        out = jnp.where(cnt > 1.5, out, xf * m)
+    return out.astype(x.dtype)

@@ -305,7 +305,8 @@ class SparseMatrix:
         return rows, cols, vals, n, n
 
     # ------------------------------------------------------------ device COO
-    def _device_coo(self, markov_type: str, banded_dim: int = 0):
+    def _device_coo(self, markov_type: str, banded_dim: int = 0,
+                    canonical: bool = False):
         """Row-sorted padded COO on device, cached per markov type.
 
         With ``banded_dim`` > 0 (the embedding width about to be propagated),
@@ -315,9 +316,14 @@ class SparseMatrix:
         bench shape).  Falls back to the row-banded / equal-edge-cut COO
         layouts when ELL padding would exceed its waste bound, and to the
         flat 1-D layout below the chunk threshold.
+
+        ``canonical=True`` requests the compile-cache-portable ELL plan
+        (graph-independent slab shapes — ops/spmm_ell.py:_plan_ell_canonical)
+        and drops the small-graph chunk-threshold gate so even small graphs
+        share one program per scale bucket.
         """
         dim_bucket = 1 << max(banded_dim - 1, 0).bit_length() if banded_dim else 0
-        key = ("coo", markov_type, dim_bucket)
+        key = ("coo", markov_type, dim_bucket, canonical)
         if key not in self._device_cache:
             jax, jnp = _require_jax()
             from .ops.spmm import (
@@ -339,8 +345,9 @@ class SparseMatrix:
                 nnz = rows.shape[0]
                 from .ops.spmm import _chunk_edges_for
 
-                if nnz > _chunk_edges_for(n, dim_bucket):
-                    plan = plan_ell(rows, data.indices, vals, n, d=dim_bucket)
+                if canonical or nnz > _chunk_edges_for(n, dim_bucket):
+                    plan = plan_ell(rows, data.indices, vals, n,
+                                    d=dim_bucket, canonical=canonical)
                     if plan is not None:
                         triple = (plan, (), ())
                 if triple is None:

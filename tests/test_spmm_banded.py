@@ -139,7 +139,7 @@ def test_embed_banded_equals_unbanded(tiny_chunks):
     g2 = SparseMatrix.from_iterator(iter(lines), "user complex::product")
     e_banded = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
     # force the 1-D path by pre-populating the cache
-    g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
+    g2._device_cache[("coo", "left", 16, False)] = g2._device_coo("left")
     e_flat = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
     np.testing.assert_allclose(e_banded, e_flat, rtol=2e-5, atol=2e-5)
 
@@ -274,9 +274,9 @@ def test_embed_edgecut_end_to_end(tiny_chunks, monkeypatch):
     g1 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
     g2 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
     e_c = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
-    cached = g1._device_cache[("coo", "left", 16)]
+    cached = g1._device_cache[("coo", "left", 16, False)]
     assert isinstance(cached[0], EdgeCutBands)  # skew -> edge-cut engaged
-    g2._device_cache[("coo", "left", 16)] = g2._device_coo("left")
+    g2._device_cache[("coo", "left", 16, False)] = g2._device_coo("left")
     e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
     np.testing.assert_allclose(e_c, e_f, rtol=2e-5, atol=2e-5)
 
