@@ -1,16 +1,32 @@
 """Multi-device scaling-efficiency harness (BASELINE.json north star:
-edges/s at 1 chip / 1 host / N hosts, ≥80% target).
+edges/s at 1 chip / 1 host / N hosts, >=80% target).
 
 Measures the fused sharded embed loop's edges/s at 1..N devices on whatever
-mesh is available.  On a single-chip session use the virtual CPU mesh to
-validate the harness and the collective structure:
+mesh is available, prints per-count efficiency, and (with ``--check``)
+asserts the BASELINE scaling target as a hard pass/fail so a pod run is
+zero-decision:
 
+    # validate the harness + collective structure on the virtual CPU mesh
     PYTHONPATH=. XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/scaling_report.py --cpu
+        python scripts/scaling_report.py --cpu --smoke --check 0.0
 
-On a pod slice, run as-is: edges/s and efficiency are then real.
+    # on a pod slice: real edges/s, hard >=80% efficiency gate
+    python scripts/scaling_report.py --check            # exit 2 on FAIL
+
+Flags:
+    --cpu           force the CPU backend (virtual mesh)
+    --smoke         tiny shapes / few iters — structural validation only
+    --check [X]     assert efficiency at the largest device count >= X
+                    (default 0.80, the BASELINE.json target); exit 2 on FAIL
+    --json PATH     write the full measurement table as JSON
+
+Efficiency definition (matches BASELINE.md): edges/s at N devices divided
+by N x edges/s at 1 device, weak-scaled on a fixed graph (strong scaling —
+the same global problem split N ways, the production regime for a graph
+that fits the pod but not one chip).
 """
 
+import json
 import sys
 import time
 
@@ -23,10 +39,11 @@ if "--cpu" in sys.argv:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
-from cleora_tpu.ops.spmm import pad_coo  # noqa: E402
 from cleora_tpu.parallel.embed import build_sharded_embed  # noqa: E402
 from cleora_tpu.parallel.mesh import make_mesh  # noqa: E402
-from cleora_tpu.parallel.shard import ShardedCoo, pad_rows, shard_coo  # noqa: E402
+from cleora_tpu.parallel.shard import pad_rows, shard_coo  # noqa: E402
+
+TARGET_EFFICIENCY = 0.80  # BASELINE.json multi-host scaling target
 
 
 def synthetic(n_nodes, n_und, seed=7):
@@ -42,13 +59,14 @@ def synthetic(n_nodes, n_und, seed=7):
     return rows, cols, vals
 
 
-def main():
+def measure(smoke: bool = False):
+    """Run the ladder; returns a list of {devices, edges_per_s, efficiency}."""
     n_dev_avail = len(jax.devices())
-    small = jax.default_backend() == "cpu"
-    n_nodes = 100_000 if small else 1_000_000
-    n_und = 500_000 if small else 5_500_000
-    iters = 4 if small else 40
-    dim = 256
+    small = jax.default_backend() == "cpu" or smoke
+    n_nodes = (20_000 if smoke else 100_000) if small else 1_000_000
+    n_und = (100_000 if smoke else 500_000) if small else 5_500_000
+    iters = (2 if smoke else 4) if small else 40
+    dim = 64 if smoke else 256
 
     rows, cols, vals = synthetic(n_nodes, n_und)
     nnz = len(rows)
@@ -56,27 +74,77 @@ def main():
     x0 = rng.standard_normal((n_nodes, dim)).astype(np.float32)
 
     results = []
-    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev_avail]
+    counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_dev_avail]
     for nd in counts:
         mesh = make_mesh(nd)
         sharded = shard_coo(rows, cols, vals, n_nodes, nd)
         fn, place = build_sharded_embed(
             mesh, sharded, dim, num_iterations=iters, do_whiten=True,
         )
-        xs, lr, cc, vv = place(pad_rows(x0, sharded.n_rows_padded))
-        float(np.asarray(fn(xs, lr, cc, vv))[0, 0])  # compile+warm
+        args = place(pad_rows(x0, sharded.n_rows_padded))
+        out = fn(*args)
+        assert np.isfinite(float(np.asarray(out)[0, 0]))  # compile+warm
         best = 1e9
         for _ in range(2):
             t = time.perf_counter()
-            float(np.asarray(fn(xs, lr, cc, vv))[0, 0])
+            float(np.asarray(fn(*args))[0, 0])
             best = min(best, time.perf_counter() - t)
         eps = nnz * iters / best
-        results.append((nd, eps))
-        base = results[0][1]
+        base = results[0]["edges_per_s"] if results else eps
         eff = eps / (base * nd)
+        results.append({"devices": nd, "edges_per_s": eps, "efficiency": eff})
         print(f"devices={nd:3d}  {eps/1e6:9.1f} M edges/s  "
               f"scaling efficiency {eff:6.1%}")
+    return results
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    smoke = "--smoke" in argv
+    if smoke:
+        argv.remove("--smoke")
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    check = None
+    if "--check" in argv:
+        i = argv.index("--check")
+        nxt = argv[i + 1] if i + 1 < len(argv) else None
+        if nxt is not None and not nxt.startswith("-"):
+            check = float(nxt)
+            del argv[i:i + 2]
+        else:
+            check = TARGET_EFFICIENCY
+            del argv[i]
+
+    results = measure(smoke=smoke)
+
+    report = {
+        "backend": jax.default_backend(),
+        "devices_available": len(jax.devices()),
+        "smoke": smoke,
+        "target_efficiency": check if check is not None else TARGET_EFFICIENCY,
+        "results": results,
+    }
+    if check is not None:
+        final = results[-1]
+        passed = final["efficiency"] >= check
+        report["pass"] = passed
+        verdict = "PASS" if passed else "FAIL"
+        print(f"{verdict}: efficiency {final['efficiency']:.1%} at "
+              f"{final['devices']} devices (target >= {check:.0%})")
+        if not passed:
+            if json_path:
+                with open(json_path, "w") as f:
+                    json.dump(report, f, indent=1)
+            return 2
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Scaling-efficiency harness (scripts/scaling_report.py) — VERDICT r2 #8.
+
+The pod run must be zero-decision: ``--check`` is a hard pass/fail gate on
+the BASELINE.json >=80% scaling-efficiency target.  Here the harness runs
+end-to-end in smoke mode on the virtual 8-device CPU mesh (structural
+validation — CPU-mesh efficiency numbers are not meaningful on 4 vCPUs),
+and the gate logic is unit-tested against canned measurements.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                       "scaling_report.py")
+
+
+@pytest.fixture(scope="module")
+def report_mod():
+    spec = importlib.util.spec_from_file_location("scaling_report", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["scaling_report"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    del sys.modules["scaling_report"]
+
+
+def test_smoke_mode_end_to_end(report_mod, tmp_path, capsys):
+    out = tmp_path / "scaling.json"
+    rc = report_mod.main(["--smoke", "--check", "0.0", "--json", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["smoke"] is True
+    assert report["pass"] is True
+    devs = [r["devices"] for r in report["results"]]
+    assert devs == [1, 2, 4, 8]
+    assert all(r["edges_per_s"] > 0 for r in report["results"])
+    assert report["results"][0]["efficiency"] == 1.0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_check_gate_fails_below_target(report_mod, tmp_path, monkeypatch,
+                                       capsys):
+    canned = [
+        {"devices": 1, "edges_per_s": 100e6, "efficiency": 1.0},
+        {"devices": 8, "edges_per_s": 500e6, "efficiency": 0.625},
+    ]
+    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    out = tmp_path / "fail.json"
+    rc = report_mod.main(["--check", "--json", str(out)])
+    assert rc == 2
+    report = json.loads(out.read_text())
+    assert report["pass"] is False
+    # bare --check defaults to the BASELINE 80% target
+    assert report["target_efficiency"] == report_mod.TARGET_EFFICIENCY == 0.80
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_check_gate_passes_at_target(report_mod, monkeypatch, capsys):
+    canned = [
+        {"devices": 1, "edges_per_s": 100e6, "efficiency": 1.0},
+        {"devices": 16, "edges_per_s": 1350e6, "efficiency": 0.84},
+    ]
+    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    assert report_mod.main(["--check"]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_no_check_always_exits_zero(report_mod, monkeypatch):
+    canned = [{"devices": 1, "edges_per_s": 1e6, "efficiency": 1.0},
+              {"devices": 8, "edges_per_s": 1e6, "efficiency": 0.125}]
+    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    assert report_mod.main([]) == 0
