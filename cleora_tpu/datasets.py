@@ -141,6 +141,27 @@ def _fetch(url: str, path: str, display_name: str):
         os.rename(tmp, path)
 
 
+def _seed_path(*names: str) -> Optional[str]:
+    """First existing pre-seeded file among ``names`` in the cache dir (or
+    the reference install's compat cache).  Lets a zero-egress environment
+    run the SNAP configs from manually copied files: e.g. seed
+    ``~/.cleora_tpu_datasets/facebook.txt.gz`` with SNAP's
+    facebook_combined.txt.gz and ``load_dataset("facebook")`` never touches
+    the network."""
+    for d in (_CACHE_DIR, _COMPAT_CACHE_DIR):
+        for name in names:
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def snap_cache_status(name: str) -> Optional[str]:
+    """Path of the local data that lets ``load_dataset(name)`` run without
+    network (parsed .npz cache or a pre-seeded raw edge list), or None."""
+    return _seed_path(name + ".npz", name + ".txt.gz", name + ".txt")
+
+
 # ------------------------------------------------------------- built-in data
 def _load_builtin(key: str) -> Dict:
     with open(_DATA_JSON) as f:
@@ -480,12 +501,16 @@ def _load_snap(name: str, url: str, display_name: str, description: str, *,
 
     if size_warning:
         sys.stderr.write(f"WARNING: {size_warning}\n")
-    gz_path = os.path.join(_CACHE_DIR, f"{name}.txt.gz")
-    _fetch(url, gz_path, display_name)
+    raw_path = _seed_path(f"{name}.txt.gz", f"{name}.txt")
+    downloaded = raw_path is None
+    if downloaded:
+        raw_path = os.path.join(_CACHE_DIR, f"{name}.txt.gz")
+        _fetch(url, raw_path, display_name)
 
-    sys.stderr.write(f"Parsing {display_name} edges (streaming from .gz)...\n")
+    sys.stderr.write(f"Parsing {display_name} edges (streaming)...\n")
     dtype = np.int64 if expected_nodes > np.iinfo(np.int32).max else np.int32
-    with gzip.open(gz_path, "rt", encoding="utf-8") as f:
+    opener = gzip.open if raw_path.endswith(".gz") else open
+    with opener(raw_path, "rt", encoding="utf-8") as f:
         src, dst = _parse_int_pairs(f, dtype, sep=None)
 
     num_nodes = len(np.union1d(np.unique(src), np.unique(dst))) if len(src) else 0
@@ -495,7 +520,7 @@ def _load_snap(name: str, url: str, display_name: str, description: str, *,
         raise ValueError(
             f"{display_name}: parsed {num_edges:,} edges but expected "
             f"~{expected_edges:,} (drift {drift:.1%}). The download may be "
-            f"corrupt. Delete {gz_path} and retry."
+            f"corrupt. Delete {raw_path} and retry."
         )
     if drift > 0.01 or num_nodes != expected_nodes:
         sys.stderr.write(
@@ -504,10 +529,11 @@ def _load_snap(name: str, url: str, display_name: str, description: str, *,
         )
 
     _atomic_savez(path, src=src, dst=dst, num_nodes=num_nodes, num_edges=num_edges)
-    try:
-        os.remove(gz_path)
-    except OSError:
-        pass
+    if downloaded:  # keep pre-seeded raw files; remove only our download
+        try:
+            os.remove(raw_path)
+        except OSError:
+            pass
     return {
         "name": display_name,
         "edges": _LazyEdgeList(src, dst),
@@ -836,13 +862,71 @@ def load_reddit() -> Dict:
     )
 
 
+def _facebook_ego_labels() -> Dict[str, int]:
+    """Ego-network-membership labels for ego-Facebook, derived from SNAP's
+    per-ego archive when it has been seeded into the cache dir as
+    ``facebook.tar.gz`` (the file at
+    https://snap.stanford.edu/data/facebook.tar.gz, whose members are
+    ``facebook/<ego>.edges`` etc.) or pre-extracted as a ``facebook/``
+    subdirectory.  Each node is labeled by the ego network it appears in
+    (class index = rank of the ego id among the 10 egos, sorted ascending);
+    nodes in several ego networks take the lowest ego id; each ego node
+    labels itself.  Returns {} when no archive is seeded."""
+    labels: Dict[str, int] = {}
+    per_ego: Dict[int, set] = {}
+
+    subdir = _seed_path("facebook")
+    if subdir is not None and os.path.isdir(subdir):
+        for fname in os.listdir(subdir):
+            if not fname.endswith(".edges"):
+                continue
+            ego = int(fname[:-len(".edges")])
+            nodes = per_ego.setdefault(ego, {ego})
+            with open(os.path.join(subdir, fname)) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        nodes.add(int(parts[0]))
+                        nodes.add(int(parts[1]))
+    else:
+        tar_path = _seed_path("facebook.tar.gz", "facebook.tar")
+        if tar_path is None:
+            return {}
+        import tarfile
+
+        with tarfile.open(tar_path, "r:*") as tf:
+            for member in tf:
+                base = os.path.basename(member.name)
+                if not (member.isfile() and base.endswith(".edges")):
+                    continue
+                ego = int(base[:-len(".edges")])
+                nodes = per_ego.setdefault(ego, {ego})
+                data = tf.extractfile(member).read().decode("utf-8")
+                for line in data.splitlines():
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        nodes.add(int(parts[0]))
+                        nodes.add(int(parts[1]))
+
+    class_of = {ego: c for c, ego in enumerate(sorted(per_ego))}
+    for ego in sorted(per_ego):  # lowest ego id wins for shared nodes
+        for node in per_ego[ego]:
+            labels.setdefault(str(node), class_of[ego])
+    return labels
+
+
 def load_facebook() -> Dict:
-    return _load_snap(
+    out = _load_snap(
         "facebook", "https://snap.stanford.edu/data/facebook_combined.txt.gz",
         "ego-Facebook",
         "Facebook ego networks (SNAP). ~4k nodes, ~88k edges.",
         expected_nodes=4_039, expected_edges=88_234,
     )
+    labels = _facebook_ego_labels()
+    if labels:
+        out["labels"] = labels
+        out["num_classes"] = len(set(labels.values()))
+    return out
 
 
 def load_roadnet() -> Dict:

@@ -205,3 +205,124 @@ def test_interrupted_download_leaves_no_partial_cache(served, monkeypatch):
                       expected_nodes=2, expected_edges=1)
     left = os.listdir(ds._CACHE_DIR)
     assert "flaky.npz" not in left and "flaky.txt.gz" not in left
+
+
+# ------------------------------------------------- pre-seeded cache (no net)
+def _seed_gz(dirpath, name, pairs):
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, name)
+    with open(path, "wb") as f:
+        f.write(_gz_edges(pairs))
+    return path
+
+
+def test_preseeded_raw_gz_skips_network_and_survives(served):
+    """A manually seeded <name>.txt.gz is parsed with ZERO network calls,
+    cached as .npz, and the seed file is NOT deleted (only downloads are)."""
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    seed = _seed_gz(ds._CACHE_DIR, "seeded.txt.gz", pairs)
+    out = ds._load_snap("seeded", "https://snap.example/never-fetched.txt.gz",
+                        "Seeded", "d", expected_nodes=3, expected_edges=3)
+    assert out["num_edges"] == 3
+    assert served["__calls__"] == []
+    assert os.path.exists(seed), "pre-seeded raw file must survive"
+    assert os.path.exists(os.path.join(ds._CACHE_DIR, "seeded.npz"))
+
+
+def test_preseeded_plain_txt_accepted(served):
+    os.makedirs(ds._CACHE_DIR, exist_ok=True)
+    with open(os.path.join(ds._CACHE_DIR, "plainseed.txt"), "w") as f:
+        f.write("# hdr\n0 1\n1 2\n")
+    out = ds._load_snap("plainseed", "https://snap.example/x.txt.gz",
+                        "Plain", "d", expected_nodes=3, expected_edges=2)
+    assert out["num_edges"] == 2
+    assert served["__calls__"] == []
+
+
+def test_snap_cache_status(served):
+    assert ds.snap_cache_status("facebook") is None
+    _seed_gz(ds._CACHE_DIR, "facebook.txt.gz", [(0, 1)])
+    assert ds.snap_cache_status("facebook").endswith("facebook.txt.gz")
+
+
+def _facebook_tar(tmp_path, egos):
+    """SNAP-shaped facebook.tar.gz: members facebook/<ego>.edges."""
+    import tarfile
+
+    tar_path = os.path.join(ds._CACHE_DIR, "facebook.tar.gz")
+    os.makedirs(ds._CACHE_DIR, exist_ok=True)
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for ego, edges in egos.items():
+            body = "".join(f"{a} {b}\n" for a, b in edges).encode()
+            info = tarfile.TarInfo(f"facebook/{ego}.edges")
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+            # distractor members the parser must ignore
+            for suffix in ("circles", "feat"):
+                info = tarfile.TarInfo(f"facebook/{ego}.{suffix}")
+                info.size = 2
+                tf.addfile(info, io.BytesIO(b"x\n"))
+    return tar_path
+
+
+def test_facebook_ego_labels_from_tar(served, tmp_path):
+    _facebook_tar(tmp_path, {
+        0: [(1, 2), (2, 3)],
+        107: [(108, 109)],
+        348: [(2, 349)],  # node 2 is shared: lowest ego (0) must win
+    })
+    labels = ds._facebook_ego_labels()
+    # class index = rank of ego id ascending: 0→0, 107→1, 348→2
+    assert labels["0"] == 0 and labels["107"] == 1 and labels["348"] == 2
+    assert labels["1"] == 0 and labels["108"] == 1 and labels["349"] == 2
+    assert labels["2"] == 0, "shared node must take the lowest ego id"
+    assert len(set(labels.values())) == 3
+
+
+def test_facebook_ego_labels_from_extracted_dir(served):
+    sub = os.path.join(ds._CACHE_DIR, "facebook")
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, "0.edges"), "w") as f:
+        f.write("1 2\n")
+    with open(os.path.join(sub, "107.edges"), "w") as f:
+        f.write("108 109\n")
+    labels = ds._facebook_ego_labels()
+    assert labels == {"0": 0, "1": 0, "2": 0,
+                      "107": 1, "108": 1, "109": 1}
+
+
+def test_facebook_seeded_end_to_end_with_labels(served, tmp_path):
+    """The full VERDICT r2 #7 path: seed facebook.txt.gz + facebook.tar.gz,
+    then load_dataset('facebook') returns edges AND ego labels offline."""
+    rng = np.random.default_rng(1)
+    m = 85_000  # within the 20% drift gate of 88,234
+    pairs = np.stack([rng.integers(0, 4039, m), rng.integers(0, 4039, m)], 1)
+    _seed_gz(ds._CACHE_DIR, "facebook.txt.gz", pairs.tolist())
+    _facebook_tar(tmp_path, {0: [(1, 2)], 107: [(108, 109)],
+                             348: [(349, 350)], 414: [(415, 416)]})
+    out = ds.load_dataset("facebook")
+    assert out["num_edges"] == m
+    assert out["num_classes"] == 4
+    assert out["labels"]["349"] == 2
+    assert served["__calls__"] == []
+
+
+def test_accuracy_report_includes_facebook_when_seeded(served, tmp_path):
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "accuracy_report",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "accuracy_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["accuracy_report"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        # report consults the SAME monkeypatched module object
+        assert "facebook" not in mod.default_datasets()
+        _seed_gz(ds._CACHE_DIR, "facebook.txt.gz", [(0, 1)])
+        assert mod.default_datasets()[-1] == "facebook"
+    finally:
+        del _sys.modules["accuracy_report"]
