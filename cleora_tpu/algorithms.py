@@ -483,6 +483,15 @@ def _check_dense_fit(n: int, n_bufs: int = 6):
         )
 
 
+def _dense_fits(n: int, n_bufs: int = 6) -> bool:
+    """True when the dense (n, n) device factorization fits HBM."""
+    try:
+        _check_dense_fit(n, n_bufs)
+        return True
+    except ValueError:
+        return False
+
+
 def _coo_f32(graph):
     rows, cols, vals, n, _ = graph.to_sparse_csr()
     return (
@@ -491,13 +500,269 @@ def _coo_f32(graph):
     )
 
 
-def _netmf_device(graph, feature_dim: int, window_size: int,
-                  negative_samples: float, seed: int, oversample: int,
-                  power_iters: int) -> np.ndarray:
+# ------------------------- blocked (beyond-HBM) device log-factorizations
+# VERDICT r2 #6: the elementwise log forces NetMF/GraRep into an explicit
+# dense matrix, but only a ROW BLOCK of it needs to exist at a time.  Each
+# block of M's rows is materialized on the fly — the transition-power walk
+# S_t = E_b·P^t runs as Y_t = (Pᵀ)^t·E_bᵀ, i.e. T sliced-ELL SpMMs
+# (ops/spmm_ell.py, the production dense-output kernel) at feature width b
+# — then log/clip and the two randomized-SVD products are fused behind one
+# MXU dot each.  HBM holds O(n·b), not O(n²), so the device path extends
+# arbitrarily far past the dense gate; cost per full sweep over M is
+# T·nnz·n/b gather-issues + n²·r MXU FLOPs.  Reference anchor: the host
+# paths below (reference algorithms.py:152-245).
+def _pt_ell_plan(rows, cols, vals, n: int):
+    """Sliced-ELL plan of the TRANSPOSE transition operator Pᵀ (entries
+    Pᵀ[j, i] = A[i, j]/deg[i]), plus deg and vol of A."""
+    from .ops.spmm_ell import plan_ell
+
+    deg64 = np.bincount(rows, weights=vals.astype(np.float64), minlength=n)
+    vol = float(deg64.sum())
+    deg = np.maximum(deg64, 1e-10).astype(np.float32)
+    pt_rows = cols.astype(np.int64)
+    pt_cols = rows.astype(np.int64)
+    pt_vals = (vals / deg[rows]).astype(np.float32)
+    o = np.argsort(pt_rows, kind="stable")
+    plan = plan_ell(pt_rows[o], pt_cols[o], pt_vals[o], n, max_waste=4.0)
+    if plan is None:  # _K_MAX virtual rows bound the waste; always planable
+        plan = plan_ell(pt_rows[o], pt_cols[o], pt_vals[o], n, max_waste=1e12)
+    return plan, deg, vol
+
+
+def _auto_block_rows(n: int, r: int) -> int:
+    """Largest MXU-friendly block width whose O(n·b) working set (three
+    (n, b) f32 buffers + rSVD (n, r) operands) fits half the chip."""
+    from .ops import memory
+
+    limit = memory.device_hbm_limit()
+    if limit is None:
+        b = 4096
+    else:
+        budget = int(limit * 0.5) - 6 * n * r * 4
+        b = budget // (16 * n)
+    b = min(b, 4096, n)
+    return int(max(128, (b // 128) * 128)) if b >= 128 else int(max(8, b))
+
+
+_NETMF_BLOCK_FN = None
+
+
+def _netmf_block_jit():
+    """Per-block NetMF kernel: walk the window of transition powers for one
+    row block, scale to M = (vol/neg)·D⁻¹·mean(P^t)·D, log-clip at 1, and
+    return BOTH randomized-SVD products for the streaming driver:
+    (Lᵀ·W, L·V[start:start+b]) with L the (n, b) column-major block of
+    M_log.  Rows of L live in the plan's RELABELED space; the driver keeps
+    every (n, r) operand in that space too."""
+    global _NETMF_BLOCK_FN
+    if _NETMF_BLOCK_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm_ell import spmm_ell
+
+        @functools.partial(jax.jit, static_argnames=("window", "b"))
+        def block(plan, deg_rel, deg_orig, scale, start, W, Vfull, *,
+                  window, b):
+            hp = jax.lax.Precision.HIGHEST
+            n = deg_rel.shape[0]
+            iota = jnp.arange(b, dtype=jnp.int32)
+            idx = start + iota
+            valid = (idx < n).astype(jnp.float32)  # padded tail cols stay 0
+            safe = jnp.minimum(idx, n - 1)
+            y = jnp.zeros((n, b), jnp.float32).at[plan.rank[safe], iota].add(
+                valid
+            )
+            acc = jnp.zeros((n, b), jnp.float32)
+            for _ in range(window):  # static unroll, like the dense path
+                y = spmm_ell(plan, y)
+                acc = acc + y
+            s_col = scale / deg_orig[safe]
+            L = jnp.log(
+                jnp.maximum(acc * deg_rel[:, None] * s_col[None, :], 1.0)
+            )
+            V = jax.lax.dynamic_slice(Vfull, (start, 0),
+                                      (b, Vfull.shape[1]))
+            return (jnp.dot(L.T, W, precision=hp),
+                    jnp.dot(L, V, precision=hp))
+
+        _NETMF_BLOCK_FN = block
+    return _NETMF_BLOCK_FN
+
+
+_GRAREP_BLOCK_FN = None
+
+
+def _grarep_block_jit():
+    """Per-block GraRep kernel: one walk serves ALL steps — at each power
+    P^s the step's log block L_s = log(max(P^s, 1e-10)) − log(1e-10) feeds
+    that step's pair of randomized-SVD products (per-step W/V operands)."""
+    global _GRAREP_BLOCK_FN
+    if _GRAREP_BLOCK_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm_ell import spmm_ell
+
+        @functools.partial(jax.jit, static_argnames=("max_step", "b"))
+        def block(plan, start, W, Vfull, *, max_step, b):
+            hp = jax.lax.Precision.HIGHEST
+            n = plan.rank.shape[0]
+            iota = jnp.arange(b, dtype=jnp.int32)
+            idx = start + iota
+            valid = (idx < n).astype(jnp.float32)
+            safe = jnp.minimum(idx, n - 1)
+            y = jnp.zeros((n, b), jnp.float32).at[plan.rank[safe], iota].add(
+                valid
+            )
+            brs, nrs = [], []
+            for s in range(max_step):  # static unroll
+                y = spmm_ell(plan, y)
+                # padded tail cols hold y == 0 → L == 0, no masking needed
+                L = (jnp.log(jnp.maximum(y, 1e-10))
+                     - jnp.log(jnp.float32(1e-10)))
+                V = jax.lax.dynamic_slice(Vfull[s], (start, 0),
+                                          (b, Vfull.shape[2]))
+                brs.append(jnp.dot(L.T, W[s], precision=hp))
+                nrs.append(jnp.dot(L, V, precision=hp))
+            return jnp.stack(brs), jnp.stack(nrs)
+
+        _GRAREP_BLOCK_FN = block
+    return _GRAREP_BLOCK_FN
+
+
+def _blocked_u_sqrt(pass_fn, k: int, power_iters: int, omega):
+    """Streamed twin of :func:`_rsvd_u_sqrt`: ``pass_fn(W, V)`` sweeps the
+    blocks once and returns (M·W, Mᵀ·V) at (n, r).  Identical math, one
+    sweep per product (2 + 2·power_iters sweeps total)."""
+    import jax.numpy as jnp
+
+    zeros = jnp.zeros_like(omega)
+    Y, _ = pass_fn(omega, zeros)
+    for _ in range(power_iters):
+        Q, _ = jnp.linalg.qr(Y)
+        _, G = pass_fn(zeros, Q)
+        Y, _ = pass_fn(G, zeros)
+    Q, _ = jnp.linalg.qr(Y)
+    _, C = pass_fn(zeros, Q)  # (n, r);  Cᵀ = Qᵀ·M
+    Ub, s, _ = jnp.linalg.svd(C.T, full_matrices=False)
+    su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
+    import jax
+
+    return jnp.dot(Q, Ub[:, :k], precision=jax.lax.Precision.HIGHEST) * su
+
+
+def _netmf_blocked_device(graph, feature_dim: int, window_size: int,
+                          negative_samples: float, seed: int, oversample: int,
+                          power_iters: int, block_rows=None) -> np.ndarray:
     import jax.numpy as jnp
 
     rows, cols, vals, n = _coo_f32(graph)
-    _check_dense_fit(n)
+    plan, deg, vol = _pt_ell_plan(rows, cols, vals, n)
+    k = min(feature_dim, n)
+    r = min(n, k + oversample)
+    b = int(block_rows) if block_rows else _auto_block_rows(n, r)
+    b = max(1, min(b, n))
+    n_pad = -(-n // b) * b
+    window = max(1, window_size)
+
+    rng = np.random.default_rng(seed)
+    # same draws as the dense path, permuted once into relabeled row space
+    # so the sketch Y = M·Ω matches the dense sketch exactly (j-sums are
+    # permutation-invariant)
+    omega = rng.standard_normal((n, r)).astype(np.float32)
+    omega_rel = jnp.asarray(omega[plan.order])
+    deg_rel = jnp.asarray(deg[plan.order])
+    deg_orig = jnp.asarray(deg)
+    scale = jnp.float32(vol / (negative_samples * window))
+    plan_dev = plan.device()
+    kernel = _netmf_block_jit()
+
+    def pass_fn(W, V):
+        Vp = jnp.zeros((n_pad, r), jnp.float32).at[:n].set(V)
+        G = None
+        pieces = []
+        for start in range(0, n_pad, b):
+            br, nr = kernel(plan_dev, deg_rel, deg_orig, scale,
+                            jnp.int32(start), W, Vp, window=window, b=b)
+            pieces.append(br)
+            G = nr if G is None else G + nr
+        Y = jnp.concatenate(pieces, axis=0)[:n] if len(pieces) > 1 \
+            else pieces[0][:n]
+        return Y, G
+
+    out = _blocked_u_sqrt(pass_fn, k, power_iters, omega_rel)
+    return np.asarray(out, dtype=np.float64)
+
+
+def _grarep_blocked_device(graph, feature_dim: int, max_step: int, seed: int,
+                           oversample: int, power_iters: int,
+                           block_rows=None) -> np.ndarray:
+    import jax.numpy as jnp
+
+    rows, cols, vals, n = _coo_f32(graph)
+    plan, _, _ = _pt_ell_plan(rows, cols, vals, n)
+    dim_per_step = max(feature_dim // max_step, 1)
+    k = min(dim_per_step, n)
+    r = min(n, k + oversample)
+    b = int(block_rows) if block_rows else _auto_block_rows(n, r)
+    b = max(1, min(b, n))
+    n_pad = -(-n // b) * b
+
+    rng = np.random.default_rng(seed)
+    omega = rng.standard_normal((max_step, n, r)).astype(np.float32)
+    omega_rel = jnp.asarray(omega[:, plan.order])
+    plan_dev = plan.device()
+    kernel = _grarep_block_jit()
+
+    def pass_fn(W, V):
+        # W, V: (max_step, n, r) stacks; one walk sweep serves every step
+        Vp = jnp.zeros((max_step, n_pad, r), jnp.float32).at[:, :n].set(V)
+        G = None
+        pieces = []
+        for start in range(0, n_pad, b):
+            br, nr = kernel(plan_dev, jnp.int32(start), W, Vp,
+                            max_step=max_step, b=b)
+            pieces.append(br)
+            G = nr if G is None else G + nr
+        Y = jnp.concatenate(pieces, axis=1)[:, :n] if len(pieces) > 1 \
+            else pieces[0][:, :n]
+        return Y, G
+
+    zeros = jnp.zeros_like(omega_rel)
+    Y, _ = pass_fn(omega_rel, zeros)
+    for _ in range(power_iters):
+        Q = jnp.linalg.qr(Y)[0]
+        _, G = pass_fn(zeros, Q)
+        Y, _ = pass_fn(G, zeros)
+    Q = jnp.linalg.qr(Y)[0]
+    _, C = pass_fn(zeros, Q)
+    import jax
+
+    hp = jax.lax.Precision.HIGHEST
+    embs = []
+    for s in range(max_step):
+        Ub, sv, _ = jnp.linalg.svd(C[s].T, full_matrices=False)
+        su = jnp.sqrt(jnp.maximum(sv[:k], 0.0))
+        embs.append(jnp.dot(Q[s], Ub[:, :k], precision=hp) * su)
+    return np.asarray(jnp.concatenate(embs, axis=1), dtype=np.float64)
+
+
+def _netmf_device(graph, feature_dim: int, window_size: int,
+                  negative_samples: float, seed: int, oversample: int,
+                  power_iters: int, block_rows=None) -> np.ndarray:
+    import jax.numpy as jnp
+
+    rows, cols, vals, n = _coo_f32(graph)
+    if block_rows is not None or not _dense_fits(n):
+        return _netmf_blocked_device(
+            graph, feature_dim, window_size, negative_samples, seed,
+            oversample, power_iters, block_rows,
+        )
     k = min(feature_dim, n)
     r = min(n, k + oversample)
     rng = np.random.default_rng(seed)
@@ -511,11 +776,16 @@ def _netmf_device(graph, feature_dim: int, window_size: int,
 
 
 def _grarep_device(graph, feature_dim: int, max_step: int, seed: int,
-                   oversample: int, power_iters: int) -> np.ndarray:
+                   oversample: int, power_iters: int,
+                   block_rows=None) -> np.ndarray:
     import jax.numpy as jnp
 
     rows, cols, vals, n = _coo_f32(graph)
-    _check_dense_fit(n)
+    if block_rows is not None or not _dense_fits(n):
+        return _grarep_blocked_device(
+            graph, feature_dim, max_step, seed, oversample, power_iters,
+            block_rows,
+        )
     dim_per_step = max(feature_dim // max_step, 1)
     k = min(dim_per_step, n)
     r = min(n, k + oversample)
@@ -667,6 +937,7 @@ def embed_netmf(
     seed: int = 0,
     oversample: int = 10,
     power_iters: int = 2,
+    block_rows: Optional[int] = None,
 ) -> np.ndarray:
     """NetMF log-PMI factorization (reference algorithms.py:152-198):
     M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD.
@@ -674,13 +945,17 @@ def embed_netmf(
     ``backend="device"`` runs the whole pipeline on the TPU: the transition
     powers become dense full-precision MXU matmuls and the full SVD a
     randomized SVD of width ``feature_dim + oversample`` (exact when that
-    reaches n).  The elementwise log forces the dense form, so the device
-    path is HBM-gated (~45k rows on a 16 GiB chip); ``backend="host"`` is
-    the unbounded f64 fallback."""
+    reaches n).  Past the dense-(n, n) HBM gate (~45k rows on a 16 GiB
+    chip) the device path automatically switches to the BLOCKED driver
+    (:func:`_netmf_blocked_device`): M_log is materialized one row block
+    at a time via sliced-ELL transition-power walks and streamed through
+    the randomized SVD, so HBM holds O(n·block) — any n that fits the
+    embedding itself now runs on device.  ``block_rows`` forces the
+    blocked path with that block width (auto-sized when None)."""
     if backend == "device":
         return _finalize(
             _netmf_device(graph, feature_dim, window_size, negative_samples,
-                          seed, oversample, power_iters),
+                          seed, oversample, power_iters, block_rows),
             feature_dim,
         )
     n = graph.num_entities
@@ -714,17 +989,20 @@ def embed_grarep(
     seed: int = 0,
     oversample: int = 10,
     power_iters: int = 2,
+    block_rows: Optional[int] = None,
 ) -> np.ndarray:
     """GraRep per-step log(P^k) SVDs, concat dim/max_step each
     (reference algorithms.py:201-245).
 
     ``backend="device"`` runs dense P^k powers on the MXU and a per-step
-    randomized SVD; HBM-gated like the device NetMF (the log forces the
-    dense n×n form)."""
+    randomized SVD; past the dense-(n, n) HBM gate it switches to the
+    blocked streaming driver like the device NetMF (one transition-power
+    walk per sweep serves every step's sketch), so any n that fits the
+    embedding runs on device.  ``block_rows`` forces the blocked path."""
     if backend == "device":
         return _finalize(
             _grarep_device(graph, feature_dim, max_step, seed, oversample,
-                           power_iters),
+                           power_iters, block_rows),
             feature_dim,
         )
     n = graph.num_entities

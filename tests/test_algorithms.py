@@ -428,3 +428,107 @@ def test_device_layout_coo_fallback(graph):
         assert np.allclose(hope_host, hope_dev * sign, atol=5e-2)
     finally:
         spmm_ell.plan_ell = orig
+
+
+# --------------------------- blocked (beyond-HBM) NetMF/GraRep (VERDICT r2 #6)
+@pytest.fixture(scope="module")
+def skew_graph():
+    """Skewed-degree graph with >_K_MAX hubs so the blocked walk exercises
+    the ELL hub (virtual-row) slab, sized to need several blocks."""
+    from cleora_tpu import SparseMatrix
+
+    rng = np.random.default_rng(23)
+    lines = [f"h{rng.integers(0, 3)} n{rng.integers(0, 200)}"
+             for _ in range(900)]
+    lines += [f"n{rng.integers(0, 200)} n{rng.integers(0, 200)}"
+              for _ in range(600)]
+    return SparseMatrix.from_iterator(iter(lines), "complex::reflexive::node")
+
+
+def test_netmf_blocked_matches_dense_device(graph):
+    """Same omega (permuted into relabeled space), exact sketch width:
+    the blocked driver is the dense device path up to f32 summation order."""
+    dense = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                            oversample=64, power_iters=2)
+    blocked = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                              oversample=64, power_iters=2, block_rows=8)
+    assert np.allclose(blocked @ blocked.T, dense @ dense.T, atol=1e-3)
+
+
+def test_netmf_blocked_nondividing_block(graph):
+    """n=34 with block_rows=13 → padded tail columns must stay inert.
+
+    feature_dim=32 keeps the SVD truncation outside karate's degenerate
+    singular cluster (k=16 cuts inside it and the subspace rotates)."""
+    dense = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                            oversample=64, power_iters=2)
+    blocked = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                              oversample=64, power_iters=2, block_rows=13)
+    assert np.allclose(blocked @ blocked.T, dense @ dense.T, atol=1e-3)
+
+
+def test_grarep_blocked_matches_dense_device(graph):
+    dense = alg.embed_grarep(graph, feature_dim=32, max_step=4,
+                             backend="device", oversample=64, power_iters=2)
+    blocked = alg.embed_grarep(graph, feature_dim=32, max_step=4,
+                               backend="device", oversample=64,
+                               power_iters=2, block_rows=13)
+    assert np.allclose(blocked @ blocked.T, dense @ dense.T, atol=1e-3)
+
+
+def test_netmf_blocked_skewed_vs_host(skew_graph):
+    """Hubs route through the ELL virtual-row slab; compare against the f64
+    host path at full sketch width (leading distinct-spectrum columns)."""
+    n = skew_graph.num_entities
+    host = alg.embed_netmf(skew_graph, feature_dim=16)
+    blocked = alg.embed_netmf(skew_graph, feature_dim=16, backend="device",
+                              oversample=n, power_iters=3, block_rows=64)
+    assert np.allclose(blocked @ blocked.T, host @ host.T, atol=5e-2)
+
+
+def test_grarep_blocked_skewed_vs_host(skew_graph):
+    n = skew_graph.num_entities
+    host = alg.embed_grarep(skew_graph, feature_dim=16, max_step=2)
+    blocked = alg.embed_grarep(skew_graph, feature_dim=16, max_step=2,
+                               backend="device", oversample=n,
+                               power_iters=3, block_rows=64)
+    assert np.allclose(blocked @ blocked.T, host @ host.T, atol=5e-2)
+
+
+def test_blocked_auto_dispatch_past_dense_gate(graph, monkeypatch):
+    """With HBM too small for the dense (n, n) form, backend='device' must
+    route to the blocked driver instead of raising — and still be right."""
+    from cleora_tpu.ops import memory
+
+    dense = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                            oversample=64, power_iters=2)
+    calls = {}
+    real = alg._netmf_blocked_device
+
+    def spy(*a, **k):
+        calls["blocked"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(alg, "_netmf_blocked_device", spy)
+    # 34 nodes: 6·n²·4 ≈ 28 KB — force the gate shut
+    monkeypatch.setattr(memory, "device_hbm_limit", lambda: 10_000)
+    out = alg.embed_netmf(graph, feature_dim=32, backend="device",
+                          oversample=64, power_iters=2)
+    assert calls.get("blocked")
+    assert np.allclose(out @ out.T, dense @ dense.T, atol=1e-3)
+
+
+def test_auto_block_rows_budget():
+    """Auto block width fits the HBM budget and stays MXU-aligned."""
+    from cleora_tpu.ops import memory
+
+    import unittest.mock as mock
+
+    with mock.patch.object(memory, "device_hbm_limit", lambda: 16 << 30):
+        b = alg._auto_block_rows(65536, 288)
+        assert b % 128 == 0
+        # three (n, b) f32 buffers fit well under half the chip
+        assert 3 * 65536 * b * 4 < 8 << 30
+        assert b >= 1024
+    with mock.patch.object(memory, "device_hbm_limit", lambda: None):
+        assert alg._auto_block_rows(1000, 64) == 1000 // 128 * 128
