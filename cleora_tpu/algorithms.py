@@ -1144,22 +1144,35 @@ def _device_walk2_jit():
     Same target distribution as the reference's host walker
     (algorithms.py:262-312): uniform first hop, then next-hop probability
     ∝ edge_weight · α where α = 1/p for backtracking, 1 for a common
-    neighbor of (prev, cur), 1/q otherwise.  Sampled by REJECTION in
-    CHUNKS: each while_loop round proposes ``chunk`` uniform neighbors of
-    cur at once, accepting the first with probability w·α / (w_max·α_max)
-    — one batch synchronization per ``chunk`` proposals instead of per
-    proposal.  The common-neighbor test is a fixed-depth binary search
-    over the row's sorted column slice (CSR is (row, col) sorted).
+    neighbor of (prev, cur), 1/q otherwise.  Sampled by COMPOSITION +
+    REJECTION with a per-edge-tight envelope: the backtrack edge is an
+    EXACT point-mass component (weight w(cur→prev)/p, looked up once per
+    hop by binary search), and the remaining mass is rejection-sampled
+    from uniform neighbor proposals under envelope w_max·m2 with
+    m2 = max(1, 1/q) — so acceptance never degrades with extreme p, and
+    for q < 1 most proposals accept outright (α = 1/q = the envelope).
+    The common-neighbor test is a fixed-depth binary search over the
+    row's sorted column slice (CSR is (row, col) sorted).
+
+    The rejection rounds run in three stages to avoid paying full batch
+    width for the straggler tail (measured: per-round cost is
+    gather-issue-bound ∝ active width, and the tail dominates — a chunk
+    sweep showed more proposals per round only ADDS cost,
+    scripts/walk2_chunk_sweep.py): a short full-width prelude, then the
+    still-rejecting lanes are compacted via top_k into a quarter-width
+    view for the long tail, then a full-width cleanup for the rare
+    overflow (normally 0 rounds).
 
     Approximation bound: after ``tries`` proposals an element falls back
     to a uniform proposal, so the sampled distribution mixes toward
     uniform with weight (1−a)^tries for per-proposal acceptance
-    a = Σⱼ wⱼαⱼ / (d·w_max·α_max).  The caller scales ``tries`` with
-    α_max = max(1, 1/p, 1/q) to keep this negligible; the residual regime
-    is extreme p/q on high-degree rows with skewed weights (a ≳ 1/d).
-    Rows whose host-walker transition mass underflows (Σ w·α < 1e-15
-    ⇐ wsum·α_max < 1e-15) terminate with the sentinel, matching the
-    reference's dead-row stop; dead ends likewise emit ``n_rows``."""
+    a = (w_bt + Σ_{x≠prev} wₓαₓ) / (w_bt + d·w_max·m2) — independent of
+    p, and of q below 1; the residual low-acceptance regimes are skewed
+    weights (w ≪ w_max) and q ≫ 1 with few common neighbors (the target
+    itself concentrates on a small set).  Rows whose host-walker
+    transition mass underflows (Σ w·α < 1e-15 ⇐ wsum·m2 + w_bt < 1e-15)
+    terminate with the sentinel, matching the reference's dead-row stop;
+    dead ends likewise emit ``n_rows``."""
     global _WALK2_FN
     if _WALK2_FN is None:
         import functools
@@ -1175,13 +1188,21 @@ def _device_walk2_jit():
         )
         def walks2(indptr, cols, vals, deg, wmax, wsum, starts, key,
                    inv_p, inv_q, *, walk_length, n_rows, tries, bsteps=32,
-                   chunk=8):
+                   chunk=1):
             nnz = cols.shape[0]
-            amax = jnp.maximum(jnp.float32(1.0), jnp.maximum(inv_p, inv_q))
+            m2 = jnp.maximum(jnp.float32(1.0), inv_q)  # non-backtrack α cap
             rounds = -(-tries // chunk)
+            batch = int(starts.shape[0])
+            # two-stage tail compaction: after PRELUDE full-width rounds
+            # only ~(1−a)^PRELUDE of lanes are still rejecting; gather them
+            # into a batch//4 view so straggler rounds cost a quarter
+            PRELUDE = min(4, rounds)
+            sub = batch // 4 if batch >= 4096 else 0
+            sub2 = batch // 16 if batch >= 16384 else 0
 
-            def contains(u, x):
-                # is x among the sorted neighbors cols[indptr[u]:+deg[u]) ?
+            def bsearch(u, x):
+                """(found, position) of x in the sorted neighbor slice
+                cols[indptr[u] : indptr[u] + deg[u])."""
                 lo0 = jnp.take(indptr, u)
                 hi0 = lo0 + jnp.take(deg, u)
 
@@ -1202,30 +1223,30 @@ def _device_walk2_jit():
                 # the longest row needs (32 covers any int32 slice)
                 lo, _ = jax.lax.fori_loop(0, bsteps, bstep, (lo0, hi0))
                 v = jnp.take(cols, jnp.clip(lo, 0, nnz - 1))
-                return (lo < hi0) & (v == x)
+                return (lo < hi0) & (v == x), lo
 
-            def hop(carry, k):
-                prev, cur = carry
-                valid = cur < n_rows
-                cur_c = jnp.where(valid, cur, 0)
-                d = jnp.take(deg, cur_c)
-                # the host walker stops when the row's biased transition
-                # mass underflows; wsum·amax bounds that mass from above
-                dead = jnp.take(wsum, cur_c) * amax < 1e-15
-                alive = valid & (d > 0) & ~dead
-                base = jnp.take(indptr, cur_c)
-                wm = jnp.take(wmax, cur_c)
-                first = prev >= n_rows  # no prev yet → uniform hop
-                prev_c = jnp.where(first, 0, prev)
-                cshape = (chunk,) + cur.shape
+            def run_stage(key0, acc, cand, st, max_rounds, forced):
+                """Rejection rounds over one lane view.  ``st`` holds the
+                per-lane constants; ``forced`` stages fall back to the last
+                uniform proposal when the budget is exhausted (the
+                documented (1−a)^tries uniform-mixing bound)."""
+                alive, first, prev_c, d, base, wm, pi = st
+                cshape = (chunk,) + acc.shape
 
-                def cond(st):
-                    r, _, acc, _ = st
-                    return (r < rounds) & ~jnp.all(acc)
+                def cond(s):
+                    r, _, a, _ = s
+                    return (r < max_rounds) & ~jnp.all(a)
 
-                def body(st):
-                    r, kk, acc, cand = st
-                    kk, k1, k2 = jax.random.split(kk, 3)
+                def body(s):
+                    r, kk, a, c = s
+                    kk, k0, k1, k2 = jax.random.split(kk, 4)
+                    # composition: with prob π take the EXACT backtrack
+                    # point mass, else a uniform neighbor proposal under
+                    # the per-edge-tight envelope w_max·m2 (α(prev) is
+                    # excluded from the envelope entirely)
+                    is_bt = ~first & (
+                        jax.random.uniform(k0, cshape) < pi
+                    )
                     u = jax.random.uniform(k1, cshape)
                     j = jnp.minimum(
                         (u * d.astype(jnp.float32)).astype(jnp.int32),
@@ -1234,35 +1255,78 @@ def _device_walk2_jit():
                     idx = jnp.clip(base + j, 0, nnz - 1)
                     x = jnp.take(cols, idx)
                     w = jnp.take(vals, idx)
-                    alpha = jnp.where(
-                        x == prev_c, inv_p,
-                        jnp.where(
-                            contains(jnp.broadcast_to(prev_c, cshape), x),
-                            1.0, inv_q,
-                        ),
+                    common, _ = bsearch(jnp.broadcast_to(prev_c, cshape), x)
+                    alpha2 = jnp.where(
+                        x == prev_c, 0.0, jnp.where(common, 1.0, inv_q)
                     )
-                    prob = jnp.where(
-                        first, 1.0,
-                        w * alpha / jnp.maximum(wm * amax, 1e-30),
+                    p_acc = jnp.where(
+                        first, 1.0, w * alpha2 / jnp.maximum(wm * m2, 1e-30)
                     )
-                    hit = jax.random.uniform(k2, cshape) < prob
+                    hit = is_bt | (jax.random.uniform(k2, cshape) < p_acc)
+                    prop = jnp.where(is_bt, prev_c, x)
                     any_hit = jnp.any(hit, axis=0)
                     fi = jnp.argmax(hit, axis=0)  # first accepted proposal
-                    sel = jnp.take_along_axis(x, fi[None, :], axis=0)[0]
-                    take_it = alive & ~acc & (any_hit | (r == rounds - 1))
-                    # exhausted elements fall back to the round's last
-                    # uniform proposal (see docstring bias bound)
-                    cand = jnp.where(
-                        take_it, jnp.where(any_hit, sel, x[-1]), cand
-                    )
-                    return r + 1, kk, acc | take_it | ~alive, cand
+                    sel = jnp.take_along_axis(prop, fi[None, :], axis=0)[0]
+                    exhausted = forced & (r == max_rounds - 1)
+                    take_it = alive & ~a & (any_hit | exhausted)
+                    c = jnp.where(take_it, jnp.where(any_hit, sel, x[-1]), c)
+                    return r + 1, kk, a | take_it | ~alive, c
 
-                init = (
-                    jnp.int32(0), k, ~alive,
-                    jnp.full(cur.shape, n_rows, jnp.int32),
+                _, _, acc, cand = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), key0, acc, cand)
                 )
-                _, _, _, nxt = jax.lax.while_loop(cond, body, init)
-                return (cur, nxt), nxt
+                return acc, cand
+
+            def hop(carry, k):
+                prev, cur = carry
+                valid = cur < n_rows
+                cur_c = jnp.where(valid, cur, 0)
+                d = jnp.take(deg, cur_c)
+                base = jnp.take(indptr, cur_c)
+                wm = jnp.take(wmax, cur_c)
+                first = prev >= n_rows  # no prev yet → uniform hop
+                prev_c = jnp.where(first, 0, prev)
+                # exact backtrack component: w(cur→prev)·(1/p)
+                bt_found, bt_pos = bsearch(cur_c, prev_c)
+                w_bt = jnp.where(
+                    bt_found & ~first,
+                    jnp.take(vals, jnp.clip(bt_pos, 0, nnz - 1)) * inv_p,
+                    0.0,
+                )
+                env = w_bt + d.astype(jnp.float32) * wm * m2
+                pi = w_bt / jnp.maximum(env, 1e-30)
+                # the host walker stops when the row's biased transition
+                # mass underflows; wsum·m2 + w_bt bounds it from above
+                dead = jnp.take(wsum, cur_c) * m2 + w_bt < 1e-15
+                alive = valid & (d > 0) & ~dead
+
+                k_a, k_b, k_b2, k_c = jax.random.split(k, 4)
+                acc = ~alive
+                cand = jnp.full(cur.shape, n_rows, jnp.int32)
+                st = (alive, first, prev_c, d, base, wm, pi)
+                acc, cand = run_stage(k_a, acc, cand, st, PRELUDE, False)
+                if sub:
+                    _, gi = jax.lax.top_k((~acc).astype(jnp.int32), sub)
+                    st_k = tuple(v[gi] for v in st)
+                    acc_k, cand_k = run_stage(
+                        k_b, acc[gi], cand[gi], st_k,
+                        min(4, rounds) if sub2 else rounds, not sub2,
+                    )
+                    if sub2:  # deep tail: sixteenth-width view
+                        _, gj = jax.lax.top_k((~acc_k).astype(jnp.int32),
+                                              sub2)
+                        st_j = tuple(v[gj] for v in st_k)
+                        acc_j, cand_j = run_stage(
+                            k_b2, acc_k[gj], cand_k[gj], st_j, rounds, True
+                        )
+                        acc_k = acc_k.at[gj].set(acc_j)
+                        cand_k = cand_k.at[gj].set(cand_j)
+                    acc = acc.at[gi].set(acc_k)
+                    cand = cand.at[gi].set(cand_k)
+                # leftovers (pending lanes that exceeded the compact views —
+                # rare) finish full-width; normally all-accepted ⇒ 0 rounds
+                _, cand = run_stage(k_c, acc, cand, st, rounds, True)
+                return (cur, cand), cand
 
             keys = jax.random.split(key, walk_length - 1)
             prev0 = jnp.full(starts.shape, n_rows, jnp.int32)
@@ -1282,9 +1346,12 @@ _WALK2_FN = None
 _WALK2_TRIES = 64
 _WALK2_TRIES_CAP = 1024
 
-# proposals per while_loop round — one batch synchronization buys `chunk`
-# candidate gathers, so slow rejection chains cost rounds ≈ tries/chunk
-_WALK2_CHUNK = 8
+# proposals per while_loop round.  MEASURED on the v5e (sweep in
+# scripts/walk2_chunk_sweep.py): per-round cost is gather-issue-bound and
+# scales with chunk while the tail rounds shrink sublinearly — chunk=1
+# (11.3 s/batch) beat 2 (12.7), 4 (15.8) and 8 (21.1) at the probe shape;
+# the tail is handled by compaction instead (see _device_walk2_jit)
+_WALK2_CHUNK = 1
 
 # Second-order batches are smaller than first-order ones: the rejection
 # loop multiplies per-hop buffer count ~chunk-fold, and the 262144×80

@@ -157,10 +157,10 @@ def probe_walks2():
         if CPU else (1_000_000, 5_000_000, 80, alg._WALK2_BATCH)
     )
     g = _graph(n_nodes, n_und)
-    indptr, cols, deg, n, vals, wmax = alg._walk_csr(g, with_vals=True)
+    indptr, cols, deg, n, vals, wmax, wsum = alg._walk_csr(g, with_vals=True)
     bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
     dev = (jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals),
-           jnp.asarray(deg), jnp.asarray(wmax))
+           jnp.asarray(deg), jnp.asarray(wmax), jnp.asarray(wsum))
     starts = np.nonzero(deg > 0)[0].astype(np.int32)[:batch]
     if starts.shape[0] < batch:
         starts = np.resize(starts, batch)
@@ -168,12 +168,15 @@ def probe_walks2():
     key = jax.random.PRNGKey(0)
     _ = float(d_starts[0])
     fn = alg._device_walk2_jit()
-    print(f"walks2: bsteps={bsteps} batch={batch}", flush=True)
+    print(f"walks2: bsteps={bsteps} batch={batch} "
+          f"chunk={alg._WALK2_CHUNK}", flush=True)
 
     def call():
+        # p=0.5, q=2 → inv_p=2, inv_q=0.5 (the production kwargs order)
         return fn(*dev, d_starts, key, jnp.float32(2.0), jnp.float32(0.5),
                   walk_length=walk_length, n_rows=n,
-                  tries=alg._WALK2_TRIES, bsteps=bsteps)
+                  tries=alg._WALK2_TRIES, bsteps=bsteps,
+                  chunk=alg._WALK2_CHUNK)
 
     dt = _timed("walk2 batch (p=0.5, q=2)", call)
     hops = batch * (walk_length - 1)

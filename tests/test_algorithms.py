@@ -532,3 +532,56 @@ def test_auto_block_rows_budget():
         assert b >= 1024
     with mock.patch.object(memory, "device_hbm_limit", lambda: None):
         assert alg._auto_block_rows(1000, 64) == 1000 // 128 * 128
+
+
+def test_device_walks2_backtrack_exact():
+    """Extreme p on a high-degree hub — the regime where a global-envelope
+    rejection sampler degrades (advisor finding r2).  The composition
+    sampler carries the backtrack edge as an exact point mass: from
+    (prev=1, cur=0) on a degree-50 star with p=0.001, q=1,
+    P(backtrack) = (1/p)/((1/p) + 49) = 0.953 (all edges weight-equal, no
+    common neighbors).  Check the empirical rate."""
+    from cleora_tpu import SparseMatrix
+
+    hub_deg = 50
+    src = np.zeros(hub_deg, dtype=np.int64)
+    dst = np.arange(1, hub_deg + 1, dtype=np.int64)
+    g = SparseMatrix.from_edge_arrays(src, dst)
+    one = g.get_entity_index("1")
+    walks = np.concatenate(
+        list(alg._device_walks2(g, num_walks=256, walk_length=3,
+                                p=0.001, q=1.0, seed=5)), axis=0)
+    from_one = walks[walks[:, 0] == one]  # deg(1)=1 ⇒ hop 1 is always 0
+    assert from_one.shape[0] == 256
+    bt = float((from_one[:, 2] == one).mean())
+    expect = (1 / 0.001) / ((1 / 0.001) + (hub_deg - 1))
+    assert abs(bt - expect) < 0.05, (bt, expect)
+
+
+def test_device_walks2_compaction_paths():
+    """Batches >= 4096 take the quarter-width tail compaction and >= 16384
+    the sixteenth-width level — validate edges and determinism there."""
+    from cleora_tpu import SparseMatrix
+
+    rng = np.random.default_rng(9)
+    n = 17_000
+    src = rng.integers(0, n, 3 * n)
+    dst = (src + 1 + rng.integers(0, n - 2, 3 * n)) % n
+    g = SparseMatrix.from_edge_arrays(src, dst)
+    edges = _edge_set(g)
+    nn = g.num_entities
+    got = list(alg._device_walks2(g, num_walks=1, walk_length=3,
+                                  p=0.5, q=2.0, seed=7))
+    walks = np.concatenate(got, axis=0)
+    assert walks.shape[0] >= 16384  # sub2 path exercised
+    bad = 0
+    for w in walks[:: max(1, walks.shape[0] // 2000)]:
+        for a, b in zip(w[:-1], w[1:]):
+            if b == nn:
+                continue
+            bad += (int(a), int(b)) not in edges
+    assert bad == 0
+    again = np.concatenate(
+        list(alg._device_walks2(g, num_walks=1, walk_length=3,
+                                p=0.5, q=2.0, seed=7)), axis=0)
+    assert np.array_equal(walks, again)
