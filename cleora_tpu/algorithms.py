@@ -1370,9 +1370,12 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
     indptr, cols, deg, n, vals, wmax, wsum = _walk_csr(graph, with_vals=True)
     bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
     if tries is None:
-        amax = max(1.0, 1.0 / p, 1.0 / q)
+        # the composition sampler's acceptance is independent of p (exact
+        # backtrack component) and of q below 1; scale the budget only for
+        # q ≫ 1, where the target concentrates on common neighbors and
+        # per-proposal acceptance approaches their frequency
         tries = int(min(_WALK2_TRIES_CAP,
-                        max(_WALK2_TRIES, np.ceil(8.0 * amax))))
+                        max(_WALK2_TRIES, np.ceil(8.0 * q))))
     starts = np.nonzero(deg > 0)[0].astype(np.int32)
     if starts.shape[0] == 0:
         return
@@ -1607,13 +1610,15 @@ def embed_node2vec(
 
     ``backend="device"`` runs on the TPU for ANY p, q: the uniform case
     (p == q == 1, the reference default) uses the first-order engine; the
-    biased case uses chunked rejection sampling with a binary-search
-    common-neighbor test (:func:`_device_walk2_jit`) — correct Node2Vec
-    transition probabilities up to a uniform-fallback mixing weight
-    (1−a)^tries when a proposal budget (scaled with max(1, 1/p, 1/q))
-    is exhausted; negligible except for extreme p/q on high-degree
-    skew-weighted rows.  Host-path semantics otherwise (incl. dead-row
-    termination), different (device) RNG stream."""
+    biased case uses composition + rejection sampling with an exact
+    backtrack component and a binary-search common-neighbor test
+    (:func:`_device_walk2_jit`) — correct Node2Vec transition
+    probabilities up to a uniform-fallback mixing weight (1−a)^tries on
+    proposal-budget exhaustion; acceptance is independent of p, so the
+    residual regimes are only q ≫ 1 with rare common neighbors (budget
+    scales with q) and heavily skewed edge weights.  Host-path semantics
+    otherwise (incl. dead-row termination), different (device) RNG
+    stream."""
     if p <= 0.0 or q <= 0.0:
         raise ValueError("p and q must be positive")
     if backend == "device":
