@@ -122,6 +122,18 @@ def embed(
         # streamed build (graph.stream.DiskGraph): route through the sharded
         # loop, whose loader reads the memmapped CSR one row block at a time
         # (a 1-device mesh on a single chip) — embed() semantics unchanged.
+        if canonical_shapes or (
+            canonical_shapes is None
+            and os.environ.get("CLEORA_TPU_CANON", "0") == "1"
+        ):
+            import warnings
+
+            warnings.warn(
+                "canonical_shapes is not supported for streamed-build "
+                "(DiskGraph) inputs; the sharded loop uses its exact-shape "
+                "layout, so a new graph shape pays the full cold compile.",
+                stacklevel=2,
+            )
         from .parallel.embed import embed_sharded as _disk_embed
 
         return _disk_embed(
@@ -184,7 +196,15 @@ def embed(
 
     state_rows = rows.state_rows if isinstance(rows, EllPlan) else n
     if state_rows != n:
-        # canonical-shape plan: the loop state is padded to the plan's
+        # canonical-shape plan: re-check HBM fit at the PADDED shape — the
+        # state/output/whitening buffers are all sized by state_rows (up to
+        # ~25% over n just past a grid step) and the gather slabs by the
+        # padded slot count, both of which the pre-plan check (true n/nnz)
+        # underestimates; near-ceiling graphs must fail with the actionable
+        # error here, not in the XLA allocator
+        check_device_fit(state_rows, int(feature_dim), int(rows.slots),
+                         dtype)
+        # the loop state is padded to the plan's
         # quantized row grid; pad rows are zero and sliced off on return
         x0 = np.concatenate(
             [np.asarray(x0, dtype=np.float32),

@@ -723,6 +723,7 @@ def embed_sharded(
             plan=plan, banded_plan=banded_plan, overlap_plan=overlap_plan,
             ell_plan=ell_plan, x_state=x_state, dtype=dtype, seed=seed,
             propagation=propagation, user_init=x0 is not None,
+            content_digest=lifecycle.content_digest(sharded, x0=x0),
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=int(checkpoint_every),
         )
@@ -745,7 +746,7 @@ def _run_checkpointed(
     mesh, sharded, feature_dim, num_iterations, *, residual_weight,
     normalization, whiten, convergence_threshold, plan, banded_plan,
     overlap_plan, ell_plan, x_state, dtype, seed, propagation, user_init,
-    checkpoint_dir, checkpoint_every,
+    content_digest, checkpoint_dir, checkpoint_every,
 ):
     """Run the sharded loop in checkpoint_every-iteration segments, saving
     the per-shard state after each (parallel/state.py), resuming from the
@@ -769,6 +770,7 @@ def _run_checkpointed(
         seed=seed, num_iterations=num_iterations, seg=seg, mode=mode,
         R=ell_plan.R if ell_plan is not None else None,
         user_init=bool(user_init),
+        content=content_digest,
         convergence=float(convergence_threshold),
         n_shards=int(mesh.devices.size),
     ))

@@ -249,6 +249,51 @@ def fingerprint(params: dict) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def content_digest(sharded, x0=None) -> str:
+    """Cheap content fingerprint of the sharded graph (and the
+    user-provided initial embeddings, if any) so checkpoint resume rejects
+    a DIFFERENT input that happens to share the loop/layout configuration
+    — without it a completed run's meta would match and ``embed_sharded``
+    would return the stale state with zero iterations run.
+
+    Samples a fixed number of strided elements per shard, so the cost is
+    O(P·samples) regardless of graph size.  In multi-process runs each
+    process digests its local view and the per-process digests are
+    allgathered and combined — this covers piece mode, where every process
+    sees only its own shards' edges (the rest pack as padding)."""
+    h = hashlib.blake2b(digest_size=16)
+    P, E = sharded.cols.shape
+    idx = np.unique(
+        np.linspace(0, max(E - 1, 0), num=min(E, 2048)).astype(np.int64)
+    )
+    for k in range(P):
+        h.update(np.ascontiguousarray(sharded.local_rows[k, idx]).tobytes())
+        h.update(np.ascontiguousarray(sharded.cols[k, idx]).tobytes())
+        h.update(np.ascontiguousarray(sharded.vals[k, idx]).tobytes())
+    h.update(np.int64(sharded.n_rows).tobytes())
+    h.update(np.int64(E).tobytes())
+    if x0 is not None:
+        x = np.asarray(x0)
+        flat = x.reshape(-1)
+        fi = np.unique(
+            np.linspace(0, max(flat.size - 1, 0),
+                        num=min(flat.size, 4096)).astype(np.int64)
+        )
+        h.update(np.ascontiguousarray(flat[fi]).tobytes())
+        h.update(str(x.shape).encode())
+    local = h.hexdigest()
+    import jax
+
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        mine = np.frombuffer(bytes.fromhex(local), dtype=np.uint8)
+        allp = np.asarray(multihost_utils.process_allgather(jnp.asarray(mine)))
+        return hashlib.blake2b(allp.tobytes(), digest_size=16).hexdigest()
+    return local
+
+
 class ShardedCheckpoint:
     """Two-phase per-process checkpoint of the sharded loop state.
 
