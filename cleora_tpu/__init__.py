@@ -396,35 +396,45 @@ def embed_with_node_features(
     feature_weight: float = 0.5,
     num_workers: Optional[int] = None,
 ) -> np.ndarray:
-    """Blend external per-node features into the hash init
-    (parity: pycleora/__init__.py:167-203)."""
+    """Warm-start the embed from a convex mix of the deterministic hash
+    init and user-supplied feature vectors: nodes named in
+    ``node_features`` start at ``(1−w)·hash_init + w·feature``, everything
+    else at the plain hash init; names absent from the graph are ignored.
+    Semantics parity: pycleora/__init__.py:167-203 (asserted geometry-level
+    by tests/test_reference_verbatim.py), vectorized here — the features
+    are stacked once and blended with a single fancy-index assignment
+    instead of a per-entity Python loop."""
     if not node_features:
         raise ValueError(
             "node_features must be a non-empty dict of entity_id -> feature_vector"
         )
 
-    sample_feat = next(iter(node_features.values()))
-    feat_dim = len(sample_feat)
+    names = list(node_features)
+    feat_dim = len(node_features[names[0]])
+    stacked = np.empty((len(names), feat_dim), dtype=np.float32)
+    for i, name in enumerate(names):
+        vec = np.asarray(node_features[name], dtype=np.float32)
+        if vec.shape != (feat_dim,):
+            raise ValueError(
+                f"Feature for '{name}' has dimension "
+                f"{vec.shape[-1] if vec.ndim else 0}, expected {feat_dim}"
+            )
+        stacked[i] = vec
 
-    init_emb = graph.initialize_deterministically(feat_dim)
-    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
-    for eid, feat in node_features.items():
-        idx = index_map.get(eid)
-        if idx is not None:
-            feat_arr = np.array(feat, dtype=np.float32)
-            if len(feat_arr) != feat_dim:
-                raise ValueError(
-                    f"Feature for '{eid}' has dimension {len(feat_arr)}, expected {feat_dim}"
-                )
-            init_emb[idx] = (1 - feature_weight) * init_emb[idx] + feature_weight * feat_arr
-
+    x0 = graph.initialize_deterministically(feat_dim)
+    index_map = graph._index_map  # cached; names absent from the graph → -1
+    idx = np.fromiter((index_map.get(n, -1) for n in names),
+                      dtype=np.int64, count=len(names))
+    known = idx >= 0
+    rows = idx[known]
+    x0[rows] = (1.0 - feature_weight) * x0[rows] + feature_weight * stacked[known]
     return embed(
         graph,
         feature_dim=feat_dim,
         num_iterations=num_iterations,
         propagation=propagation,
         normalization=normalization,
-        initial_embeddings=init_emb,
+        initial_embeddings=x0,
         num_workers=num_workers,
     )
 

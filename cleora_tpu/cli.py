@@ -57,6 +57,20 @@ def main(argv=None):
     p.add_argument("--entities", type=int, default=None,
                    help="With --shard: the global entity count (e.g. from "
                         "host 0's pass), skipping the index-only first scan")
+    p.add_argument("--sharded", nargs="?", const=0, type=int, default=None,
+                   metavar="N",
+                   help="Multi-device embed over an N-device mesh (omit N "
+                        "to use every visible device); cleora algorithm "
+                        "only.  With a .npy --output the embedding streams "
+                        "shard-by-shard into the file — no host ever holds "
+                        "the full (N, D) matrix")
+    p.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                   help="With --sharded: persist the sharded loop state to "
+                        "DIR every --checkpoint-every iterations; an "
+                        "interrupted run resumes from the last complete "
+                        "checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=10, metavar="K",
+                   help="Checkpoint cadence in iterations (default: 10)")
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser(
@@ -66,6 +80,22 @@ def main(argv=None):
     p.add_argument("pieces", nargs="+", help="Piece directories (any order)")
     p.add_argument("--output", "-o", required=True, help="Merged graph dir")
     p.add_argument("--verbose", "-v", action="store_true")
+
+    p = sub.add_parser(
+        "scaling",
+        help="Measure multi-device scaling efficiency (hard >=80%% gate)",
+    )
+    p.add_argument("--smoke", action="store_true",
+                   help="Tiny shapes / few iterations — structural check")
+    p.add_argument("--check", nargs="?", const=-1.0, type=float,
+                   default=None, metavar="X",
+                   help="Gate: efficiency at the largest device count must "
+                        "be >= X (default 0.80, the BASELINE target); "
+                        "exits 2 on FAIL")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="Write the measurement table as JSON")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (virtual mesh)")
 
     p = sub.add_parser("info", help="Show graph information")
     p.add_argument("--input", "-i", required=True, help="Input edge file")
@@ -86,9 +116,12 @@ def main(argv=None):
     if args.command is None:
         parser.print_help()
         return
-    {"embed": _cmd_embed, "info": _cmd_info, "benchmark": _cmd_benchmark,
-     "similar": _cmd_similar,
-     "merge-shards": _cmd_merge_shards}[args.command](args)
+    rc = {"embed": _cmd_embed, "info": _cmd_info,
+          "benchmark": _cmd_benchmark, "similar": _cmd_similar,
+          "merge-shards": _cmd_merge_shards,
+          "scaling": _cmd_scaling}[args.command](args)
+    if rc:
+        raise SystemExit(rc)
 
 
 def _read_edges(filepath):
@@ -196,6 +229,38 @@ def _finish_embed(args, graph):
             "--backend device is not applicable to --algorithm cleora "
             "(cleora always runs on device)"
         )
+    if getattr(args, "checkpoint_dir", None) and args.sharded is None:
+        raise SystemExit("--checkpoint-dir requires --sharded")
+    if getattr(args, "sharded", None) is not None:
+        # scale lifecycle: the sharded loop with optional checkpointing and
+        # memory-bounded direct-to-.npy output (parallel/embed.py)
+        if args.algorithm != "cleora":
+            raise SystemExit("--sharded supports only --algorithm cleora")
+        from .parallel.embed import embed_sharded
+
+        to_npy = args.output.endswith(".npy")
+        emb = embed_sharded(
+            graph, feature_dim=args.dim, num_iterations=args.iterations,
+            propagation=args.propagation, normalization=args.normalization,
+            seed=args.seed, dtype=args.dtype,
+            n_devices=args.sharded or None,
+            out=args.output if to_npy else "full",
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every,
+        )
+        dt = time.time() - t0
+        if to_npy:
+            print(f"{graph.num_entities} entities -> {emb.shape} streamed "
+                  f"to {args.output} ({dt:.2f}s)")
+            return
+        from .io_utils import save_embeddings as _save
+
+        fmt = ("csv" if args.output.endswith(".csv")
+               else "tsv" if args.output.endswith(".tsv") else "npz")
+        _save(graph, emb, args.output, format=fmt)
+        print(f"{graph.num_entities} entities -> {emb.shape} saved to "
+              f"{args.output} ({dt:.2f}s)")
+        return
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
                                 args.propagation, args.normalization, args.seed,
@@ -232,6 +297,19 @@ def _finish_embed(args, graph):
     else:
         print(f"{graph.num_entities} entities -> {emb.shape} saved to "
               f"{args.output}")
+
+
+def _cmd_scaling(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .scaling import TARGET_EFFICIENCY, run_report
+
+    check = args.check
+    if check is not None and check < 0:  # bare --check → baseline target
+        check = TARGET_EFFICIENCY
+    return run_report(smoke=args.smoke, check=check, json_path=args.json)
 
 
 def _cmd_merge_shards(args):

@@ -250,36 +250,32 @@ def fingerprint(params: dict) -> str:
 
 
 def content_digest(sharded, x0=None) -> str:
-    """Cheap content fingerprint of the sharded graph (and the
-    user-provided initial embeddings, if any) so checkpoint resume rejects
-    a DIFFERENT input that happens to share the loop/layout configuration
-    — without it a completed run's meta would match and ``embed_sharded``
-    would return the stale state with zero iterations run.
+    """Content fingerprint of the sharded graph (and the user-provided
+    initial embeddings, if any) so checkpoint resume rejects a DIFFERENT
+    input that happens to share the loop/layout configuration — without it
+    a completed run's meta would match and ``embed_sharded`` would return
+    the stale state with zero iterations run.
 
-    Samples a fixed number of strided elements per shard, so the cost is
-    O(P·samples) regardless of graph size.  In multi-process runs each
-    process digests its local view and the per-process digests are
-    allgathered and combined — this covers piece mode, where every process
-    sees only its own shards' edges (the rest pack as padding)."""
+    Hashes EVERY byte of the shard buffers (a round-3 version sampled
+    2,048 strided elements per shard, which let two graphs differing only
+    between sample strides share a digest — exactly the stale-resume hole
+    the digest exists to close).  blake2b streams at ~1 GB/s, so even a
+    60M-nnz graph digests in well under a second — negligible next to one
+    embed iteration.  In multi-process runs each process digests its local
+    view and the per-process digests are allgathered and combined — this
+    covers piece mode, where every process sees only its own shards' edges
+    (the rest pack as padding)."""
     h = hashlib.blake2b(digest_size=16)
     P, E = sharded.cols.shape
-    idx = np.unique(
-        np.linspace(0, max(E - 1, 0), num=min(E, 2048)).astype(np.int64)
-    )
     for k in range(P):
-        h.update(np.ascontiguousarray(sharded.local_rows[k, idx]).tobytes())
-        h.update(np.ascontiguousarray(sharded.cols[k, idx]).tobytes())
-        h.update(np.ascontiguousarray(sharded.vals[k, idx]).tobytes())
+        h.update(np.ascontiguousarray(sharded.local_rows[k]).data)
+        h.update(np.ascontiguousarray(sharded.cols[k]).data)
+        h.update(np.ascontiguousarray(sharded.vals[k]).data)
     h.update(np.int64(sharded.n_rows).tobytes())
     h.update(np.int64(E).tobytes())
     if x0 is not None:
-        x = np.asarray(x0)
-        flat = x.reshape(-1)
-        fi = np.unique(
-            np.linspace(0, max(flat.size - 1, 0),
-                        num=min(flat.size, 4096)).astype(np.int64)
-        )
-        h.update(np.ascontiguousarray(flat[fi]).tobytes())
+        x = np.ascontiguousarray(np.asarray(x0))
+        h.update(x.data)
         h.update(str(x.shape).encode())
     local = h.hexdigest()
     import jax
@@ -329,9 +325,11 @@ class ShardedCheckpoint:
     def _state_path(self, iteration: int, proc: int) -> str:
         return os.path.join(self.dir, f"state_i{iteration}_p{proc}.npy")
 
-    def save(self, arr, iteration: int) -> None:
+    def save(self, arr, iteration: int, extra: Optional[dict] = None) -> None:
         """Persist the device state array at ``iteration`` (all processes
-        call this collectively)."""
+        call this collectively).  ``extra`` merges additional keys into the
+        meta (e.g. ``converged`` so a resume of a converged run returns
+        immediately instead of running further segments)."""
         import jax
 
         multi = jax.process_count() > 1
@@ -368,6 +366,8 @@ class ShardedCheckpoint:
                 "dtype": str(arr.dtype),
                 "state_shape": [int(x) for x in arr.shape],
             }
+            if extra:
+                meta.update(extra)
             tmp = self._meta_path() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(meta, f, indent=1)
