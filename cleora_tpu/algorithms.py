@@ -808,12 +808,25 @@ def embed_prone(
     theta: float = 0.5,
     seed: int = 0,
     backend: str = "host",
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """ProNE spectral propagation (reference algorithms.py:23-64):
     U = R + Σ_{k=2}^{min(10,n)-1} exp(-θk)·μ · T_k(L_norm)·R, then
-    SVD sqrt-singular rescale."""
+    SVD sqrt-singular rescale.
+
+    ``backend="device"`` with ``mesh=``/``n_devices=`` runs the Chebyshev
+    recurrence AND the U_k√S_k epilogue sharded across the device mesh
+    (parallel/algorithms.py) — graphs past one chip's HBM included; output
+    matches single-device up to per-column sign flips (eigh ambiguity)."""
     n = graph.num_entities
 
+    if backend == "device" and (mesh is not None or n_devices is not None):
+        from .parallel.algorithms import prone_sharded
+
+        U = prone_sharded(graph, feature_dim, mu, theta, seed,
+                          mesh=mesh, n_devices=n_devices)
+        return _finalize(U, feature_dim)
     if backend == "device":
         dev, rank = _prone_chebyshev_core(graph, feature_dim, mu, theta, seed)
         U = np.asarray(dev, dtype=np.float64)
@@ -844,9 +857,15 @@ def embed_randne(
     weights: Optional[List[float]] = None,
     seed: int = 0,
     backend: str = "host",
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """RandNE iterated Gaussian projection (reference algorithms.py:67-100):
-    U = Σ_i w_i · N^i · R with N = D^-1/2 A D^-1/2, w_i = 1/2^i default."""
+    U = Σ_i w_i · N^i · R with N = D^-1/2 A D^-1/2, w_i = 1/2^i default.
+
+    ``backend="device"`` with ``mesh=``/``n_devices=`` runs the whole
+    weighted-power loop sharded across the device mesh
+    (parallel/algorithms.py)."""
     n = graph.num_entities
     if weights is None:
         weights = [1.0 / (2**i) for i in range(num_iterations + 1)]
@@ -859,6 +878,12 @@ def embed_randne(
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((n, feature_dim))
 
+    if backend == "device" and (mesh is not None or n_devices is not None):
+        from .parallel.algorithms import randne_sharded
+
+        U = randne_sharded(graph, feature_dim, full, seed,
+                           mesh=mesh, n_devices=n_devices)
+        return _finalize(U, feature_dim)
     if backend == "device":
         U = _device_spmm_weighted_sum(graph, R, full, sym_norm=True)
     else:
@@ -881,6 +906,8 @@ def embed_hope(
     seed: int = 0,
     oversample: int = 8,
     power_iters: int = 2,
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """HOPE Katz-proximity factorization (reference algorithms.py:103-149):
     M = (I − βA)^-1 − I, truncated SVD at dim/2, concat source ∥ target.
@@ -890,9 +917,18 @@ def embed_hope(
     ELL layout), so the n×n proximity matrix is never materialized — HOPE
     scales to graphs where the host path (and the reference) OOM.  Requires
     β·‖A‖_∞ < 1; accuracy is the usual randomized-SVD guarantee, tunable via
-    ``oversample``/``power_iters``.  seed only affects the device sketch."""
+    ``oversample``/``power_iters``.  seed only affects the device sketch.
+    With ``mesh=``/``n_devices=`` the whole pipeline (Neumann SpMMs,
+    CholeskyQR subspace iteration, Gram-SVD) runs sharded across the
+    device mesh (parallel/algorithms.py)."""
     n = graph.num_entities
 
+    if backend == "device" and (mesh is not None or n_devices is not None):
+        from .parallel.algorithms import hope_sharded
+
+        result = hope_sharded(graph, feature_dim, beta, seed, oversample,
+                              power_iters, mesh=mesh, n_devices=n_devices)
+        return _finalize(result, feature_dim)
     if backend == "device":
         result = _hope_device(
             graph, feature_dim, beta, seed, oversample, power_iters

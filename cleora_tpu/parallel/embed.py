@@ -94,6 +94,61 @@ def _ell_propagate(table, ell, n_zero, n_hub, acc_dtype):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def _propagate_local(
+    x_local, lrows, cols, vals, *, rows_per_shard, axis, send_idx=None,
+    overlap=None, ell=None, ell_static=None,
+):
+    """Boundary-row exchange + local SpMM from inside shard_map — the
+    shared propagate core of the embed loop and the sharded sibling
+    algorithms (parallel/algorithms.py).  Returns the float32 result in
+    the same state space (row block or per-shard ELL) as ``x_local``."""
+    if overlap is not None:
+        # 1c+2. pipelined boundary exchange fused with the local SpMM
+        y = _overlap_propagate(x_local, send_idx, overlap, rows_per_shard,
+                               axis)
+        return y.astype(jnp.float32)
+    if send_idx is None:
+        # 1a. baseline: assemble the full gather table via all_gather
+        x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
+    else:
+        # 1b. halo exchange: ship only the boundary rows each peer needs.
+        # send_idx (P, M): my local rows destined for each peer; one
+        # all_to_all swaps (P, M, D) send slabs into (P, M, D) receive
+        # slabs, and ``cols`` are pre-remapped into that buffer layout.
+        send = jnp.take(x_local, send_idx, axis=0)  # (P, M, D)
+        recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
+
+    if ell is not None:
+        # 2-ELL. production layout: dense fixed-width gather+reduce
+        n_zero, n_hub = ell_static
+        if ell["remote"] is not None:
+            # split mode: the bucketed (local-owner) edges read the
+            # shard's OWN state, so this compute has no dependency on
+            # the all_to_all above — XLA overlaps the boundary-row
+            # exchange with the bulk local SpMM (SURVEY §2c).  The
+            # remote remainder joins via one sorted segment-sum over
+            # the received slab.
+            y = _ell_propagate(x_local, ell, n_zero, n_hub, jnp.float32)
+            rc, rv, rp = ell["remote"]
+            g = (jnp.take(x_full, rc, axis=0).astype(jnp.float32)
+                 * rv[:, None].astype(jnp.float32))
+            y = y + jax.ops.segment_sum(
+                g, rp, num_segments=y.shape[0], indices_are_sorted=True
+            )
+        else:
+            y = _ell_propagate(x_full, ell, n_zero, n_hub, jnp.float32)
+    else:
+        # 2. local SpMM: every edge's output row is local.  Reuses
+        # spmm_inner so the (nnz_local, D) gather intermediate is
+        # chunk-bounded at production scale and bf16 tables promote to
+        # f32 accumulation, same as single-chip.
+        from ..ops.spmm import spmm_inner
+
+        y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
+    return y.astype(jnp.float32)
+
+
 def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
     normalization, do_whiten, axis, send_idx=None, overlap=None, ell=None,
@@ -106,51 +161,11 @@ def _local_step(
     result is cast back at the end.
     """
     state_dtype = x_local.dtype
-    if overlap is not None:
-        # 1c+2. pipelined boundary exchange fused with the local SpMM
-        y = _overlap_propagate(x_local, send_idx, overlap, rows_per_shard,
-                               axis)
-    elif send_idx is None:
-        # 1a. baseline: assemble the full gather table via all_gather
-        x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
-    else:
-        # 1b. halo exchange: ship only the boundary rows each peer needs.
-        # send_idx (P, M): my local rows destined for each peer; one
-        # all_to_all swaps (P, M, D) send slabs into (P, M, D) receive
-        # slabs, and ``cols`` are pre-remapped into that buffer layout.
-        send = jnp.take(x_local, send_idx, axis=0)  # (P, M, D)
-        recv = lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
-        x_full = recv.reshape(-1, x_local.shape[1])  # (P·M, D)
-
-    if overlap is None:
-        if ell is not None:
-            # 2-ELL. production layout: dense fixed-width gather+reduce
-            n_zero, n_hub = ell_static
-            if ell["remote"] is not None:
-                # split mode: the bucketed (local-owner) edges read the
-                # shard's OWN state, so this compute has no dependency on
-                # the all_to_all above — XLA overlaps the boundary-row
-                # exchange with the bulk local SpMM (SURVEY §2c).  The
-                # remote remainder joins via one sorted segment-sum over
-                # the received slab.
-                y = _ell_propagate(x_local, ell, n_zero, n_hub, jnp.float32)
-                rc, rv, rp = ell["remote"]
-                g = (jnp.take(x_full, rc, axis=0).astype(jnp.float32)
-                     * rv[:, None].astype(jnp.float32))
-                y = y + jax.ops.segment_sum(
-                    g, rp, num_segments=y.shape[0], indices_are_sorted=True
-                )
-            else:
-                y = _ell_propagate(x_full, ell, n_zero, n_hub, jnp.float32)
-        else:
-            # 2. local SpMM: every edge's output row is local.  Reuses
-            # spmm_inner so the (nnz_local, D) gather intermediate is
-            # chunk-bounded at production scale and bf16 tables promote to
-            # f32 accumulation, same as single-chip.
-            from ..ops.spmm import spmm_inner
-
-            y = spmm_inner(lrows, cols, vals, x_full, rows_per_shard)
-    y = y.astype(jnp.float32)
+    y = _propagate_local(
+        x_local, lrows, cols, vals, rows_per_shard=rows_per_shard,
+        axis=axis, send_idx=send_idx, overlap=overlap, ell=ell,
+        ell_static=ell_static,
+    )
 
     # 3. residual + row normalization (purely local); weight pre-clamped by
     # embed_sharded via ops.loop.effective_residual_weight

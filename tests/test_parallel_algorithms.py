@@ -1,0 +1,110 @@
+"""Sharded sibling algorithms (parallel/algorithms.py — VERDICT r3 #2):
+ProNE / RandNE / HOPE on the multi-chip sharded-ELL substrate must match
+their single-device device backends on the virtual CPU mesh.
+
+Sign conventions: the distributed epilogues use Gram-eigh forms whose
+columns match the single-device ``svd`` outputs up to per-column sign
+flips (HOPE: joint source/target flips), so comparisons sign-align
+columns first and also check the rotation-invariant Gram geometry.
+Reference anchor: /root/reference/pycleora/algorithms.py:23-149 (host
+scipy only — no distributed or accelerator path exists there).
+"""
+
+import numpy as np
+import pytest
+
+import cleora_tpu as ct
+from cleora_tpu.algorithms import embed_hope, embed_prone, embed_randne
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 400, size=4000)
+    dst = rng.integers(0, 400, size=4000)
+    return ct.SparseMatrix.from_edge_arrays(src, dst)
+
+
+def _sign_align(ref, got):
+    s = np.sign(np.sum(ref * got, axis=0))
+    s[s == 0] = 1.0
+    return got * s
+
+
+def _assert_matches(ref, got, label, atol=5e-3):
+    assert got.shape == ref.shape, label
+    assert np.isfinite(got).all(), label
+    got = _sign_align(ref, got)
+    # rotation-invariant geometry (robust to near-degenerate spectra)
+    gr = ref @ ref.T
+    gg = got @ got.T
+    assert np.allclose(gr, gg, atol=1e-3), (
+        f"{label}: Gram geometry diverges "
+        f"(max {np.abs(gr - gg).max():.2e})"
+    )
+    # element-wise after sign alignment
+    assert np.allclose(ref, got, atol=atol), (
+        f"{label}: max delta {np.abs(ref - got).max():.2e}"
+    )
+
+
+@pytest.mark.parametrize("nd", [1, 2, 8])
+def test_prone_sharded_matches_single_device(graph, nd):
+    ref = embed_prone(graph, feature_dim=16, backend="device")
+    got = embed_prone(graph, feature_dim=16, backend="device", n_devices=nd)
+    _assert_matches(ref, got, f"prone nd={nd}")
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_randne_sharded_matches_single_device(graph, nd):
+    ref = embed_randne(graph, feature_dim=16, num_iterations=6,
+                       backend="device")
+    got = embed_randne(graph, feature_dim=16, num_iterations=6,
+                       backend="device", n_devices=nd)
+    # RandNE has no SVD epilogue — outputs agree directly (no sign games)
+    assert got.shape == ref.shape
+    assert np.allclose(ref, got, atol=2e-4), np.abs(ref - got).max()
+
+
+def test_randne_sharded_short_weights(graph):
+    ref = embed_randne(graph, feature_dim=8, num_iterations=5,
+                       weights=[1.0, 0.5], backend="device")
+    got = embed_randne(graph, feature_dim=8, num_iterations=5,
+                       weights=[1.0, 0.5], backend="device", n_devices=4)
+    assert np.allclose(ref, got, atol=2e-4)
+
+
+@pytest.mark.parametrize("nd", [1, 2, 8])
+def test_hope_sharded_matches_single_device(graph, nd):
+    ref = embed_hope(graph, feature_dim=16, backend="device")
+    got = embed_hope(graph, feature_dim=16, backend="device", n_devices=nd)
+    _assert_matches(ref, got, f"hope nd={nd}")
+
+
+def test_hope_sharded_beta_check(graph):
+    with pytest.raises(ValueError, match="Neumann"):
+        embed_hope(graph, feature_dim=16, backend="device", n_devices=2,
+                   beta=50.0)
+
+
+def test_prone_sharded_tiny_graph():
+    """kmax = min(10, n) < 10 path + heavy padding (n < shard multiple)."""
+    rng = np.random.default_rng(3)
+    g = ct.SparseMatrix.from_edge_arrays(
+        rng.integers(0, 6, size=30), rng.integers(0, 6, size=30)
+    )
+    ref = embed_prone(g, feature_dim=4, backend="device")
+    got = embed_prone(g, feature_dim=4, backend="device", n_devices=8)
+    _assert_matches(ref, got, "prone tiny", atol=1e-2)
+
+
+def test_sharded_mesh_object(graph):
+    """Passing an explicit mesh works like n_devices."""
+    from cleora_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    a = embed_randne(graph, feature_dim=8, num_iterations=4,
+                     backend="device", mesh=mesh)
+    b = embed_randne(graph, feature_dim=8, num_iterations=4,
+                     backend="device", n_devices=4)
+    assert np.array_equal(a, b)
