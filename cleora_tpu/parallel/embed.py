@@ -94,9 +94,24 @@ def _ell_propagate(table, ell, n_zero, n_hub, acc_dtype):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def _hier_exchange(x_local, send_intra, send_cross, host_axis, chip_axis):
+    """Two-phase hierarchical boundary-row exchange (shard.HierHaloPlan):
+    chip-axis all_to_all of intra-host slabs (ICI), host-axis all_to_all
+    of the per-destination-host UNION slabs (each row crosses DCN once),
+    then a chip-axis all_gather fans the cross slabs out within the host.
+    Returns the gather table in the plan's receive layout."""
+    d = x_local.shape[1]
+    si = jnp.take(x_local, send_intra, axis=0)  # (C, Mc, D)
+    ri = lax.all_to_all(si, chip_axis, split_axis=0, concat_axis=0)
+    sc = jnp.take(x_local, send_cross, axis=0)  # (H, Mh, D)
+    rc = lax.all_to_all(sc, host_axis, split_axis=0, concat_axis=0)
+    rcg = lax.all_gather(rc, chip_axis, axis=0, tiled=False)  # (C, H, Mh, D)
+    return jnp.concatenate([ri.reshape(-1, d), rcg.reshape(-1, d)], axis=0)
+
+
 def _propagate_local(
     x_local, lrows, cols, vals, *, rows_per_shard, axis, send_idx=None,
-    overlap=None, ell=None, ell_static=None,
+    overlap=None, ell=None, ell_static=None, hier_send=None,
 ):
     """Boundary-row exchange + local SpMM from inside shard_map — the
     shared propagate core of the embed loop and the sharded sibling
@@ -107,7 +122,12 @@ def _propagate_local(
         y = _overlap_propagate(x_local, send_idx, overlap, rows_per_shard,
                                axis)
         return y.astype(jnp.float32)
-    if send_idx is None:
+    if hier_send is not None:
+        # 1d. explicit two-phase hierarchical exchange on a (host, chip)
+        # mesh — axis is the ("host", "chip") tuple here
+        x_full = _hier_exchange(x_local, hier_send[0], hier_send[1],
+                                axis[0], axis[1])
+    elif send_idx is None:
         # 1a. baseline: assemble the full gather table via all_gather
         x_full = lax.all_gather(x_local, axis, tiled=True)  # (N_padded, D)
     else:
@@ -152,7 +172,7 @@ def _propagate_local(
 def _local_step(
     x_local, lrows, cols, vals, *, rows_per_shard, n_rows, residual_weight,
     normalization, do_whiten, axis, send_idx=None, overlap=None, ell=None,
-    ell_static=None,
+    ell_static=None, hier_send=None,
 ):
     """One propagate→normalize→whiten step from inside shard_map.
 
@@ -164,7 +184,7 @@ def _local_step(
     y = _propagate_local(
         x_local, lrows, cols, vals, rows_per_shard=rows_per_shard,
         axis=axis, send_idx=send_idx, overlap=overlap, ell=ell,
-        ell_static=ell_static,
+        ell_static=ell_static, hier_send=hier_send,
     )
 
     # 3. residual + row normalization (purely local); weight pre-clamped by
@@ -215,7 +235,8 @@ def _local_step(
 
 
 def _shard_loop_fn(
-    x_local, layout, send_idx=None, overlap=None, start_iter=None, *,
+    x_local, layout, send_idx=None, overlap=None, hier_send=None,
+    start_iter=None, *,
     rows_per_shard, n_rows, num_iterations, residual_weight, normalization,
     do_whiten, convergence_threshold, ell_static=None, axis,
     return_meta=False,
@@ -226,6 +247,8 @@ def _shard_loop_fn(
         overlap = tuple(
             tuple(a.reshape(a.shape[-1]) for a in g) for g in overlap
         )
+    if hier_send is not None:  # drop shard dims: (1,C,Mc)/(1,H,Mh)
+        hier_send = tuple(a.reshape(a.shape[-2:]) for a in hier_send)
     lrows = cols = vals = ell = None
     if isinstance(layout, dict):  # sharded sliced-ELL (parallel/ell.py)
         ell = jax.tree_util.tree_map(
@@ -243,7 +266,7 @@ def _shard_loop_fn(
         rows_per_shard=rows_per_shard, n_rows=n_rows,
         residual_weight=residual_weight, normalization=normalization,
         do_whiten=do_whiten, axis=axis, send_idx=send_idx, overlap=overlap,
-        ell=ell, ell_static=ell_static,
+        ell=ell, ell_static=ell_static, hier_send=hier_send,
     )
     if convergence_threshold <= 0:
         return lax.fori_loop(0, num_iterations, lambda _, x: step(x), x_local)
@@ -290,6 +313,7 @@ def build_sharded_embed(
     banded: Optional["BandedShards"] = None,
     overlap=None,
     ell=None,
+    hier=None,
     return_meta: bool = False,
 ):
     """Compile the full multi-device embed loop for a given sharded graph.
@@ -308,12 +332,23 @@ def build_sharded_embed(
     decomposed into ppermute rounds pipelined against the per-owner-group
     local accumulation (halo/banded/ell are ignored in that mode).
 
+    With a ``hier`` plan (shard.plan_halo_hier, requires a ("host",
+    "chip") mesh), the boundary exchange runs as the explicit two-phase
+    hierarchical scheme — chip-axis all_to_all (ICI), host-axis
+    all_to_all of per-host union slabs (each row crosses DCN once), and a
+    chip-axis fan-out all_gather; halo/banded/ell/overlap are ignored.
+
     ``return_meta=True`` (requires ``convergence_threshold > 0``) makes fn
     take one extra trailing int32 scalar (the GLOBAL iteration offset) and
     return ``(x_out, iters_run, converged)`` — the checkpointed driver
     runs the loop in segments with per-iteration convergence semantics
     identical to the monolithic program.
     """
+    if hier is not None:
+        halo = None
+        banded = None
+        ell = None
+        overlap = None
     if overlap is not None:
         halo = None
         banded = None
@@ -327,7 +362,12 @@ def build_sharded_embed(
 
     if return_meta and convergence_threshold <= 0:
         raise ValueError("return_meta requires convergence_threshold > 0")
-    fn = functools.partial(
+    if hier is not None and not isinstance(axis, tuple):
+        raise ValueError(
+            'hier exchange needs a ("host", "chip") mesh — build it with '
+            "make_hier_mesh"
+        )
+    inner = functools.partial(
         _shard_loop_fn,
         rows_per_shard=sharded.rows_per_shard,
         n_rows=sharded.n_rows,
@@ -340,12 +380,21 @@ def build_sharded_embed(
         axis=axis,
         return_meta=return_meta,
     )
-    if return_meta:
-        inner = fn
+    # bind the optional trailing operands by the modes that ship them
+    _has_send = halo is not None or overlap is not None
 
-        def fn(x_local, layout, *rest):  # noqa: F811 — trailing start_iter
-            *mid, si = rest
-            return inner(x_local, layout, *mid, start_iter=si)
+    def fn(x_local, layout, *rest):
+        rest = list(rest)
+        kw = {}
+        if _has_send:
+            kw["send_idx"] = rest.pop(0)
+        if overlap is not None:
+            kw["overlap"] = rest.pop(0)
+        if hier is not None:
+            kw["hier_send"] = rest.pop(0)
+        if return_meta:
+            kw["start_iter"] = rest.pop(0)
+        return inner(x_local, layout, **kw)
     if ell is not None:
         layout_arrays = ell.arrays()
         layout_specs = jax.tree_util.tree_map(
@@ -364,7 +413,9 @@ def build_sharded_embed(
         )
         layout_specs = (P(axis),) * 3
     else:
-        cols = halo.remapped_cols if halo is not None else sharded.cols
+        cols = (hier.remapped_cols if hier is not None
+                else halo.remapped_cols if halo is not None
+                else sharded.cols)
         layout_arrays = (
             sharded.local_rows.reshape(-1),
             cols.reshape(-1),
@@ -378,6 +429,8 @@ def build_sharded_embed(
         in_specs.append(tuple(
             (P(axis, None),) * 3 for _ in overlap.groups
         ))
+    if hier is not None:
+        in_specs.append((P(axis, None, None), P(axis, None, None)))
     if return_meta:
         in_specs.append(P())  # start_iter scalar, replicated
     mapped = jax.shard_map(
@@ -450,6 +503,11 @@ def build_sharded_embed(
                 tuple(_put(a, P(axis, None)) for a in g)
                 for g in overlap.groups
             ))
+        if hier is not None:
+            out.append((
+                _put(hier.send_intra, P(axis, None, None)),
+                _put(hier.send_cross, P(axis, None, None)),
+            ))
         return tuple(out)
 
     return jitted, place
@@ -481,7 +539,13 @@ def embed_sharded(
 
     ``halo=None`` (auto) uses the boundary-row all_to_all exchange whenever
     its per-device gather table is smaller than the all-gathered full table;
-    True/False force the choice.  ``ell=None`` (auto) runs each device's
+    True/False force the choice.  ``halo="hier"`` (requires a
+    ``make_hier_mesh`` ("host", "chip") mesh) opts into the explicit
+    two-phase hierarchical exchange — chip-axis all_to_all over ICI, then
+    a host-axis all_to_all of per-destination-host UNION slabs so each
+    boundary row crosses DCN exactly once, then an intra-host fan-out —
+    instead of leaving the DCN decomposition of the flat collective to
+    XLA; A/B the two on a real pod (shard.HierHaloPlan).  ``ell=None`` (auto) runs each device's
     local SpMM in the sharded sliced-ELL layout (parallel/ell.py — the
     production single-chip layout, RESULTS.md) whenever the cross-shard
     padding cost is acceptable; True forces it, False disables;
@@ -582,11 +646,11 @@ def embed_sharded(
                 "merged graph (graph.stream.merge_disk_graph_shards) or a "
                 "multi-process run where every host holds its own piece."
             )
-        if banded or halo == "overlap" or ell == "split":
+        if banded or halo in ("overlap", "hier") or ell == "split":
             raise ValueError(
-                "banded/overlap/ell-split layouts need global edge data; "
-                "a sharded-build piece supports the flat, halo and ELL "
-                "layouts (merge the pieces for the others)."
+                "banded/overlap/hier/ell-split layouts need global edge "
+                "data; a sharded-build piece supports the flat, halo and "
+                "ELL layouts (merge the pieces for the others)."
             )
         banded = False
         n = graph.num_entities
@@ -630,6 +694,7 @@ def embed_sharded(
     plan = None
     candidate = None
     overlap_plan = None
+    hier_plan = None
     ell_extra = {}
     if piece:
         # piece-mode planners: the exchange plan and the ELL degree
@@ -644,6 +709,20 @@ def embed_sharded(
             candidate = plan_halo_distributed(sharded, mesh)
             if halo or candidate.table_rows < sharded.n_rows_padded:
                 plan = candidate
+    elif halo == "hier" and n_shards > 1:
+        from .mesh import CHIP_AXIS, HOST_AXIS
+        from .shard import plan_halo_hier
+
+        if tuple(mesh.axis_names) != (HOST_AXIS, CHIP_AXIS):
+            raise ValueError(
+                'halo="hier" needs a ("host", "chip") mesh — build it '
+                "with make_hier_mesh"
+            )
+        hier_plan = plan_halo_hier(
+            sharded, int(mesh.devices.shape[0]), int(mesh.devices.shape[1])
+        )
+        banded = False
+        ell = False
     elif halo == "overlap" and n_shards > 1:
         from .shard import plan_overlap
 
@@ -741,6 +820,7 @@ def embed_sharded(
             residual_weight=residual_weight, normalization=normalization,
             do_whiten=whiten, convergence_threshold=0.0, halo=plan,
             banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
+            hier=hier_plan,
         )
         placed = place(x_state)
         x, rest = placed[0], placed[1:]
@@ -768,7 +848,7 @@ def embed_sharded(
             residual_weight=residual_weight, normalization=normalization,
             whiten=whiten, convergence_threshold=convergence_threshold,
             plan=plan, banded_plan=banded_plan, overlap_plan=overlap_plan,
-            ell_plan=ell_plan, x_state=x_state, dtype=dtype, seed=seed,
+            hier_plan=hier_plan, ell_plan=ell_plan, x_state=x_state, dtype=dtype, seed=seed,
             propagation=propagation, user_init=x0 is not None,
             content_digest=lifecycle.content_digest(sharded, x0=x0),
             checkpoint_dir=checkpoint_dir,
@@ -779,7 +859,8 @@ def embed_sharded(
             mesh, sharded, feature_dim, num_iterations,
             residual_weight=residual_weight, normalization=normalization,
             do_whiten=whiten, convergence_threshold=convergence_threshold,
-            halo=plan, banded=banded_plan, overlap=overlap_plan, ell=ell_plan,
+            halo=plan, banded=banded_plan, overlap=overlap_plan,
+            ell=ell_plan, hier=hier_plan,
         )
         res = fn(*place(x_state))
     if out == "shards":
@@ -792,7 +873,8 @@ def embed_sharded(
 def _run_checkpointed(
     mesh, sharded, feature_dim, num_iterations, *, residual_weight,
     normalization, whiten, convergence_threshold, plan, banded_plan,
-    overlap_plan, ell_plan, x_state, dtype, seed, propagation, user_init,
+    overlap_plan, hier_plan, ell_plan, x_state, dtype, seed, propagation,
+    user_init,
     content_digest, checkpoint_dir, checkpoint_every,
 ):
     """Run the sharded loop in checkpoint_every-iteration segments, saving
@@ -807,7 +889,8 @@ def _run_checkpointed(
 
     axis = shard_axes(mesh)
     seg = max(1, checkpoint_every)
-    mode = ("overlap" if overlap_plan is not None else
+    mode = ("hier" if hier_plan is not None else
+            "overlap" if overlap_plan is not None else
             "ell-split" if ell_plan is not None and ell_plan.remote is not None
             else "ell" if ell_plan is not None else
             "banded" if banded_plan is not None else
@@ -837,7 +920,7 @@ def _run_checkpointed(
                 do_whiten=whiten,
                 convergence_threshold=convergence_threshold,
                 halo=plan, banded=banded_plan, overlap=overlap_plan,
-                ell=ell_plan, return_meta=converging,
+                ell=ell_plan, hier=hier_plan, return_meta=converging,
             )
         return built[iters]
 

@@ -356,6 +356,115 @@ def plan_halo_distributed(sharded: ShardedCoo, mesh) -> HaloPlan:
     return HaloPlan(send_idx=send_idx, remapped_cols=remapped, M=M)
 
 
+@dataclass
+class HierHaloPlan:
+    """Explicit two-phase hierarchical boundary-row exchange for a
+    ("host", "chip") mesh (VERDICT r3 #6): instead of one flat all_to_all
+    whose DCN decomposition is left to XLA, the exchange runs as
+
+    1. **chip-axis all_to_all** of the per-(owner, dest-chip) intra-host
+       boundary slabs (pure ICI);
+    2. **host-axis all_to_all** of the per-(owner, dest-HOST) slabs —
+       each cross-host row is the UNION over the destination host's chips,
+       so a row needed by many chips of one host crosses DCN exactly once;
+    3. **chip-axis all_gather** of the received cross-host slabs, fanning
+       them out to every chip of the destination host over ICI.
+
+    Receive-table layout per chip: [intra C·Mc rows | cross C·H·Mh rows]
+    with cross slot (c_owner·H + h_owner)·Mh + rank.  ``remapped_cols``
+    point edge gathers into that table.  Opt-in via
+    ``embed_sharded(halo="hier")`` — the A/B against the flat all_to_all
+    on real DCN is the pod runbook's first experiment.
+    """
+
+    send_intra: np.ndarray  # int32 (P, C, Mc): rows k sends to same-host chip c
+    send_cross: np.ndarray  # int32 (P, H, Mh): union rows k sends to host h
+    remapped_cols: np.ndarray  # int32 (P, E): edge cols → recv-table slots
+    Mc: int
+    Mh: int
+    n_hosts: int
+    chips_per_host: int
+
+    @property
+    def table_rows(self) -> int:
+        C, H = self.chips_per_host, self.n_hosts
+        return C * self.Mc + C * H * self.Mh
+
+
+def plan_halo_hier(sharded: ShardedCoo, n_hosts: int,
+                   chips_per_host: int) -> HierHaloPlan:
+    """Build the two-phase hierarchical exchange plan (host-major shard
+    order: shard k = host·C + chip, matching mesh.make_hier_mesh)."""
+    P, E = sharded.cols.shape
+    H, C = n_hosts, chips_per_host
+    if H * C != P:
+        raise ValueError(f"mesh {H}x{C} != {P} shards")
+    rps = sharded.rows_per_shard
+
+    uniq_j = [np.unique(sharded.cols[j]) for j in range(P)]
+
+    # cross need: union over the destination host's chips, per owner shard
+    cross_need = {}
+    for h in range(H):
+        allcols = np.unique(np.concatenate(
+            [uniq_j[j] for j in range(h * C, (h + 1) * C)]
+        ))
+        owner = allcols // rps
+        gs = np.searchsorted(owner, np.arange(P + 1))
+        for k in range(P):
+            if k // C == h:
+                continue
+            cross_need[(k, h)] = allcols[gs[k]:gs[k + 1]] - k * rps
+    Mh = max(1, max((len(v) for v in cross_need.values()), default=1))
+
+    # intra need: per (same-host owner, dest chip)
+    intra_need = {}
+    for j in range(P):
+        hj = j // C
+        u = uniq_j[j]
+        ow = u // rps
+        gs = np.searchsorted(ow, np.arange(P + 1))
+        for c in range(C):
+            k = hj * C + c
+            intra_need[(k, j)] = u[gs[k]:gs[k + 1]] - k * rps
+    Mc = max(1, max(len(v) for v in intra_need.values()))
+
+    send_intra = np.zeros((P, C, Mc), dtype=np.int32)
+    for (k, j), rv in intra_need.items():
+        send_intra[k, j % C, : len(rv)] = rv
+    send_cross = np.zeros((P, H, Mh), dtype=np.int32)
+    for (k, h), rv in cross_need.items():
+        send_cross[k, h, : len(rv)] = rv
+
+    remapped = np.empty_like(sharded.cols)
+    base_cross = C * Mc
+    for j in range(P):
+        hj = j // C
+        cols_j = sharded.cols[j].astype(np.int64)
+        owner = cols_j // rps
+        local = cols_j - owner * rps
+        out = np.empty(E, dtype=np.int64)
+        for k in range(P):
+            m = owner == k
+            if not m.any():
+                continue
+            if k // C == hj:
+                lst = intra_need[(k, j)]
+                out[m] = (k % C) * Mc + np.searchsorted(lst, local[m])
+            else:
+                lst = cross_need[(k, hj)]
+                out[m] = (base_cross
+                          + ((k % C) * H + (k // C)) * Mh
+                          + np.searchsorted(lst, local[m]))
+        remapped[j] = out.astype(np.int32)
+
+    return HierHaloPlan(
+        send_intra=send_intra, send_cross=send_cross,
+        remapped_cols=remapped, Mc=Mc, Mh=Mh, n_hosts=H,
+        chips_per_host=C,
+    )
+
+
 def local_shard_degrees(sharded: ShardedCoo) -> np.ndarray:
     """(P, rps) per-shard local-row degree counts from real edges (zero
     rows for shards whose data this host does not hold)."""
