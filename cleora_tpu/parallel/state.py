@@ -34,6 +34,29 @@ _META = "checkpoint.json"
 _FORMAT = "cleora_tpu.sharded_checkpoint.v1"
 
 
+def _fetch_chunk_rows(row_bytes: int) -> int:
+    """Rows per device→host transfer chunk.  Bounded transfers are the
+    robust pattern for remote/tunneled TPU runtimes (one multi-GB fetch
+    can stall where many ~256 MB fetches stream fine) and cap host peak
+    at one chunk; CLEORA_TPU_FETCH_MB overrides (0 → unchunked)."""
+    mb = float(os.environ.get("CLEORA_TPU_FETCH_MB", "256") or 0)
+    if mb <= 0:
+        return 1 << 62
+    return max(1, int(mb * 1e6 / max(row_bytes, 1)))
+
+
+def _fetch_shard(dev) -> np.ndarray:
+    """Fetch one shard's device array host-side in bounded row chunks."""
+    n = dev.shape[0]
+    row_bytes = int(np.dtype(dev.dtype).itemsize * np.prod(dev.shape[1:]))
+    step = _fetch_chunk_rows(row_bytes)
+    if n <= step:
+        return np.asarray(dev)
+    return np.concatenate(
+        [np.asarray(dev[i:i + step]) for i in range(0, n, step)], axis=0
+    )
+
+
 def entity_hashes(graph) -> np.ndarray:
     """The uint64 entity-hash table of a SparseMatrix / DiskGraph / piece
     (memmap for disk graphs — slicing reads lazily)."""
@@ -159,7 +182,7 @@ def iter_local_blocks(
         lo, hi = k * rps, min((k + 1) * rps, n)
         if lo >= n:
             continue
-        block = np.asarray(s.data).astype(np.float32, copy=False)
+        block = _fetch_shard(s.data).astype(np.float32, copy=False)
         if ell_plan is not None:
             block = block[ell_plan.rank[k]]
         yield k, lo, hi, block[: hi - lo]
@@ -343,7 +366,7 @@ class ShardedCheckpoint:
             if start in seen:
                 continue
             seen.add(start)
-            parts.append(np.asarray(s.data))
+            parts.append(_fetch_shard(s.data))
         local = parts[0] if len(parts) == 1 else np.concatenate(parts, 0)
         if local.dtype not in (np.float32, np.float64):
             local = local.view(np.uint16)  # bf16 → storable view

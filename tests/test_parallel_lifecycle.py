@@ -316,6 +316,21 @@ def test_digest_covers_every_byte(graph):
     assert lifecycle.content_digest(sharded, x0=x0) != d0
 
 
+def test_chunked_shard_fetch_identical(graph, tmp_path, monkeypatch):
+    """Bounded device→host transfers (CLEORA_TPU_FETCH_MB) change only the
+    fetch pattern, never the bytes — output and checkpoint files match the
+    unchunked path exactly."""
+    kw = dict(feature_dim=16, num_iterations=3, n_devices=8, whiten=False)
+    ref = embed_sharded(graph, out="shards", **kw)
+    monkeypatch.setenv("CLEORA_TPU_FETCH_MB", "0.001")  # ~15 rows/chunk
+    chunked = embed_sharded(graph, out="shards", **kw)
+    assert np.array_equal(ref.rows, chunked.rows)
+    path = str(tmp_path / "e.npy")
+    embed_sharded(graph, out=path,
+                  checkpoint_dir=str(tmp_path / "ck"), **kw)
+    assert np.array_equal(np.load(path), ref.rows)
+
+
 def test_checkpoint_rejects_mutated_initial_embeddings(graph, tmp_path):
     """End-to-end adversarial resume: a completed checkpointed run must NOT
     be returned stale when the input differs by a single element."""
