@@ -912,6 +912,26 @@ void ct_id_bytes(void* h, char* blob) {
 
 void ct_free(void* h) { delete (BuildResult*)h; }
 
+// In-place parallel sort of a uint64 key array (the 2048-bucket LSD radix
+// core above; comparison-sort fallback when scratch allocation fails or
+// CLEORA_RADIX=0).  Exposed for host-side sort-reduce stages that operate
+// on packed (row·n + col) keys — e.g. the random-walk windowed
+// co-occurrence counting (algorithms.py), where this replaces numpy's
+// single-threaded comparison sort.  Returns 1 if the radix path ran.
+int ct_sort_u64(uint64_t* a, int64_t n, int num_workers) {
+  if (n <= 1) return 1;
+  if (num_workers <= 0)
+    num_workers = (int)std::thread::hardware_concurrency();
+  try {
+    if (radix_sort_by(a, (size_t)n, num_workers,
+                      [](const uint64_t& x) { return x; }))
+      return 1;
+  } catch (...) {
+  }
+  PSORT(a, a + n);
+  return 0;
+}
+
 }  // extern "C"
 
 // Out-of-core streaming build (same translation unit: reuses the parser,

@@ -275,6 +275,39 @@ def test_deepwalk_device_end_to_end(graph):
     assert np.allclose(emb, again)
 
 
+def test_unique_counts_u64_matches_numpy():
+    """The native-radix sort-reduce equals np.unique(return_counts=True)."""
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 5000, size=200_000).astype(np.uint64)
+    u, c = alg._unique_counts_u64(keys.copy())
+    ru, rc = np.unique(keys, return_counts=True)
+    assert np.array_equal(u, ru)
+    assert np.array_equal(c, rc)
+    e_u, e_c = alg._unique_counts_u64(np.empty(0, dtype=np.uint64))
+    assert e_u.size == 0 and e_c.size == 0
+
+
+def test_device_factorization_matches_host_svds(graph):
+    """factorization='device' (randomized SVD on the production SpMM
+    layout) approximates the host ARPACK path: same subspace geometry,
+    sign-canonicalized columns close (VERDICT r3 #5)."""
+    kw = dict(feature_dim=8, num_walks=6, walk_length=20, backend="device",
+              seed=2)
+    host = alg.embed_deepwalk(graph, factorization="host", **kw)
+    dev = alg.embed_deepwalk(graph, factorization="device", **kw)
+    assert dev.shape == host.shape
+    assert np.isfinite(dev).all()
+    assert np.allclose(host @ host.T, dev @ dev.T, atol=5e-2), (
+        np.abs(host @ host.T - dev @ dev.T).max()
+    )
+    with pytest.raises(ValueError, match="factorization"):
+        alg.embed_deepwalk(graph, feature_dim=8, backend="host",
+                           factorization="device")
+    with pytest.raises(ValueError, match="factorization"):
+        alg.embed_deepwalk(graph, feature_dim=8, backend="device",
+                           factorization="bogus")
+
+
 def test_node2vec_device_uniform_and_validation(graph):
     emb = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
                              walk_length=10, backend="device", seed=4)
