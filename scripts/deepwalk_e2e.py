@@ -1,0 +1,112 @@
+"""End-to-end DeepWalk at 1M nodes on the v5e (VERDICT r3 #5): measure the
+full walks → co-occurrence → PPMI → factorization pipeline with per-phase
+wall clocks, so the host stage's share is a recorded fact instead of a
+guess.
+
+Pipeline phases:
+  1. device walks        — first-order engine (23.6 M hops/s measured)
+  2. host co-occurrence  — per-batch uint64 key pack + native radix
+                           sort-reduce (_walk_pair_counts)
+  3. PPMI + factorize    — sparse positive-PMI, then EITHER host ARPACK
+                           svds or the device randomized SVD on the
+                           production SpMM layout (--factorization)
+
+    # CPU smoke:
+    PYTHONPATH=. python scripts/deepwalk_e2e.py --cpu --nodes 20000 \
+        --edges 110000 --num-walks 1 --dim 32
+    # v5e headline:
+    python scripts/deepwalk_e2e.py --nodes 1000000 --edges 11000000 \
+        --num-walks 2 --dim 128 --factorization device
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[e2e {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--edges", type=int, default=11_000_000)
+    ap.add_argument("--num-walks", type=int, default=2)
+    ap.add_argument("--walk-length", type=int, default=80)
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--factorization", default="device",
+                    choices=["host", "device"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import cleora_tpu as ct
+    from cleora_tpu import algorithms as alg
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, args.nodes, args.edges // 2)
+    dst = rng.integers(0, args.nodes, args.edges // 2)
+    t0 = time.time()
+    g = ct.SparseMatrix.from_edge_arrays(src, dst)
+    log(f"graph: {g.num_entities} nodes, {g.num_edges} nnz "
+        f"({time.time()-t0:.1f}s build)")
+
+    # phase 1: device walks (materialize every batch host-side, timed)
+    t0 = time.time()
+    batches = list(alg._device_walks(
+        g, args.num_walks, args.walk_length, args.seed
+    ))
+    n_walks = sum(b.shape[0] for b in batches)
+    hops = n_walks * (args.walk_length - 1)
+    walks_wall = time.time() - t0
+    log(f"walks: {n_walks} x {args.walk_length} in {walks_wall:.1f}s "
+        f"({hops/walks_wall/1e6:.1f} M hops/s incl. host fetch)")
+
+    # phase 2: host co-occurrence sort-reduce (native radix)
+    t0 = time.time()
+    keys, counts = alg._walk_pair_counts(batches, g.num_entities,
+                                         args.window)
+    cooc_wall = time.time() - t0
+    pairs = int(counts.sum())
+    log(f"co-occurrence: {pairs} pairs -> {keys.shape[0]} unique in "
+        f"{cooc_wall:.1f}s ({pairs/cooc_wall/1e6:.1f} M pairs/s)")
+
+    # phase 3: PPMI + factorization
+    t0 = time.time()
+    emb = alg._counts_to_embeddings(
+        keys, counts, g.num_entities, args.dim,
+        factorization=args.factorization, seed=args.seed,
+    )
+    fact_wall = time.time() - t0
+    log(f"PPMI+{args.factorization}-factorize: {emb.shape} in "
+        f"{fact_wall:.1f}s")
+
+    total = walks_wall + cooc_wall + fact_wall
+    host_stage = cooc_wall + (fact_wall if args.factorization == "host"
+                              else 0.0)
+    summary = {
+        "nodes": g.num_entities, "nnz": g.num_edges,
+        "num_walks": args.num_walks, "walk_length": args.walk_length,
+        "window": args.window, "dim": args.dim,
+        "factorization": args.factorization,
+        "walks_s": round(walks_wall, 1), "cooccur_s": round(cooc_wall, 1),
+        "factorize_s": round(fact_wall, 1), "total_s": round(total, 1),
+        "hops_per_s": round(hops / walks_wall),
+        "pairs": pairs, "unique_pairs": int(keys.shape[0]),
+        "host_stage_fraction": round(host_stage / total, 3),
+        "finite": bool(np.isfinite(emb).all()),
+    }
+    print("E2E_SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
