@@ -1,4 +1,6 @@
-"""Scaling-efficiency harness (scripts/scaling_report.py) — VERDICT r2 #8.
+"""Scaling-efficiency harness (cleora_tpu/scaling.py via
+scripts/scaling_report.py and the ``cleora-tpu scaling`` CLI) — VERDICT
+r2 #8 / r3 #8.
 
 The pod run must be zero-decision: ``--check`` is a hard pass/fail gate on
 the BASELINE.json >=80% scaling-efficiency target.  Here the harness runs
@@ -48,14 +50,16 @@ def test_check_gate_fails_below_target(report_mod, tmp_path, monkeypatch,
         {"devices": 1, "edges_per_s": 100e6, "efficiency": 1.0},
         {"devices": 8, "edges_per_s": 500e6, "efficiency": 0.625},
     ]
-    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    import cleora_tpu.scaling as _scaling
+
+    monkeypatch.setattr(_scaling, "measure", lambda smoke=False: canned)
     out = tmp_path / "fail.json"
     rc = report_mod.main(["--check", "--json", str(out)])
     assert rc == 2
     report = json.loads(out.read_text())
     assert report["pass"] is False
     # bare --check defaults to the BASELINE 80% target
-    assert report["target_efficiency"] == report_mod.TARGET_EFFICIENCY == 0.80
+    assert report["target_efficiency"] == report_mod.TARGET_EFFICIENCY == 0.80  # re-exported from cleora_tpu.scaling
     assert "FAIL" in capsys.readouterr().out
 
 
@@ -64,7 +68,9 @@ def test_check_gate_passes_at_target(report_mod, monkeypatch, capsys):
         {"devices": 1, "edges_per_s": 100e6, "efficiency": 1.0},
         {"devices": 16, "edges_per_s": 1350e6, "efficiency": 0.84},
     ]
-    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    import cleora_tpu.scaling as _scaling
+
+    monkeypatch.setattr(_scaling, "measure", lambda smoke=False: canned)
     assert report_mod.main(["--check"]) == 0
     assert "PASS" in capsys.readouterr().out
 
@@ -72,5 +78,7 @@ def test_check_gate_passes_at_target(report_mod, monkeypatch, capsys):
 def test_no_check_always_exits_zero(report_mod, monkeypatch):
     canned = [{"devices": 1, "edges_per_s": 1e6, "efficiency": 1.0},
               {"devices": 8, "edges_per_s": 1e6, "efficiency": 0.125}]
-    monkeypatch.setattr(report_mod, "measure", lambda smoke=False: canned)
+    import cleora_tpu.scaling as _scaling
+
+    monkeypatch.setattr(_scaling, "measure", lambda smoke=False: canned)
     assert report_mod.main([]) == 0
