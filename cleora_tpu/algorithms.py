@@ -656,6 +656,23 @@ def _blocked_u_sqrt(pass_fn, k: int, power_iters: int, omega):
     return jnp.dot(Q, Ub[:, :k], precision=jax.lax.Precision.HIGHEST) * su
 
 
+def _host_blocked_u_sqrt(pass_fn, k: int, power_iters: int, omega):
+    """Host-orchestrated twin of :func:`_blocked_u_sqrt` for drivers whose
+    ``pass_fn`` returns numpy (the SHARDED blocked drivers,
+    parallel/algorithms.py — per-sweep operands travel host↔mesh)."""
+    zeros = np.zeros_like(omega)
+    Y, _ = pass_fn(omega, zeros)
+    for _ in range(power_iters):
+        Q, _ = np.linalg.qr(Y)
+        _, G = pass_fn(zeros, Q.astype(np.float32))
+        Y, _ = pass_fn(G.astype(np.float32), zeros)
+    Q, _ = np.linalg.qr(Y)
+    _, C = pass_fn(zeros, Q.astype(np.float32))
+    Ub, s, _ = np.linalg.svd(C.T, full_matrices=False)
+    su = np.sqrt(np.maximum(s[:k], 0.0))
+    return (Q @ Ub[:, :k]) * su
+
+
 def _netmf_blocked_device(graph, feature_dim: int, window_size: int,
                           negative_samples: float, seed: int, oversample: int,
                           power_iters: int, block_rows=None) -> np.ndarray:
@@ -974,6 +991,8 @@ def embed_netmf(
     oversample: int = 10,
     power_iters: int = 2,
     block_rows: Optional[int] = None,
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """NetMF log-PMI factorization (reference algorithms.py:152-198):
     M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD.
@@ -987,7 +1006,21 @@ def embed_netmf(
     at a time via sliced-ELL transition-power walks and streamed through
     the randomized SVD, so HBM holds O(n·block) — any n that fits the
     embedding itself now runs on device.  ``block_rows`` forces the
-    blocked path with that block width (auto-sized when None)."""
+    blocked path with that block width (auto-sized when None).  With
+    ``mesh=``/``n_devices=`` the blocked driver runs SHARDED: the (n, b)
+    blocks and the SpMM walk are row-partitioned across the device mesh
+    (parallel/algorithms.py:netmf_sharded), multiplying both capacity and
+    SpMM throughput by the mesh size."""
+    if backend == "device" and (mesh is not None or n_devices is not None):
+        from .parallel.algorithms import netmf_sharded
+
+        return _finalize(
+            netmf_sharded(graph, feature_dim, window_size, negative_samples,
+                          seed, oversample, power_iters,
+                          block_rows=block_rows, mesh=mesh,
+                          n_devices=n_devices),
+            feature_dim,
+        )
     if backend == "device":
         return _finalize(
             _netmf_device(graph, feature_dim, window_size, negative_samples,
@@ -1026,6 +1059,8 @@ def embed_grarep(
     oversample: int = 10,
     power_iters: int = 2,
     block_rows: Optional[int] = None,
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """GraRep per-step log(P^k) SVDs, concat dim/max_step each
     (reference algorithms.py:201-245).
@@ -1034,7 +1069,18 @@ def embed_grarep(
     randomized SVD; past the dense-(n, n) HBM gate it switches to the
     blocked streaming driver like the device NetMF (one transition-power
     walk per sweep serves every step's sketch), so any n that fits the
-    embedding runs on device.  ``block_rows`` forces the blocked path."""
+    embedding runs on device.  ``block_rows`` forces the blocked path.
+    With ``mesh=``/``n_devices=`` the blocked driver runs SHARDED across
+    the device mesh (parallel/algorithms.py:grarep_sharded)."""
+    if backend == "device" and (mesh is not None or n_devices is not None):
+        from .parallel.algorithms import grarep_sharded
+
+        return _finalize(
+            grarep_sharded(graph, feature_dim, max_step, seed, oversample,
+                           power_iters, block_rows=block_rows, mesh=mesh,
+                           n_devices=n_devices),
+            feature_dim,
+        )
     if backend == "device":
         return _finalize(
             _grarep_device(graph, feature_dim, max_step, seed, oversample,

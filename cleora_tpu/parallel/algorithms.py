@@ -306,6 +306,244 @@ def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
     return np.asarray(out, dtype=np.float64)[:n]
 
 
+def _block_seed_local(rps, b, base, start):
+    """One-hot seed for a block of probe columns, LOCAL rows only: column
+    j holds e_{start+j} restricted to this shard's row range
+    [base, base+rps)."""
+    import jax.numpy as jnp
+
+    grow = base + jnp.arange(rps)
+    col = grow - start
+    mask = (col >= 0) & (col < b)
+    y0 = jnp.zeros((rps, b), jnp.float32)
+    return y0.at[jnp.arange(rps), jnp.clip(col, 0, b - 1)].set(
+        mask.astype(jnp.float32)
+    )
+
+
+def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
+                  oversample, power_iters, block_rows=None, mesh=None,
+                  n_devices=None):
+    """Sharded blocked NetMF: the dense log-PMI matrix exists only one
+    ROW-SHARDED column block at a time — each block's transition-power
+    walk runs as ``window`` sharded SpMMs (the same blocked driver as the
+    single-chip ``_netmf_blocked_device``, with the (n, b) block and the
+    randomized-SVD operands row-partitioned across the mesh and the two
+    per-block products reduced with psum/local matmuls).  HBM per chip
+    holds O((n/P)·b); the (n, r) sketch operands are small and travel
+    host↔device between sweeps.  Returns the pre-``_finalize``
+    (n, feature_dim) matrix."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    _require_single_process()
+    mesh = _mesh_for(mesh, n_devices)
+    from .mesh import shard_axes
+
+    axis = shard_axes(mesh)
+    from ..algorithms import _auto_block_rows, _coo_f32
+
+    rows, cols, vals, n = _coo_f32(graph)
+    # Pᵀ operator (the blocked walk computes block rows of P̄ as columns)
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
+    vol = float(deg.sum())
+    degs = np.maximum(deg, 1e-10)
+    pvals = (vals.astype(np.float64) / degs[rows.astype(np.int64)]).astype(
+        np.float32
+    )
+    t_order = np.argsort(cols, kind="stable")
+    k = min(feature_dim, n)
+    r = min(n, k + oversample)
+    b = int(block_rows) if block_rows else _auto_block_rows(n, r)
+    b = max(1, min(b, n))
+    n_pad_b = -(-n // b) * b
+    window = max(1, window_size)
+    op = ShardedOp(mesh, cols[t_order], rows[t_order], pvals[t_order], n, b)
+    rps = op.rows_per_shard
+    n_rows_padded = op.sharded.n_rows_padded
+    scale = np.float32(vol / (negative_samples * window))
+
+    deg_f = np.zeros(n_rows_padded, dtype=np.float32)
+    deg_f[:n] = degs.astype(np.float32)
+
+    apply_ops = op.operands()
+    op_specs = op.specs(axis)
+    row_spec = P(axis, None)
+
+    def kernel(start, W_sh, Vp, deg_sh, deg_rep, ops):
+        apply = op.make_apply(ops, axis)
+        k0 = lax.axis_index(axis) * rps
+        y = _block_seed_local(rps, b, k0, start)
+        acc = jnp.zeros_like(y)
+        for _ in range(window):  # static unroll, like the dense path
+            y = apply(y)
+            acc = acc + y
+        deg_l = deg_sh.reshape(-1)
+        idx = start + jnp.arange(b)
+        safe = jnp.minimum(idx, n - 1)
+        valid = (idx < n).astype(jnp.float32)
+        s_col = scale / jnp.maximum(deg_rep[safe], 1e-10) * valid
+        L = jnp.log(jnp.maximum(
+            acc * deg_l[:, None] * s_col[None, :], 1.0
+        ))
+        br = lax.psum(
+            jnp.dot(L.T, W_sh, preferred_element_type=jnp.float32), axis
+        )
+        Vb = lax.dynamic_slice(Vp, (start, jnp.int32(0)), (b, r))
+        nr = jnp.dot(L, Vb, preferred_element_type=jnp.float32)
+        return br, nr
+
+    mapped = jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(), row_spec, P(None, None), P(axis), P(None),
+                  op_specs),
+        out_specs=(P(None, None), row_spec),
+    ))
+
+    placed_ops = _place(mesh, apply_ops, op_specs)
+    deg_sh = jax.device_put(deg_f, NamedSharding(mesh, P(axis)))
+    deg_rep = jax.device_put(deg_f[:n] if n == n_rows_padded else
+                             np.ascontiguousarray(deg_f),
+                             NamedSharding(mesh, P(None)))
+    sh_spec = NamedSharding(mesh, row_spec)
+    rep_spec = NamedSharding(mesh, P(None, None))
+
+    from .shard import pad_rows
+
+    def pass_fn(W, V):
+        """One sweep over the blocks: returns (M·W, Mᵀ·V) at (n, r)."""
+        W_sh = jax.device_put(pad_rows(np.asarray(W, np.float32),
+                                       n_rows_padded), sh_spec)
+        Vp = np.zeros((max(n_pad_b, n), r), np.float32)
+        Vp[:n] = np.asarray(V, np.float32)[:n]
+        Vp_d = jax.device_put(Vp, rep_spec)
+        G = None
+        pieces = []
+        for start in range(0, n_pad_b, b):
+            br, nr = mapped(jnp.int32(start), W_sh, Vp_d, deg_sh, deg_rep,
+                            placed_ops)
+            pieces.append(np.asarray(br))
+            G = nr if G is None else G + nr
+        Y = np.concatenate(pieces, axis=0)[:n]
+        return Y, np.asarray(G)[:n]
+
+    from ..algorithms import _host_blocked_u_sqrt
+
+    rng = np.random.default_rng(seed)
+    omega = rng.standard_normal((n, r)).astype(np.float32)
+    out = _host_blocked_u_sqrt(pass_fn, k, power_iters, omega)
+    return np.asarray(out, dtype=np.float64)
+
+
+def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
+                   power_iters, block_rows=None, mesh=None, n_devices=None):
+    """Sharded blocked GraRep: one transition-power walk per block serves
+    every step's log block; the (n, b) blocks and randomized-SVD products
+    are row-partitioned across the mesh (the multi-chip form of
+    ``_grarep_blocked_device``).  Returns the pre-``_finalize``
+    (n, max_step·k) matrix."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    _require_single_process()
+    mesh = _mesh_for(mesh, n_devices)
+    from .mesh import shard_axes
+
+    axis = shard_axes(mesh)
+    from ..algorithms import _auto_block_rows, _coo_f32
+
+    rows, cols, vals, n = _coo_f32(graph)
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, rows.astype(np.int64), vals.astype(np.float64))
+    degs = np.maximum(deg, 1e-10)
+    pvals = (vals.astype(np.float64) / degs[rows.astype(np.int64)]).astype(
+        np.float32
+    )
+    t_order = np.argsort(cols, kind="stable")
+    dim_per_step = max(feature_dim // max_step, 1)
+    k = min(dim_per_step, n)
+    r = min(n, k + oversample)
+    b = int(block_rows) if block_rows else _auto_block_rows(n, r)
+    b = max(1, min(b, n))
+    n_pad_b = -(-n // b) * b
+    op = ShardedOp(mesh, cols[t_order], rows[t_order], pvals[t_order], n, b)
+    rps = op.rows_per_shard
+    n_rows_padded = op.sharded.n_rows_padded
+
+    apply_ops = op.operands()
+    op_specs = op.specs(axis)
+    row_spec = P(None, axis, None)  # (max_step, n, r) stacks, rows sharded
+
+    log_floor = np.float32(np.log(1e-10))
+
+    def kernel(start, W_sh, Vp, ops):
+        apply = op.make_apply(ops, axis)
+        k0 = lax.axis_index(axis) * rps
+        y = _block_seed_local(rps, b, k0, start)
+        brs, nrs = [], []
+        for s in range(max_step):  # static unroll, like the dense path
+            y = apply(y)
+            L = jnp.log(jnp.maximum(y, 1e-10)) - log_floor
+            brs.append(lax.psum(
+                jnp.dot(L.T, W_sh[s], preferred_element_type=jnp.float32),
+                axis,
+            ))
+            Vb = lax.dynamic_slice(
+                Vp[s], (start, jnp.int32(0)), (b, r)
+            )
+            nrs.append(jnp.dot(L, Vb, preferred_element_type=jnp.float32))
+        return jnp.stack(brs), jnp.stack(nrs)
+
+    mapped = jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(), row_spec, P(None, None, None), op_specs),
+        out_specs=(P(None, None, None), row_spec),
+    ))
+
+    placed_ops = _place(mesh, apply_ops, op_specs)
+    sh_spec = NamedSharding(mesh, row_spec)
+    rep_spec = NamedSharding(mesh, P(None, None, None))
+
+    def pass_fn(W, V):
+        Wp = np.zeros((max_step, n_rows_padded, r), np.float32)
+        Wp[:, :n] = np.asarray(W, np.float32)[:, :n]
+        W_sh = jax.device_put(Wp, sh_spec)
+        Vp = np.zeros((max_step, max(n_pad_b, n), r), np.float32)
+        Vp[:, :n] = np.asarray(V, np.float32)[:, :n]
+        Vp_d = jax.device_put(Vp, rep_spec)
+        G = None
+        pieces = []
+        for start in range(0, n_pad_b, b):
+            br, nr = mapped(jnp.int32(start), W_sh, Vp_d, placed_ops)
+            pieces.append(np.asarray(br))
+            G = nr if G is None else G + nr
+        Y = np.concatenate(pieces, axis=1)[:, :n]
+        return Y, np.asarray(G)[:, :n]
+
+    rng = np.random.default_rng(seed)
+    omega = rng.standard_normal((max_step, n, r)).astype(np.float32)
+    zeros = np.zeros_like(omega)
+    Y, _ = pass_fn(omega, zeros)
+    for _ in range(power_iters):
+        Q = np.linalg.qr(Y)[0].astype(np.float32)
+        _, G = pass_fn(zeros, Q)
+        Y, _ = pass_fn(G.astype(np.float32), zeros)
+    Q = np.linalg.qr(Y)[0].astype(np.float32)
+    _, C = pass_fn(zeros, Q)
+    embs = []
+    for s in range(max_step):
+        Ub, sv, _ = np.linalg.svd(C[s].T.astype(np.float64),
+                                  full_matrices=False)
+        su = np.sqrt(np.maximum(sv[:k], 0.0))
+        embs.append((Q[s].astype(np.float64) @ Ub[:, :k]) * su)
+    return np.concatenate(embs, axis=1)
+
+
 def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,
                  mesh=None, n_devices=None):
     """Sharded matrix-free HOPE: the Katz Neumann series runs as sharded

@@ -98,6 +98,38 @@ def test_prone_sharded_tiny_graph():
     _assert_matches(ref, got, "prone tiny", atol=1e-2)
 
 
+@pytest.mark.parametrize("nd", [2, 8])
+def test_netmf_sharded_matches_single_device(graph, nd):
+    """Sharded blocked NetMF = single-device device path up to f32
+    summation order (same sketch draws, same math)."""
+    from cleora_tpu.algorithms import embed_netmf
+
+    kw = dict(feature_dim=16, oversample=24, power_iters=4, seed=3)
+    dev = embed_netmf(graph, backend="device", **kw)
+    sh = embed_netmf(graph, backend="device", n_devices=nd, block_rows=96,
+                     **kw)
+    assert sh.shape == dev.shape
+    assert np.isfinite(sh).all()
+    assert np.allclose(dev @ dev.T, sh @ sh.T, atol=1e-3), (
+        np.abs(dev @ dev.T - sh @ sh.T).max()
+    )
+
+
+def test_grarep_sharded_matches_single_device(graph):
+    from cleora_tpu.algorithms import embed_grarep
+
+    kw = dict(feature_dim=16, max_step=2, oversample=24, power_iters=4,
+              seed=3)
+    dev = embed_grarep(graph, backend="device", **kw)
+    sh = embed_grarep(graph, backend="device", n_devices=8, block_rows=96,
+                      **kw)
+    assert sh.shape == dev.shape
+    assert np.isfinite(sh).all()
+    assert np.allclose(dev @ dev.T, sh @ sh.T, atol=1e-3), (
+        np.abs(dev @ dev.T - sh @ sh.T).max()
+    )
+
+
 def test_sharded_mesh_object(graph):
     """Passing an explicit mesh works like n_devices."""
     from cleora_tpu.parallel.mesh import make_mesh
