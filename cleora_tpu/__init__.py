@@ -107,6 +107,9 @@ def embed(
     statistics (ops/spmm_ell.py:_plan_ell_canonical).  Output is
     numerically equivalent to the default layout at float tolerance.
     """
+    from ._util import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."

@@ -84,9 +84,11 @@ def _device_layout(rows, cols, vals, n: int, d: int):
     recurrences are row-permutation-invariant)."""
     import jax.numpy as jnp
 
+    from ._util import maybe_enable_compile_cache
     from .ops.spmm import pad_coo
     from .ops.spmm_ell import plan_ell
 
+    maybe_enable_compile_cache()
     plan = plan_ell(rows, cols, vals, n, d=d)
     if plan is not None:
         return (plan.device(), (), ()), plan.order, plan.rank

@@ -579,6 +579,9 @@ def embed_sharded(
     jitted segment, so a checkpointed run executes exactly the same
     iteration count as the same call without ``checkpoint_dir``.
     """
+    from .._util import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
     if dtype not in ("float32", "bfloat16"):
         raise ValueError(
             f"Unknown dtype '{dtype}'. Use 'float32' or 'bfloat16'."
