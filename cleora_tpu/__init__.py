@@ -99,13 +99,16 @@ def embed(
     accumulation, normalization, and whitening compute in float32.  The
     returned array is always float32.
 
-    ``canonical_shapes=True`` (default: the ``CLEORA_TPU_CANON=1`` env
-    var) quantizes the sliced-ELL layout to graph-independent shapes so
-    graphs of similar scale reuse one compiled XLA program (the cold
-    remote compile costs minutes per shape in this environment); padding
+    ``canonical_shapes`` quantizes the sliced-ELL layout to
+    graph-independent shapes so graphs of similar scale reuse one
+    compiled XLA program (cold TPU compiles cost minutes per shape).
+    **Default ON since round 4**: measured 88.7 vs 89.1 M edge-ops/s at
+    the bench shape — within the run-to-run band (RESULTS.md) — so the
+    compile-cache portability is free; ``canonical_shapes=False`` or
+    ``CLEORA_TPU_CANON=0`` restores the exact-shape layout.  Padding
     rows stay exactly zero and are excluded from whitening/RMSE
-    statistics (ops/spmm_ell.py:_plan_ell_canonical).  Output is
-    numerically equivalent to the default layout at float tolerance.
+    statistics (ops/spmm_ell.py:_plan_ell_canonical); output is
+    numerically equivalent at float tolerance.
     """
     from ._util import maybe_enable_compile_cache
 
@@ -125,9 +128,12 @@ def embed(
         # streamed build (graph.stream.DiskGraph): route through the sharded
         # loop, whose loader reads the memmapped CSR one row block at a time
         # (a 1-device mesh on a single chip) — embed() semantics unchanged.
+        # warn only on an EXPLICIT canonical request (argument or env set
+        # by the user) — canonical is the round-4 default, and the default
+        # path should not warn on every DiskGraph embed
         if canonical_shapes or (
             canonical_shapes is None
-            and os.environ.get("CLEORA_TPU_CANON", "0") == "1"
+            and os.environ.get("CLEORA_TPU_CANON") == "1"
         ):
             import warnings
 
@@ -189,7 +195,7 @@ def embed(
     check_device_fit(graph.num_entities, int(feature_dim),
                      int(graph.data.indices.shape[0]), dtype)
     if canonical_shapes is None:
-        canonical_shapes = os.environ.get("CLEORA_TPU_CANON", "0") == "1"
+        canonical_shapes = os.environ.get("CLEORA_TPU_CANON", "1") != "0"
     rows, cols, vals = graph._device_coo(
         propagation, banded_dim=int(feature_dim),
         canonical=bool(canonical_shapes),

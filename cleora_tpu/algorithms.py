@@ -1187,21 +1187,45 @@ def _walk_csr(graph, with_vals: bool = False):
     return ip32, cols, deg, n, v, wmax, wsum.astype(np.float32)
 
 
-def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
-                  batch: int = _WALK_BATCH):
-    """Yield (B, walk_length) int32 host walk batches (sentinel == n)."""
-    import jax
+def _walk_placers(mesh):
+    """(replicate, shard_batch) placement helpers for the walk engines.
 
-    import jax.numpy as jnp
+    With a mesh, the CSR tables replicate across devices and the walk
+    STARTS shard along the batch axis — every per-lane op partitions
+    trivially under SPMD, so N chips generate N× the walks per dispatch
+    with VALUE-IDENTICAL outputs (integer gathers + per-lane PRNG; no
+    float reassociation)."""
+    if mesh is None:
+        import jax.numpy as jnp
+
+        return jnp.asarray, jnp.asarray
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import shard_axes
+
+    ax = shard_axes(mesh)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(ax))
+    return (lambda a: jax.device_put(np.asarray(a), rep),
+            lambda a: jax.device_put(np.asarray(a), shd))
+
+
+def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
+                  batch: int = _WALK_BATCH, mesh=None):
+    """Yield (B, walk_length) int32 host walk batches (sentinel == n).
+
+    ``mesh`` shards each batch's walk lanes across the devices (tables
+    replicated) — same outputs, N× the walk throughput per dispatch."""
+    import jax
 
     indptr, cols, deg, n = _walk_csr(graph)
     starts = np.nonzero(deg > 0)[0].astype(np.int32)
     if starts.shape[0] == 0:
         return
     all_starts = np.tile(starts, num_walks)
-    d_indptr, d_cols, d_deg = (
-        jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(deg),
-    )
+    rep, shard_batch = _walk_placers(mesh)
+    d_indptr, d_cols, d_deg = rep(indptr), rep(cols), rep(deg)
     fn = _device_walk_jit()
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
@@ -1213,7 +1237,7 @@ def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
         else:
             pad = 0
         out = fn(
-            d_indptr, d_cols, d_deg, jnp.asarray(chunk),
+            d_indptr, d_cols, d_deg, shard_batch(chunk),
             jax.random.fold_in(root, i),
             walk_length=walk_length, n_rows=n,
         )
@@ -1445,8 +1469,11 @@ _WALK2_BATCH = 65_536
 
 def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
                    q: float, seed: int, batch: int = _WALK2_BATCH,
-                   tries: int | None = None):
-    """Yield (B, walk_length) int32 host batches of p/q-biased walks."""
+                   tries: int | None = None, mesh=None):
+    """Yield (B, walk_length) int32 host batches of p/q-biased walks.
+
+    ``mesh`` shards the walk lanes across the devices (see
+    :func:`_walk_placers`)."""
     import jax
 
     import jax.numpy as jnp
@@ -1464,9 +1491,10 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
     if starts.shape[0] == 0:
         return
     all_starts = np.tile(starts, num_walks)
+    rep, shard_batch = _walk_placers(mesh)
     dev = (
-        jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals),
-        jnp.asarray(deg), jnp.asarray(wmax), jnp.asarray(wsum),
+        rep(indptr), rep(cols), rep(vals),
+        rep(deg), rep(wmax), rep(wsum),
     )
     fn = _device_walk2_jit()
     root = jax.random.PRNGKey(seed)
@@ -1478,7 +1506,7 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
         else:
             pad = 0
         out = fn(
-            *dev, jnp.asarray(part), jax.random.fold_in(root, i),
+            *dev, shard_batch(part), jax.random.fold_in(root, i),
             jnp.float32(1.0 / p), jnp.float32(1.0 / q),
             walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
             chunk=_WALK2_CHUNK,
@@ -1686,9 +1714,18 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
     return _finalize(emb, feature_dim)
 
 
+def _walk_mesh(mesh, n_devices):
+    if mesh is not None or n_devices is None:
+        return mesh
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n_devices)
+
+
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
-                     seed, factorization="host"):
-    batches = _device_walks(graph, num_walks, walk_length, seed)
+                     seed, factorization="host", mesh=None, n_devices=None):
+    mesh = _walk_mesh(mesh, n_devices)
+    batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     return _counts_to_embeddings(keys, counts, graph.num_entities,
                                  feature_dim, factorization=factorization,
@@ -1696,8 +1733,11 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
 
 
 def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
-                     p, q, seed, factorization="host"):
-    batches = _device_walks2(graph, num_walks, walk_length, p, q, seed)
+                     p, q, seed, factorization="host", mesh=None,
+                     n_devices=None):
+    mesh = _walk_mesh(mesh, n_devices)
+    batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
+                             mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     return _counts_to_embeddings(keys, counts, graph.num_entities,
                                  feature_dim, factorization=factorization,
@@ -1785,6 +1825,8 @@ def embed_deepwalk(
     seed: int = 0,
     backend: str = "host",
     factorization: str = "host",
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361).
 
@@ -1795,11 +1837,13 @@ def embed_deepwalk(
     ``factorization="device"`` additionally runs the PPMI SVD as a
     randomized SVD on the TPU's production SpMM layout instead of host
     ARPACK — the right choice at 1M+ nodes, where the host ``svds`` is
-    the dominant stage (randomized-SVD accuracy)."""
+    the dominant stage (randomized-SVD accuracy).  ``mesh=``/``n_devices=``
+    shards each batch's walk lanes across the devices (tables replicated;
+    value-identical outputs, N× walk throughput per dispatch)."""
     if backend == "device":
         return _deepwalk_device(
             graph, feature_dim, num_walks, walk_length, window_size, seed,
-            factorization=factorization,
+            factorization=factorization, mesh=mesh, n_devices=n_devices,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")
@@ -1819,6 +1863,8 @@ def embed_node2vec(
     seed: int = 0,
     backend: str = "host",
     factorization: str = "host",
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> np.ndarray:
     """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
 
@@ -1839,11 +1885,13 @@ def embed_node2vec(
         if p == 1.0 and q == 1.0:
             return _deepwalk_device(
                 graph, feature_dim, num_walks, walk_length, window_size,
-                seed, factorization=factorization,
+                seed, factorization=factorization, mesh=mesh,
+                n_devices=n_devices,
             )
         return _node2vec_device(
             graph, feature_dim, num_walks, walk_length, window_size, p, q,
-            seed, factorization=factorization,
+            seed, factorization=factorization, mesh=mesh,
+            n_devices=n_devices,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")

@@ -130,6 +130,38 @@ def test_grarep_sharded_matches_single_device(graph):
     )
 
 
+def test_sharded_walks_value_identical(graph):
+    """Batch-sharding the walk lanes over the mesh (tables replicated)
+    must produce BITWISE-identical walks — integer gathers and per-lane
+    PRNG have no reassociation freedom under SPMD."""
+    from cleora_tpu import algorithms as alg
+
+    single = np.concatenate(
+        list(alg._device_walks(graph, 2, 12, seed=5)), axis=0
+    )
+    from cleora_tpu.parallel.mesh import make_mesh
+
+    for nd in (2, 8):
+        sharded = np.concatenate(
+            list(alg._device_walks(graph, 2, 12, seed=5,
+                                   mesh=make_mesh(nd))), axis=0
+        )
+        assert np.array_equal(single, sharded), nd
+    # second-order engine, same contract
+    s2 = np.concatenate(
+        list(alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=5)), axis=0
+    )
+    sh2 = np.concatenate(
+        list(alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=5,
+                                mesh=make_mesh(8))), axis=0
+    )
+    assert np.array_equal(s2, sh2)
+    # public API accepts the mesh
+    e = alg.embed_deepwalk(graph, feature_dim=8, num_walks=1,
+                           walk_length=8, backend="device", n_devices=4)
+    assert np.isfinite(e).all()
+
+
 def test_sharded_mesh_object(graph):
     """Passing an explicit mesh works like n_devices."""
     from cleora_tpu.parallel.mesh import make_mesh

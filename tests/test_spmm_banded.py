@@ -273,11 +273,15 @@ def test_embed_edgecut_end_to_end(tiny_chunks, monkeypatch):
              for _ in range(1200)]
     g1 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
     g2 = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::a")
-    e_c = embed(g1, feature_dim=16, num_iterations=5, whiten=False)
+    # exact shapes pinned: canonical is the round-4 embed() default and
+    # would change the device-cache key this test inspects
+    e_c = embed(g1, feature_dim=16, num_iterations=5, whiten=False,
+                canonical_shapes=False)
     cached = g1._device_cache[("coo", "left", 16, False)]
     assert isinstance(cached[0], EdgeCutBands)  # skew -> edge-cut engaged
     g2._device_cache[("coo", "left", 16, False)] = g2._device_coo("left")
-    e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False)
+    e_f = embed(g2, feature_dim=16, num_iterations=5, whiten=False,
+                canonical_shapes=False)
     np.testing.assert_allclose(e_c, e_f, rtol=2e-5, atol=2e-5)
 
 
