@@ -1670,6 +1670,20 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
         kvals = pmi[keep].astype(np.float32)
         order = np.argsort(krows, kind="stable")
         r = min(n, k + oversample)
+        # the PPMI matrix is often far denser than the graph (every
+        # windowed pair is a potential nonzero) — pre-check HBM like the
+        # other device loops instead of failing in the XLA allocator;
+        # same sketch-width margin convention as device HOPE
+        from .ops.memory import check_device_fit
+
+        try:
+            check_device_fit(n, max(1, (3 * r) // 2), krows.shape[0])
+        except ValueError as e:
+            raise ValueError(
+                f"{e} For the walk pipeline specifically: fewer walks, a "
+                "smaller window, or factorization='host' (ARPACK) all "
+                "shrink or avoid the device PPMI factorization."
+            ) from None
         layout, lorder, lrank = _device_layout(
             krows[order].astype(np.int32), kcols[order].astype(np.int32),
             kvals[order], n, r,

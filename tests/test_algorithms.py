@@ -308,6 +308,21 @@ def test_device_factorization_matches_host_svds(graph):
                            factorization="bogus")
 
 
+def test_device_ppmi_factorization_hbm_precheck(graph, monkeypatch):
+    """A PPMI matrix too big for HBM raises the descriptive fit error
+    (naming the walk-pipeline levers) instead of an XLA allocator abort;
+    the host factorization is unaffected by the device limit."""
+    from cleora_tpu.ops import memory
+
+    kw = dict(feature_dim=8, num_walks=2, walk_length=10, backend="device",
+              seed=2)
+    monkeypatch.setattr(memory, "device_hbm_limit", lambda: 10_000)
+    with pytest.raises(ValueError, match="walk pipeline"):
+        alg.embed_deepwalk(graph, factorization="device", **kw)
+    out = alg.embed_deepwalk(graph, factorization="host", **kw)
+    assert np.isfinite(out).all()
+
+
 def test_node2vec_device_uniform_and_validation(graph):
     emb = alg.embed_node2vec(graph, feature_dim=16, num_walks=2,
                              walk_length=10, backend="device", seed=4)
