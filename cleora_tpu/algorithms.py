@@ -1212,11 +1212,14 @@ def _walk_placers(mesh):
 
 
 def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
-                  batch: int = _WALK_BATCH, mesh=None):
+                  batch: int = _WALK_BATCH, mesh=None, resident: bool = False):
     """Yield (B, walk_length) int32 host walk batches (sentinel == n).
 
     ``mesh`` shards each batch's walk lanes across the devices (tables
-    replicated) — same outputs, N× the walk throughput per dispatch."""
+    replicated) — same outputs, N× the walk throughput per dispatch.
+    ``resident=True`` instead yields ``(device_array, pad)`` without
+    fetching — for the on-device co-occurrence path (ops/cooccur.py),
+    which must mask the ``pad`` trailing lanes itself."""
     import jax
 
     indptr, cols, deg, n = _walk_csr(graph)
@@ -1241,6 +1244,9 @@ def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
             jax.random.fold_in(root, i),
             walk_length=walk_length, n_rows=n,
         )
+        if resident:
+            yield out, pad
+            continue
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w
 
@@ -1469,11 +1475,13 @@ _WALK2_BATCH = 65_536
 
 def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
                    q: float, seed: int, batch: int = _WALK2_BATCH,
-                   tries: int | None = None, mesh=None):
+                   tries: int | None = None, mesh=None,
+                   resident: bool = False):
     """Yield (B, walk_length) int32 host batches of p/q-biased walks.
 
     ``mesh`` shards the walk lanes across the devices (see
-    :func:`_walk_placers`)."""
+    :func:`_walk_placers`); ``resident=True`` yields ``(device_array,
+    pad)`` unfetched, as in :func:`_device_walks`."""
     import jax
 
     import jax.numpy as jnp
@@ -1511,6 +1519,9 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
             walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
             chunk=_WALK2_CHUNK,
         )
+        if resident:
+            yield out, pad
+            continue
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w
 
@@ -1728,6 +1739,15 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
     return _finalize(emb, feature_dim)
 
 
+def _validate_cooccurrence(cooccurrence: str, backend: str) -> None:
+    if cooccurrence not in ("host", "device"):
+        raise ValueError(
+            f"Unknown cooccurrence '{cooccurrence}'. Use 'host' or 'device'."
+        )
+    if cooccurrence == "device" and backend != "device":
+        raise ValueError("cooccurrence='device' requires backend='device'")
+
+
 def _walk_mesh(mesh, n_devices):
     if mesh is not None or n_devices is None:
         return mesh
@@ -1736,9 +1756,74 @@ def _walk_mesh(mesh, n_devices):
     return make_mesh(n_devices)
 
 
+def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches,
+                       oversample=16, power_iters=4):
+    """Fully device-resident walks → co-occurrence → PPMI → randomized SVD.
+
+    ``batches`` yields resident ``(device_walks, pad)`` pairs (either walk
+    engine).  Pair counting, the PMI transform, and the factorization all
+    stay on the device (ops/cooccur.py); only per-batch scalar unique
+    counts and the final (n, k) embedding cross the host link — the right
+    trade on tunneled runtimes where the host sort-reduce dominates the
+    measured e2e (RESULTS.md).  Counts are integer-exact vs the host
+    sort-reduce; the factorization matches ``factorization="device"`` up
+    to the RNG of the sketch (device PRNG here, host ``default_rng``
+    there)."""
+    from .ops.cooccur import device_pair_counts
+
+    n = graph.num_entities
+    cen, ctx, cnt, m = device_pair_counts(batches, n, window_size)
+    return _device_counts_to_embeddings(cen, ctx, cnt, m, n, feature_dim,
+                                        seed, oversample=oversample,
+                                        power_iters=power_iters)
+
+
+def _device_counts_to_embeddings(cen, ctx, cnt, m, n, feature_dim, seed,
+                                 oversample=16, power_iters=4):
+    """PPMI + randomized SVD over device-resident unique pair counts."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from .ops.cooccur import ppmi_coo
+    from .ops.memory import check_device_fit
+
+    k = min(feature_dim, n - 1)
+    if m == 0 or k < 1:
+        return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+    r = min(n, k + oversample)
+    try:
+        check_device_fit(n, max(1, (3 * r) // 2), int(cen.shape[0]))
+    except ValueError as e:
+        raise ValueError(
+            f"{e} For the walk pipeline specifically: fewer walks, a "
+            "smaller window, or cooccurrence='host' with "
+            "factorization='host' all shrink the device footprint."
+        ) from None
+    rows, cols, vals = ppmi_coo(cen, ctx, cnt, n)
+    del cen, ctx, cnt
+    omega = jax.random.normal(
+        jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
+    u_su = np.asarray(_sparse_rsvd_jit()(
+        (rows, cols, vals), None, None, omega,
+        n_rows=n, k=k, power_iters=power_iters,
+    ), dtype=np.float64)
+    pick = np.argmax(np.abs(u_su), axis=0)
+    sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
+    sign[sign == 0] = 1.0
+    return _finalize(u_su * sign, feature_dim)
+
+
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
-                     seed, factorization="host", mesh=None, n_devices=None):
+                     seed, factorization="host", mesh=None, n_devices=None,
+                     cooccurrence="host"):
     mesh = _walk_mesh(mesh, n_devices)
+    if cooccurrence == "device":
+        return _walks_ppmi_device(
+            graph, feature_dim, window_size, seed,
+            _device_walks(graph, num_walks, walk_length, seed, mesh=mesh,
+                          resident=True),
+        )
     batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     return _counts_to_embeddings(keys, counts, graph.num_entities,
@@ -1748,8 +1833,14 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
 
 def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
                      p, q, seed, factorization="host", mesh=None,
-                     n_devices=None):
+                     n_devices=None, cooccurrence="host"):
     mesh = _walk_mesh(mesh, n_devices)
+    if cooccurrence == "device":
+        return _walks_ppmi_device(
+            graph, feature_dim, window_size, seed,
+            _device_walks2(graph, num_walks, walk_length, p, q, seed,
+                           mesh=mesh, resident=True),
+        )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
                              mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
@@ -1841,6 +1932,7 @@ def embed_deepwalk(
     factorization: str = "host",
     mesh=None,
     n_devices: Optional[int] = None,
+    cooccurrence: str = "host",
 ) -> np.ndarray:
     """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361).
 
@@ -1853,11 +1945,17 @@ def embed_deepwalk(
     ARPACK — the right choice at 1M+ nodes, where the host ``svds`` is
     the dominant stage (randomized-SVD accuracy).  ``mesh=``/``n_devices=``
     shards each batch's walk lanes across the devices (tables replicated;
-    value-identical outputs, N× walk throughput per dispatch)."""
+    value-identical outputs, N× walk throughput per dispatch).
+    ``cooccurrence="device"`` keeps the walks device-resident and counts
+    the windowed pairs on the TPU too (ops/cooccur.py — sort-reduce +
+    tree merge), implying the device factorization; integer-exact counts,
+    the right choice when the host's sort-reduce dominates e2e."""
+    _validate_cooccurrence(cooccurrence, backend)
     if backend == "device":
         return _deepwalk_device(
             graph, feature_dim, num_walks, walk_length, window_size, seed,
             factorization=factorization, mesh=mesh, n_devices=n_devices,
+            cooccurrence=cooccurrence,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")
@@ -1879,6 +1977,7 @@ def embed_node2vec(
     factorization: str = "host",
     mesh=None,
     n_devices: Optional[int] = None,
+    cooccurrence: str = "host",
 ) -> np.ndarray:
     """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
 
@@ -1895,17 +1994,18 @@ def embed_node2vec(
     stream."""
     if p <= 0.0 or q <= 0.0:
         raise ValueError("p and q must be positive")
+    _validate_cooccurrence(cooccurrence, backend)
     if backend == "device":
         if p == 1.0 and q == 1.0:
             return _deepwalk_device(
                 graph, feature_dim, num_walks, walk_length, window_size,
                 seed, factorization=factorization, mesh=mesh,
-                n_devices=n_devices,
+                n_devices=n_devices, cooccurrence=cooccurrence,
             )
         return _node2vec_device(
             graph, feature_dim, num_walks, walk_length, window_size, p, q,
             seed, factorization=factorization, mesh=mesh,
-            n_devices=n_devices,
+            n_devices=n_devices, cooccurrence=cooccurrence,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--factorization", default="device",
                     choices=["host", "device"])
+    ap.add_argument("--cooccurrence", default="host",
+                    choices=["host", "device"],
+                    help="device = fully TPU-resident pipeline "
+                         "(ops/cooccur.py): pairs counted and factorized "
+                         "on device, no multi-GB host sort-reduce")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -59,6 +64,43 @@ def main():
     g = ct.SparseMatrix.from_edge_arrays(src, dst)
     log(f"graph: {g.num_entities} nodes, {g.num_edges} nnz "
         f"({time.time()-t0:.1f}s build)")
+
+    if args.cooccurrence == "device":
+        # fully device-resident: walks are consumed lazily by the device
+        # sort-reduce, so walks+counting is ONE phase; only per-batch
+        # scalar counts and the final embedding cross the host link
+        t0 = time.time()
+        n = g.num_entities
+        from cleora_tpu.ops import cooccur
+
+        cen, ctx, cnt, m = cooccur.device_pair_counts(
+            alg._device_walks(g, args.num_walks, args.walk_length,
+                              args.seed, resident=True),
+            n, args.window,
+        )
+        cnt_total = int(np.asarray(cnt[:m]).sum()) if m else 0
+        cooc_wall = time.time() - t0
+        log(f"device walks+co-occurrence: {cnt_total} pairs -> {m} unique "
+            f"in {cooc_wall:.1f}s")
+        t0 = time.time()
+        emb = alg._device_counts_to_embeddings(
+            cen, ctx, cnt, m, n, args.dim, args.seed,
+        )
+        fact_wall = time.time() - t0
+        log(f"device PPMI+factorize: {emb.shape} in {fact_wall:.1f}s")
+        total = cooc_wall + fact_wall
+        summary = {
+            "nodes": n, "nnz": g.num_edges, "num_walks": args.num_walks,
+            "walk_length": args.walk_length, "window": args.window,
+            "dim": args.dim, "cooccurrence": "device",
+            "cooccur_s": round(cooc_wall, 1),
+            "factorize_s": round(fact_wall, 1), "total_s": round(total, 1),
+            "pairs": cnt_total, "unique_pairs": int(m),
+            "host_stage_fraction": 0.0,
+            "finite": bool(np.isfinite(emb).all()),
+        }
+        print("E2E_SUMMARY " + json.dumps(summary), flush=True)
+        return
 
     # phase 1: device walks (materialize every batch host-side, timed)
     t0 = time.time()

@@ -1,0 +1,122 @@
+"""Device-side co-occurrence (ops/cooccur.py) parity with the host
+sort-reduce, and the fully device-resident walk-pipeline wiring."""
+
+import numpy as np
+import pytest
+
+from cleora_tpu import SparseMatrix
+from cleora_tpu import algorithms as alg
+from cleora_tpu.ops import cooccur
+
+
+@pytest.fixture(scope="module")
+def graph():
+    rng = np.random.default_rng(11)
+    lines = [f"n{rng.integers(0, 150)} n{rng.integers(0, 150)}"
+             for _ in range(900)]
+    return SparseMatrix.from_iterator(iter(lines), "complex::reflexive::n")
+
+
+def _host_counts(graph, num_walks, walk_length, window, seed, batch):
+    batches = list(alg._device_walks(graph, num_walks, walk_length, seed,
+                                     batch=batch))
+    return alg._walk_pair_counts(batches, graph.num_entities, window)
+
+
+def _device_counts(graph, num_walks, walk_length, window, seed, batch):
+    n = graph.num_entities
+    cen, ctx, cnt, m = cooccur.device_pair_counts(
+        alg._device_walks(graph, num_walks, walk_length, seed, batch=batch,
+                          resident=True),
+        n, window,
+    )
+    cen = np.asarray(cen[:m], dtype=np.int64)
+    ctx = np.asarray(ctx[:m], dtype=np.int64)
+    cnt = np.asarray(cnt[:m], dtype=np.int64)
+    return cen * n + ctx, cnt
+
+
+@pytest.mark.parametrize("batch", [1 << 15, 64])
+def test_device_counts_integer_exact(graph, batch):
+    """Device sort-reduce == host radix sort-reduce, key for key.  The
+    small batch forces multiple per-batch reductions, trailing-lane
+    padding, and an odd-count tree merge."""
+    keys_h, counts_h = _host_counts(graph, 2, 10, 3, seed=9, batch=batch)
+    keys_d, counts_d = _device_counts(graph, 2, 10, 3, seed=9, batch=batch)
+    assert np.array_equal(keys_h, keys_d)
+    assert np.array_equal(counts_h, counts_d)
+
+
+def test_device_counts_second_order(graph):
+    """Same contract through the p/q-biased walk engine."""
+    n = graph.num_entities
+    batches_h = list(alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=4))
+    keys_h, counts_h = alg._walk_pair_counts(batches_h, n, 4)
+    cen, ctx, cnt, m = cooccur.device_pair_counts(
+        alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=4, resident=True),
+        n, 4,
+    )
+    keys_d = np.asarray(cen[:m], np.int64) * n + np.asarray(ctx[:m], np.int64)
+    assert np.array_equal(keys_h, keys_d)
+    assert np.array_equal(counts_h, np.asarray(cnt[:m], np.int64))
+
+
+def test_ppmi_coo_matches_host_pmi(graph):
+    """Device PPMI values match the host formula on the same counts; the
+    padding tail is (n-1, 0, 0.0) and rows stay nondecreasing (the sorted
+    flat-COO contract of spmm_inner)."""
+    n = graph.num_entities
+    cen, ctx, cnt, m = cooccur.device_pair_counts(
+        alg._device_walks(graph, 2, 10, seed=9, resident=True), n, 3,
+    )
+    rows, cols, vals = cooccur.ppmi_coo(cen, ctx, cnt, n)
+    rows, cols, vals = map(np.asarray, (rows, cols, vals))
+    # host reference on the fetched counts
+    c = np.asarray(cen[:m], np.int64)
+    x = np.asarray(ctx[:m], np.int64)
+    w = np.asarray(cnt[:m], np.float64)
+    rs = np.zeros(n)
+    cs = np.zeros(n)
+    np.add.at(rs, c, w)
+    np.add.at(cs, x, w)
+    exp = np.maximum(np.log(w * w.sum() / (rs[c] * cs[x])), 0.0)
+    np.testing.assert_allclose(vals[:m], exp, rtol=2e-5, atol=2e-5)
+    assert np.array_equal(rows[:m], c) and np.array_equal(cols[:m], x)
+    assert (rows[m:] == n - 1).all() and (vals[m:] == 0).all()
+    assert (np.diff(rows.astype(np.int64)) >= 0).all()
+
+
+def test_embed_deepwalk_device_cooccurrence(graph):
+    """cooccurrence='device' reproduces the host-counted device
+    factorization geometry (different sketch RNG -> Gram comparison)."""
+    kw = dict(feature_dim=8, num_walks=4, walk_length=16, window_size=4,
+              seed=3, backend="device")
+    ref = alg.embed_deepwalk(graph, factorization="device", **kw)
+    dev = alg.embed_deepwalk(graph, cooccurrence="device", **kw)
+    assert dev.shape == ref.shape
+    assert np.isfinite(dev).all()
+    assert np.allclose(ref @ ref.T, dev @ dev.T, atol=5e-2), (
+        np.abs(ref @ ref.T - dev @ dev.T).max()
+    )
+
+
+def test_embed_node2vec_device_cooccurrence(graph):
+    e = alg.embed_node2vec(graph, feature_dim=8, num_walks=1, walk_length=8,
+                           p=0.5, q=2.0, backend="device",
+                           cooccurrence="device")
+    assert e.shape == (graph.num_entities, 8)
+    assert np.isfinite(e).all()
+
+
+def test_cooccurrence_validation(graph):
+    with pytest.raises(ValueError, match="cooccurrence"):
+        alg.embed_deepwalk(graph, feature_dim=8, backend="host",
+                           cooccurrence="device")
+    with pytest.raises(ValueError, match="cooccurrence"):
+        alg.embed_node2vec(graph, feature_dim=8, backend="device",
+                           cooccurrence="bogus")
+
+
+def test_device_counts_empty():
+    cen, ctx, cnt, m = cooccur.device_pair_counts(iter(()), 10, 3)
+    assert m == 0 and cen.shape[0] == 0
