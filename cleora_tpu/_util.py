@@ -47,6 +47,14 @@ def maybe_enable_compile_cache() -> None:
     try:
         import jax
 
+        # TPU backends only.  CPU compiles are fast, and loading a
+        # persisted XLA:CPU AOT executable on a host whose CPU features
+        # differ from the compiling host's SIGILLs/segfaults (observed:
+        # intermittent full-suite crashes inside a cached pjit program,
+        # with "Machine type used for XLA:CPU compilation doesn't match"
+        # load warnings) — caching CPU programs is all risk, no reward.
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1695,18 +1695,25 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
                 "smaller window, or factorization='host' (ARPACK) all "
                 "shrink or avoid the device PPMI factorization."
             ) from None
-        layout, lorder, lrank = _device_layout(
-            krows[order].astype(np.int32), kcols[order].astype(np.int32),
-            kvals[order], n, r,
-        )
+        # flat chunked COO, NOT the ELL plan: at walk-corpus densities
+        # (100M+ nnz) the rsvd's take-then-gather pattern defeats XLA's
+        # gather+reduce fusion and the (slots, r) ELL slabs materialize —
+        # observed OOM at 450M nnz with ~20 rematerialized 7 GiB slabs.
+        # The flat path's scan keeps the intermediate at one bounded
+        # (chunk, r) buffer, and the rsvd is seconds either way.
+        from .ops.spmm import pad_coo
+
         import jax.numpy as jnp
 
+        prow, pcol, pval = pad_coo(
+            krows[order].astype(np.int32), kcols[order].astype(np.int32),
+            kvals[order], n,
+        )
+        layout = tuple(jnp.asarray(a) for a in (prow, pcol, pval))
         rng = np.random.default_rng(seed)
         omega = rng.standard_normal((n, r)).astype(np.float32)
-        lorder = jnp.asarray(lorder) if lorder is not None else None
-        lrank = jnp.asarray(lrank) if lrank is not None else None
         u_su = np.asarray(_sparse_rsvd_jit()(
-            layout, lorder, lrank, jnp.asarray(omega),
+            layout, None, None, jnp.asarray(omega),
             n_rows=n, k=k, power_iters=power_iters,
         ), dtype=np.float64)
         pick = np.argmax(np.abs(u_su), axis=0)

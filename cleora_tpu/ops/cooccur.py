@@ -126,8 +126,20 @@ def _compact_jit():
 
 
 def _bucket(m: int, floor: int = 2048) -> int:
-    """Power-of-two compaction size (few static shapes → few compiles)."""
-    return max(floor, 1 << int(max(m, 1) - 1).bit_length())
+    """Compaction size: powers of two below 1M, then ~12% geometric steps
+    (pad_coo's schedule).  Coarse enough to bound compile variety, tight
+    enough that the final tree merge — whose concat of two compacted
+    inputs is the HBM high-water mark of the whole pipeline — doesn't pay
+    up-to-2× power-of-two padding at the hundreds-of-millions scale."""
+    m = max(m, 1)
+    if m <= floor:
+        return floor
+    if m <= 1 << 20:
+        return 1 << m.bit_length() if m & (m - 1) else m
+    bucket = 1 << 20
+    while bucket < m:
+        bucket += bucket // 8
+    return bucket
 
 
 def device_pair_counts(batches, n: int, window: int):
