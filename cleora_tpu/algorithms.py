@@ -1615,7 +1615,15 @@ def _sparse_rsvd_jit():
         def apply_layout(layout, order, rank, x, n_rows):
             if order is not None:
                 x = jnp.take(x, order, axis=0)
-            y = spmm_inner(*layout, x, n_rows)
+            if isinstance(layout[0], tuple) and len(layout[0]) == 3:
+                # multi-range COO (ops/cooccur.py:ppmi_ranges): the ranges
+                # are row-disjoint, so the full operator is the SUM of the
+                # per-range SpMMs — no concatenation buffer needed
+                y = spmm_inner(*layout[0], x, n_rows)
+                for part in layout[1:]:
+                    y = y + spmm_inner(*part, x, n_rows)
+            else:
+                y = spmm_inner(*layout, x, n_rows)
             return jnp.take(y, rank, axis=0) if rank is not None else y
 
         @functools.partial(
@@ -1763,56 +1771,76 @@ def _walk_mesh(mesh, n_devices):
     return make_mesh(n_devices)
 
 
-def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches,
-                       oversample=16, power_iters=4):
+# a counting pass's sort-merge working set stays well under HBM when the
+# pass sees at most this many (pre-dedup) pairs; the driver hash-partitions
+# bigger corpora into ceil(pairs / this) passes over regenerated walks
+_COOC_PASS_PAIRS = 200_000_000
+
+
+def _cooc_passes(graph, num_walks: int, walk_length: int,
+                 window_size: int) -> int:
+    """Counting passes for :func:`ops.cooccur.device_pair_counts`, from the
+    worst-case (all-unique) pair count of the walk corpus."""
+    deg = np.diff(graph.data.indptr)
+    starts = int((deg > 0).sum()) * num_walks
+    w = min(window_size, walk_length - 1)
+    per_walk = 2 * (w * walk_length - w * (w + 1) // 2)
+    return max(1, -(-starts * per_walk // _COOC_PASS_PAIRS))
+
+
+def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
+                       passes=1, oversample=16, power_iters=4):
     """Fully device-resident walks → co-occurrence → PPMI → randomized SVD.
 
-    ``batches`` yields resident ``(device_walks, pad)`` pairs (either walk
-    engine).  Pair counting, the PMI transform, and the factorization all
-    stay on the device (ops/cooccur.py); only per-batch scalar unique
-    counts and the final (n, k) embedding cross the host link — the right
-    trade on tunneled runtimes where the host sort-reduce dominates the
-    measured e2e (RESULTS.md).  Counts are integer-exact vs the host
-    sort-reduce; the factorization matches ``factorization="device"`` up
-    to the RNG of the sketch (device PRNG here, host ``default_rng``
-    there)."""
+    ``batches_fn()`` returns a fresh iterable of resident
+    ``(device_walks, pad)`` pairs (either walk engine; deterministic per
+    seed, so counting passes regenerate identical walks).  Pair counting,
+    the PMI transform, and the factorization all stay on the device
+    (ops/cooccur.py); only scalar unique counts and the final (n, k)
+    embedding cross the host link — the right trade on tunneled runtimes
+    where the host sort-reduce dominates the measured e2e (RESULTS.md).
+    Counts are integer-exact vs the host sort-reduce; the factorization
+    matches ``factorization="device"`` up to the RNG of the sketch
+    (device PRNG here, host ``default_rng`` there)."""
     from .ops.cooccur import device_pair_counts
 
     n = graph.num_entities
-    cen, ctx, cnt, m = device_pair_counts(batches, n, window_size)
-    return _device_counts_to_embeddings(cen, ctx, cnt, m, n, feature_dim,
+    ranges, m_total = device_pair_counts(batches_fn, n, window_size,
+                                         passes=passes)
+    return _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
                                         seed, oversample=oversample,
                                         power_iters=power_iters)
 
 
-def _device_counts_to_embeddings(cen, ctx, cnt, m, n, feature_dim, seed,
+def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
                                  oversample=16, power_iters=4):
-    """PPMI + randomized SVD over device-resident unique pair counts."""
+    """PPMI + randomized SVD over device-resident unique pair ranges."""
     import jax
 
     import jax.numpy as jnp
 
-    from .ops.cooccur import ppmi_coo
+    from .ops.cooccur import ppmi_ranges
     from .ops.memory import check_device_fit
 
     k = min(feature_dim, n - 1)
-    if m == 0 or k < 1:
+    if m_total == 0 or k < 1:
         return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
     r = min(n, k + oversample)
+    slots = sum(int(c.shape[0]) for c, _, _, _ in ranges)
     try:
-        check_device_fit(n, max(1, (3 * r) // 2), int(cen.shape[0]))
+        check_device_fit(n, max(1, (3 * r) // 2), slots)
     except ValueError as e:
         raise ValueError(
             f"{e} For the walk pipeline specifically: fewer walks, a "
             "smaller window, or cooccurrence='host' with "
             "factorization='host' all shrink the device footprint."
         ) from None
-    rows, cols, vals = ppmi_coo(cen, ctx, cnt, n)
-    del cen, ctx, cnt
+    layout = ppmi_ranges(ranges, n)
+    del ranges
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
     u_su = np.asarray(_sparse_rsvd_jit()(
-        (rows, cols, vals), None, None, omega,
+        layout, None, None, omega,
         n_rows=n, k=k, power_iters=power_iters,
     ), dtype=np.float64)
     pick = np.argmax(np.abs(u_su), axis=0)
@@ -1826,10 +1854,14 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                      cooccurrence="host"):
     mesh = _walk_mesh(mesh, n_devices)
     if cooccurrence == "device":
+        # half-size batches: the counting pass's sort working set shares
+        # HBM with finished ranges, and walk generation stays saturated
         return _walks_ppmi_device(
             graph, feature_dim, window_size, seed,
-            _device_walks(graph, num_walks, walk_length, seed, mesh=mesh,
-                          resident=True),
+            lambda: _device_walks(graph, num_walks, walk_length, seed,
+                                  batch=_WALK_BATCH // 2, mesh=mesh,
+                                  resident=True),
+            passes=_cooc_passes(graph, num_walks, walk_length, window_size),
         )
     batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
@@ -1845,8 +1877,9 @@ def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
     if cooccurrence == "device":
         return _walks_ppmi_device(
             graph, feature_dim, window_size, seed,
-            _device_walks2(graph, num_walks, walk_length, p, q, seed,
-                           mesh=mesh, resident=True),
+            lambda: _device_walks2(graph, num_walks, walk_length, p, q,
+                                   seed, mesh=mesh, resident=True),
+            passes=_cooc_passes(graph, num_walks, walk_length, window_size),
         )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
                              mesh=mesh)

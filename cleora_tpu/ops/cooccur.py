@@ -64,8 +64,14 @@ def _sort_reduce(cen, ctx, cnt):
     return ucen, uctx, ucnt, m
 
 
-def _reduce_walks_impl(walks, n_valid, n, *, window):
-    """Per-batch: windowed symmetric pairs → sorted unique counts."""
+def _reduce_walks_impl(walks, n_valid, n, hash_s, hash_mod, *, window):
+    """Per-batch: windowed symmetric pairs → sorted unique counts.
+
+    ``hash_s``/``hash_mod`` select one hash partition of the CENTER ids
+    (``cen % hash_mod == hash_s``); the driver runs one counting pass per
+    partition so no single merge ever holds the full unique set — the
+    partitions are row-disjoint, which is exactly what the downstream
+    multi-range SpMM needs.  ``hash_mod == 1`` keeps every pair."""
     import jax.numpy as jnp
 
     b, length = walks.shape
@@ -75,10 +81,12 @@ def _reduce_walks_impl(walks, n_valid, n, *, window):
         a = walks[:, :-off]
         c = walks[:, off:]
         ok = (a < n) & (c < n) & live
-        a_m = jnp.where(ok, a, _SENT).reshape(-1)
-        c_m = jnp.where(ok, c, _SENT).reshape(-1)
-        cen_parts += [a_m, c_m]   # both directions, like the host path
-        ctx_parts += [c_m, a_m]
+        ok_ac = ok & (a % hash_mod == hash_s)   # direction a -> c
+        ok_ca = ok & (c % hash_mod == hash_s)   # direction c -> a
+        cen_parts += [jnp.where(ok_ac, a, _SENT).reshape(-1),
+                      jnp.where(ok_ca, c, _SENT).reshape(-1)]
+        ctx_parts += [jnp.where(ok_ac, c, _SENT).reshape(-1),
+                      jnp.where(ok_ca, a, _SENT).reshape(-1)]
     cen = jnp.concatenate(cen_parts)
     ctx = jnp.concatenate(ctx_parts)
     cnt = jnp.ones(cen.shape[0], jnp.int32)
@@ -142,45 +150,76 @@ def _bucket(m: int, floor: int = 2048) -> int:
     return bucket
 
 
-def device_pair_counts(batches, n: int, window: int):
-    """Reduce an iterable of device walk batches to device-resident unique
-    (center, context, count) arrays.
+def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
+    """Reduce device walk batches to device-resident unique
+    (center, context, count) ranges.
 
-    ``batches`` yields ``(walks, pad)`` with ``walks`` a device (B, L)
-    int32 array (sentinel == n for dead ends) and ``pad`` the number of
-    trailing padding lanes to ignore.  Returns ``(cen, ctx, cnt, m)``:
-    compacted device arrays whose first ``m`` slots are the real unique
-    pairs sorted by (center, context); the tail is sentinel/zero slots the
-    downstream kernels mask.  Only scalar counts are fetched to the host.
+    ``batches_fn()`` returns a FRESH iterable yielding ``(walks, pad)``
+    with ``walks`` a device (B, L) int32 array (sentinel == n for dead
+    ends) and ``pad`` the number of trailing padding lanes to ignore; the
+    walk engines are deterministic per seed, so re-iterating regenerates
+    identical walks.  ``passes`` hash-partitions the counting by center id
+    (``cen % passes``), one full sweep per partition: the unique set of a
+    400M+-pair corpus does not fit a single sort-merge working set in one
+    chip's HBM, but each partition's does, and regenerating walks is cheap
+    next to the sorts (hash, not range, so power-law hubs spread evenly).
+
+    Returns ``(ranges, m_total)`` where ``ranges`` is a list of
+    ``(cen, ctx, cnt, m)`` — compacted device arrays whose first ``m``
+    slots are real unique pairs sorted by (center, context); tails are
+    sentinel/zero slots the downstream kernels mask.  Ranges are
+    row-disjoint by construction (each center id lives in exactly one),
+    which is what the multi-range SpMM layout consumes.  Only scalar
+    counts cross to the host.
     """
     import jax.numpy as jnp
 
     reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
-    acc = []  # [(cen, ctx, cnt, m_actual)]
-    for walks, pad in batches:
-        b = walks.shape[0]
-        u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n), window=window)
-        m = int(u[3])
-        acc.append((*compact(*u[:3], mb=_bucket(m)), m))
-    if not acc:
-        empty = jnp.empty(0, jnp.int32)
-        return empty, empty, empty, 0
-    while len(acc) > 1:  # pairwise tree merge bounds the concat size
-        nxt = []
-        for i in range(0, len(acc) - 1, 2):
-            a, b_ = acc[i], acc[i + 1]
-            u = merge_fn(*a[:3], *b_[:3])
+    passes = max(1, int(passes))
+    ranges = []
+    for s in range(passes):
+        acc = []  # [(cen, ctx, cnt, m_actual)]
+        for walks, pad in batches_fn():
+            b = walks.shape[0]
+            u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n),
+                          jnp.int32(s), jnp.int32(passes), window=window)
             m = int(u[3])
-            nxt.append((*compact(*u[:3], mb=_bucket(m)), m))
-        if len(acc) % 2:
-            nxt.append(acc[-1])
-        acc = nxt
-    cen, ctx, cnt, m = acc[0]
-    return cen, ctx, cnt, m
+            acc.append((*compact(*u[:3], mb=_bucket(m)), m))
+            del u
+        if not acc:
+            continue
+        while len(acc) > 1:  # pairwise tree merge bounds the concat size
+            nxt = []
+            for i in range(0, len(acc) - 1, 2):
+                a, b_ = acc[i], acc[i + 1]
+                u = merge_fn(*a[:3], *b_[:3])
+                m = int(u[3])
+                nxt.append((*compact(*u[:3], mb=_bucket(m)), m))
+                del u
+            if len(acc) % 2:
+                nxt.append(acc[-1])
+            acc = nxt
+        ranges.append(acc[0])
+    return ranges, sum(r[3] for r in ranges)
 
 
-def _ppmi_impl(cen, ctx, cnt, *, n):
-    """Counts → positive-PMI values, shaped for spmm_inner's flat path.
+def _colsum_impl(cen, ctx, cnt, col_acc):
+    """Accumulate one range's column sums into the global (n,) vector.
+
+    Column sums span every range (contexts are unpartitioned), so they are
+    reduced across ranges before any PMI value can be computed; the
+    accumulator is donated — same shape in and out, so XLA aliases it."""
+    import jax.numpy as jnp
+
+    valid = cen < col_acc.shape[0]
+    w = jnp.where(valid, cnt, 0).astype(jnp.float32)
+    return col_acc.at[jnp.where(valid, ctx, 0)].add(w), jnp.sum(w)
+
+
+def _ppmi_range_impl(cen, ctx, cnt, col_sums, total, *, n):
+    """One range's counts → positive-PMI values, shaped for spmm_inner's
+    flat path.  Row sums are range-local (each center id lives in exactly
+    one range); column sums and the pair total are global inputs.
 
     Invalid/padding slots become (row n-1, col 0, val 0): harmless to the
     segment-sum and keeping rows nondecreasing (valid prefix is sorted,
@@ -194,8 +233,6 @@ def _ppmi_impl(cen, ctx, cnt, *, n):
     idx_c = jnp.where(valid, ctx, 0)
     row_sums = jnp.zeros(n, jnp.float32).at[idx_r].add(
         w, indices_are_sorted=True)
-    col_sums = jnp.zeros(n, jnp.float32).at[idx_c].add(w)
-    total = jnp.sum(w)
     denom = jnp.maximum(row_sums[idx_r], 1e-10) * \
         jnp.maximum(col_sums[idx_c], 1e-10)
     pmi = jnp.log(jnp.maximum(w * total / denom, 1e-15))
@@ -205,10 +242,38 @@ def _ppmi_impl(cen, ctx, cnt, *, n):
     return rows, cols, val
 
 
-def ppmi_coo(cen, ctx, cnt, n: int):
-    """Device (rows, cols, vals) positive-PMI COO from unique pair counts."""
-    if "ppmi" not in _JITS:
-        import jax
+def ppmi_ranges(ranges, n: int):
+    """[(rows, cols, vals), ...] positive-PMI COO, one triple per range.
 
-        _JITS["ppmi"] = jax.jit(_ppmi_impl, static_argnames=("n",))
-    return _JITS["ppmi"](cen, ctx, cnt, n=n)
+    The triples are row-disjoint; their SpMMs sum to the full operator
+    (algorithms._sparse_rsvd_jit consumes exactly this tuple-of-triples).
+    """
+    import jax
+
+    import jax.numpy as jnp
+
+    if "colsum" not in _JITS:
+        _JITS["colsum"] = jax.jit(_colsum_impl, donate_argnums=(3,))
+        _JITS["ppmi_range"] = jax.jit(_ppmi_range_impl,
+                                      static_argnames=("n",))
+    col_sums = jnp.zeros(n, jnp.float32)
+    total = jnp.float32(0.0)
+    for cen, ctx, cnt, _ in ranges:
+        col_sums, t = _JITS["colsum"](cen, ctx, cnt, col_sums)
+        total = total + t
+    # consume the caller's list destructively: each range's count buffers
+    # free as soon as its value triple exists, halving the transient HBM
+    # peak (a tuple input is copied and the caller keeps its refs alive)
+    out = []
+    if isinstance(ranges, tuple):
+        ranges = list(ranges)
+    while ranges:
+        cen, ctx, cnt, _ = ranges.pop(0)
+        out.append(_JITS["ppmi_range"](cen, ctx, cnt, col_sums, total, n=n))
+        del cen, ctx, cnt
+    return tuple(out)
+
+
+def ppmi_coo(cen, ctx, cnt, n: int):
+    """Single-range convenience wrapper around :func:`ppmi_ranges`."""
+    return ppmi_ranges([(cen, ctx, cnt, None)], n)[0]

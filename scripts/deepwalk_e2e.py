@@ -73,18 +73,24 @@ def main():
         n = g.num_entities
         from cleora_tpu.ops import cooccur
 
-        cen, ctx, cnt, m = cooccur.device_pair_counts(
-            alg._device_walks(g, args.num_walks, args.walk_length,
-                              args.seed, resident=True),
-            n, args.window,
+        passes = alg._cooc_passes(g, args.num_walks, args.walk_length,
+                                  args.window)
+        log(f"counting passes: {passes} (hash-partitioned by center id)")
+        ranges, m = cooccur.device_pair_counts(
+            lambda: alg._device_walks(g, args.num_walks, args.walk_length,
+                                      args.seed,
+                                      batch=alg._WALK_BATCH // 2,
+                                      resident=True),
+            n, args.window, passes=passes,
         )
-        cnt_total = int(np.asarray(cnt[:m]).sum()) if m else 0
+        cnt_total = sum(int(np.asarray(c[:mm]).sum())
+                        for _, _, c, mm in ranges)
         cooc_wall = time.time() - t0
         log(f"device walks+co-occurrence: {cnt_total} pairs -> {m} unique "
             f"in {cooc_wall:.1f}s")
         t0 = time.time()
         emb = alg._device_counts_to_embeddings(
-            cen, ctx, cnt, m, n, args.dim, args.seed,
+            ranges, m, n, args.dim, args.seed,
         )
         fact_wall = time.time() - t0
         log(f"device PPMI+factorize: {emb.shape} in {fact_wall:.1f}s")

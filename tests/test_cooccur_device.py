@@ -23,17 +23,23 @@ def _host_counts(graph, num_walks, walk_length, window, seed, batch):
     return alg._walk_pair_counts(batches, graph.num_entities, window)
 
 
-def _device_counts(graph, num_walks, walk_length, window, seed, batch):
+def _device_counts(graph, num_walks, walk_length, window, seed, batch,
+                   passes=1):
     n = graph.num_entities
-    cen, ctx, cnt, m = cooccur.device_pair_counts(
-        alg._device_walks(graph, num_walks, walk_length, seed, batch=batch,
-                          resident=True),
-        n, window,
+    ranges, _ = cooccur.device_pair_counts(
+        lambda: alg._device_walks(graph, num_walks, walk_length, seed,
+                                  batch=batch, resident=True),
+        n, window, passes=passes,
     )
-    cen = np.asarray(cen[:m], dtype=np.int64)
-    ctx = np.asarray(ctx[:m], dtype=np.int64)
-    cnt = np.asarray(cnt[:m], dtype=np.int64)
-    return cen * n + ctx, cnt
+    keys_parts, cnt_parts = [], []
+    for cen, ctx, cnt, m in ranges:
+        keys_parts.append(np.asarray(cen[:m], np.int64) * n
+                          + np.asarray(ctx[:m], np.int64))
+        cnt_parts.append(np.asarray(cnt[:m], np.int64))
+    keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
+    cnt = np.concatenate(cnt_parts) if cnt_parts else np.empty(0, np.int64)
+    order = np.argsort(keys, kind="stable")  # ranges are disjoint hash bins
+    return keys[order], cnt[order]
 
 
 @pytest.mark.parametrize("batch", [1 << 15, 64])
@@ -47,15 +53,29 @@ def test_device_counts_integer_exact(graph, batch):
     assert np.array_equal(counts_h, counts_d)
 
 
+def test_device_counts_multipass(graph):
+    """Hash-partitioned counting passes (the >HBM unique-set strategy)
+    reproduce the single-pass counts exactly — disjoint center bins,
+    identical regenerated walks per pass."""
+    keys_1, counts_1 = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15)
+    for passes in (2, 5):
+        keys_p, counts_p = _device_counts(graph, 2, 10, 3, seed=9,
+                                          batch=1 << 15, passes=passes)
+        assert np.array_equal(keys_1, keys_p), passes
+        assert np.array_equal(counts_1, counts_p), passes
+
+
 def test_device_counts_second_order(graph):
     """Same contract through the p/q-biased walk engine."""
     n = graph.num_entities
     batches_h = list(alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=4))
     keys_h, counts_h = alg._walk_pair_counts(batches_h, n, 4)
-    cen, ctx, cnt, m = cooccur.device_pair_counts(
-        alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=4, resident=True),
+    ranges, m = cooccur.device_pair_counts(
+        lambda: alg._device_walks2(graph, 1, 8, 0.5, 2.0, seed=4,
+                                   resident=True),
         n, 4,
     )
+    (cen, ctx, cnt, m), = ranges
     keys_d = np.asarray(cen[:m], np.int64) * n + np.asarray(ctx[:m], np.int64)
     assert np.array_equal(keys_h, keys_d)
     assert np.array_equal(counts_h, np.asarray(cnt[:m], np.int64))
@@ -66,9 +86,11 @@ def test_ppmi_coo_matches_host_pmi(graph):
     padding tail is (n-1, 0, 0.0) and rows stay nondecreasing (the sorted
     flat-COO contract of spmm_inner)."""
     n = graph.num_entities
-    cen, ctx, cnt, m = cooccur.device_pair_counts(
-        alg._device_walks(graph, 2, 10, seed=9, resident=True), n, 3,
+    ranges, _ = cooccur.device_pair_counts(
+        lambda: alg._device_walks(graph, 2, 10, seed=9, resident=True),
+        n, 3,
     )
+    (cen, ctx, cnt, m), = ranges
     rows, cols, vals = cooccur.ppmi_coo(cen, ctx, cnt, n)
     rows, cols, vals = map(np.asarray, (rows, cols, vals))
     # host reference on the fetched counts
@@ -117,6 +139,18 @@ def test_cooccurrence_validation(graph):
                            cooccurrence="bogus")
 
 
+def test_multipass_ppmi_embedding_matches_single_pass(graph, monkeypatch):
+    """Forcing multi-pass counting through the public API yields the SAME
+    embedding as single-pass: identical counts (proven above) + the
+    multi-range PPMI/rsvd layout vs one range, same sketch seed."""
+    kw = dict(feature_dim=8, num_walks=2, walk_length=12, window_size=3,
+              seed=7, backend="device", cooccurrence="device")
+    single = alg.embed_deepwalk(graph, **kw)
+    monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 100_000)  # force ~many
+    multi = alg.embed_deepwalk(graph, **kw)
+    np.testing.assert_allclose(single, multi, rtol=2e-4, atol=2e-4)
+
+
 def test_device_counts_empty():
-    cen, ctx, cnt, m = cooccur.device_pair_counts(iter(()), 10, 3)
-    assert m == 0 and cen.shape[0] == 0
+    ranges, m = cooccur.device_pair_counts(lambda: iter(()), 10, 3)
+    assert m == 0 and ranges == []
