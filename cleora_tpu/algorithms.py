@@ -1612,25 +1612,20 @@ def _sparse_rsvd_jit():
 
         from .ops.spmm import spmm_inner
 
-        def apply_layout(layout, order, rank, x, n_rows):
+        def apply_layout(layout, order, rank, x, n_rows, chunk_edges):
             if order is not None:
                 x = jnp.take(x, order, axis=0)
-            if isinstance(layout[0], tuple) and len(layout[0]) == 3:
-                # multi-range COO (ops/cooccur.py:ppmi_ranges): the ranges
-                # are row-disjoint, so the full operator is the SUM of the
-                # per-range SpMMs — no concatenation buffer needed
-                y = spmm_inner(*layout[0], x, n_rows)
-                for part in layout[1:]:
-                    y = y + spmm_inner(*part, x, n_rows)
-            else:
-                y = spmm_inner(*layout, x, n_rows)
+            y = spmm_inner(*layout, x, n_rows, chunk_edges=chunk_edges)
             return jnp.take(y, rank, axis=0) if rank is not None else y
 
         @functools.partial(
-            jax.jit, static_argnames=("n_rows", "k", "power_iters")
+            jax.jit,
+            static_argnames=("n_rows", "k", "power_iters", "chunk_edges"),
         )
-        def rsvd(layout, order, rank, omega, *, n_rows, k, power_iters):
-            M = lambda x: apply_layout(layout, order, rank, x, n_rows)
+        def rsvd(layout, order, rank, omega, *, n_rows, k, power_iters,
+                 chunk_edges=None):
+            M = lambda x: apply_layout(layout, order, rank, x, n_rows,
+                                       chunk_edges)
             Y = M(omega)
             for _ in range(power_iters):  # static unroll; M symmetric
                 Q, _ = jnp.linalg.qr(Y)
@@ -1646,6 +1641,7 @@ def _sparse_rsvd_jit():
 
 
 _SPARSE_RSVD_FN = None
+_ALIGN_JIT: dict = {}
 
 
 def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
@@ -1819,9 +1815,11 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
 
     import jax.numpy as jnp
 
+    from ._util import maybe_enable_compile_cache
     from .ops.cooccur import ppmi_ranges
     from .ops.memory import check_device_fit
 
+    maybe_enable_compile_cache()
     k = min(feature_dim, n - 1)
     if m_total == 0 or k < 1:
         return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
@@ -1835,13 +1833,55 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
             "smaller window, or cooccurrence='host' with "
             "factorization='host' all shrink the device footprint."
         ) from None
-    layout = ppmi_ranges(ranges, n)
+    parts = list(ppmi_ranges(ranges, n))
     del ranges
+    # one flat chunk-ALIGNED triple for the rsvd.  Alignment first:
+    # spmm_inner pads misaligned COO in-trace, which copies the multi-GB
+    # operand arrays inside the compiled program — at 450M slots those
+    # copies alone exceeded HBM at compile time (measured 16.53G of
+    # 15.75G).  Aligned, reshape-into-chunks is a free alias.  Then ONE
+    # concatenated triple instead of summing per-range SpMMs: four
+    # parallel range-scans kept four (n, r) accumulators plus their chunk
+    # intermediates live (measured 62% HBM fragmentation), while one scan
+    # over the concat keeps one of each — and because every range is
+    # chunk-aligned, no scan chunk spans a range boundary, so each
+    # chunk's rows stay internally nondecreasing and the sorted
+    # segment-sum hint remains valid across the concat.
+    from .ops.spmm import _chunk_edges_for
+
+    chunk = _chunk_edges_for(n, r, edge_bytes=12 * sum(
+        int(p[0].shape[0]) for p in parts))
+    if "align" not in _ALIGN_JIT:
+        def _align(rows, cols, vals, *, out_len, n_rows):
+            pad = out_len - rows.shape[0]
+            return (jnp.pad(rows, (0, pad), constant_values=n_rows - 1),
+                    jnp.pad(cols, (0, pad)), jnp.pad(vals, (0, pad)))
+
+        _ALIGN_JIT["align"] = jax.jit(
+            _align, static_argnames=("out_len", "n_rows"))
+    multi = len(parts) > 1
+    aligned = []
+    while parts:
+        rows, cols, vals = parts.pop(0)
+        length = int(rows.shape[0])
+        if (multi or length > chunk) and length % chunk:
+            target = -(-length // chunk) * chunk
+            rows, cols, vals = _ALIGN_JIT["align"](
+                rows, cols, vals, out_len=target, n_rows=n)
+        aligned.append((rows, cols, vals))
+        del rows, cols, vals
+    if multi:
+        layout = tuple(
+            jnp.concatenate([a[i] for a in aligned]) for i in range(3)
+        )
+        del aligned
+    else:
+        layout = aligned[0]
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
     u_su = np.asarray(_sparse_rsvd_jit()(
         layout, None, None, omega,
-        n_rows=n, k=k, power_iters=power_iters,
+        n_rows=n, k=k, power_iters=power_iters, chunk_edges=chunk,
     ), dtype=np.float64)
     pick = np.argmax(np.abs(u_su), axis=0)
     sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])

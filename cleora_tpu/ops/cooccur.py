@@ -174,6 +174,9 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
     """
     import jax.numpy as jnp
 
+    from .._util import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # sorts/merges cost minutes to compile
     reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
     passes = max(1, int(passes))
     ranges = []

@@ -66,16 +66,23 @@ def pad_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int,
 _CHUNK_EDGES = 1 << 22  # upper bound (4 GiB at D=256); kept for tests
 
 
-def _chunk_edges_for(n_rows: int, d: int, table_rows: int = None) -> int:
+def _chunk_edges_for(n_rows: int, d: int, table_rows: int = None,
+                     edge_bytes: int = 0) -> int:
     # table_rows: rows of the GATHER TABLE when it differs from the output
     # row count — the sharded flat path all-gathers an (N_padded, D) table
     # while producing only rows_per_shard outputs, and budgeting on the
-    # small side re-creates the oversized-intermediate pathology above
+    # small side re-creates the oversized-intermediate pathology above.
+    # edge_bytes: resident COO operand bytes — negligible for typical
+    # graphs but dominant for walk-corpus PPMI matrices (450M+ nnz ≈ 6 GB),
+    # where ignoring it oversized the intermediate past HBM.  The (chunk,
+    # d) intermediate is budgeted at the TPU's lane-padded width (tiles of
+    # 128 lanes), which an unpadded estimate understates by up to ~1.8×.
     if table_rows is None:
         table_rows = n_rows
-    state_bytes = (int(table_rows) + 4 * int(n_rows)) * d * 4
+    d_pad = -(-d // 128) * 128
+    state_bytes = (int(table_rows) + 4 * int(n_rows)) * d * 4 + int(edge_bytes)
     budget = min(4 << 30, max(1 << 30, (10 << 30) - state_bytes))
-    return max(1 << 20, min(_CHUNK_EDGES, budget // (d * 4)))
+    return max(1 << 20, min(_CHUNK_EDGES, budget // (d_pad * 4)))
 
 
 def _band_rows(n_rows: int, n_bands: int) -> int:
@@ -239,14 +246,17 @@ def spmm(rows: jax.Array, cols: jax.Array, vals: jax.Array, x: jax.Array,
     return spmm_inner(rows, cols, vals, x, n_rows)
 
 
-def spmm_inner(rows, cols, vals, x, n_rows):
+def spmm_inner(rows, cols, vals, x, n_rows, chunk_edges=None):
     """Un-jitted body, for embedding inside larger jitted loops.
 
     For small nnz this is a single gather → scale → sorted segment-sum that
     XLA fuses.  For large nnz the edge stream is processed in fixed-size
     chunks under ``lax.scan`` so the (chunk, D) intermediate stays bounded
     (the padding contract keeps trailing chunks valid: padded edges have
-    vals == 0 and rows == n_rows-1).
+    vals == 0 and rows == n_rows-1).  ``chunk_edges`` overrides the budget
+    heuristic — callers that pre-align their COO to a chunk multiple (so
+    the in-trace pad, a full operand copy, never fires) pass the same
+    value here.
     """
     from .spmm_ell import EllPlan, spmm_ell
 
@@ -302,8 +312,10 @@ def spmm_inner(rows, cols, vals, x, n_rows):
         return ys.reshape(n_bands * B, x.shape[1])[:n_rows]
 
     nnz = rows.shape[0]
-    chunk_edges = _chunk_edges_for(n_rows, x.shape[1],
-                                   table_rows=x.shape[0])
+    if chunk_edges is None:
+        chunk_edges = _chunk_edges_for(n_rows, x.shape[1],
+                                       table_rows=x.shape[0],
+                                       edge_bytes=nnz * 12)
     if nnz <= chunk_edges:
         gathered = jnp.take(x, cols, axis=0).astype(acc_dtype)
         scaled = gathered * vals[:, None].astype(acc_dtype)

@@ -457,7 +457,7 @@ def test_embed_callback_matches_fused_ell(monkeypatch):
     spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
 
     monkeypatch.setattr(
-        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 64
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None, **kw: 64
     )
     g = make_graph(n=50, m=600, seed=8)
     rows, _, _ = g._device_coo("left", banded_dim=8)

@@ -168,7 +168,7 @@ def test_sharded_chunked_local_spmm(graph, monkeypatch):
 
     spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
     monkeypatch.setattr(
-        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 128
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None, **kw: 128
     )
     kw = dict(feature_dim=16, num_iterations=4, whiten=False)
     single = embed(graph, **kw)

@@ -33,7 +33,7 @@ def _oracle(rows, cols, vals, x, n_rows):
 @pytest.fixture
 def tiny_chunks(monkeypatch):
     monkeypatch.setattr(
-        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 64
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None, **kw: 64
     )
 
 
@@ -150,7 +150,7 @@ def test_boundary_nnz_at_chunk(monkeypatch):
 
     spmm_mod = importlib.import_module("cleora_tpu.ops.spmm")
     monkeypatch.setattr(
-        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None: 100
+        spmm_mod, "_chunk_edges_for", lambda n, d, table_rows=None, **kw: 100
     )
     rows, cols, vals = _random_coo(50, 100, seed=1)
     assert plan_banded_coo(rows, cols, vals, 50, d=8) is None
