@@ -1642,6 +1642,44 @@ def _sparse_rsvd_jit():
 
 _SPARSE_RSVD_FN = None
 _ALIGN_JIT: dict = {}
+_RSVD_STEP_JITS: dict = {}
+
+
+def _rsvd_step_jits():
+    """Unfused randomized-SVD steps (apply / QR / tail), one jit each.
+
+    The fused ``_sparse_rsvd_jit`` program holds every intermediate of the
+    whole subspace iteration in one XLA allocation plan; at walk-corpus
+    scale (450M-slot operands) the measured 62% HBM fragmentation pushed
+    it past the chip (a run at that shape crashed the TPU worker).  Driving
+    the same math as separate dispatches bounds the peak at one step's
+    working set — the operands plus a single (n, r) panel and one bounded
+    chunk intermediate — at the cost of a few dispatch round-trips."""
+    if not _RSVD_STEP_JITS:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.spmm import spmm_inner
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_rows", "chunk_edges"))
+        def apply_m(layout, x, *, n_rows, chunk_edges):
+            return spmm_inner(*layout, x, n_rows, chunk_edges=chunk_edges)
+
+        @jax.jit
+        def qr_q(y):
+            return jnp.linalg.qr(y)[0]
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def tail(c, q, *, k):
+            ub, s, _ = jnp.linalg.svd(c.T, full_matrices=False)
+            su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
+            return (q @ ub[:, :k]) * su
+
+        _RSVD_STEP_JITS.update(apply=apply_m, qr=qr_q, tail=tail)
+    return _RSVD_STEP_JITS
 
 
 def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
@@ -1879,10 +1917,16 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
         layout = aligned[0]
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
-    u_su = np.asarray(_sparse_rsvd_jit()(
-        layout, None, None, omega,
-        n_rows=n, k=k, power_iters=power_iters, chunk_edges=chunk,
-    ), dtype=np.float64)
+    steps = _rsvd_step_jits()
+    m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
+                                       chunk_edges=chunk)
+    y = m_apply(omega)
+    del omega
+    for _ in range(power_iters):  # M symmetric
+        y = m_apply(m_apply(steps["qr"](y)))
+    q = steps["qr"](y)
+    del y
+    u_su = np.asarray(steps["tail"](m_apply(q), q, k=k), dtype=np.float64)
     pick = np.argmax(np.abs(u_su), axis=0)
     sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
     sign[sign == 0] = 1.0
