@@ -43,6 +43,17 @@ def main(argv=None):
                    help="Sibling-algorithm compute backend: 'device' runs "
                         "prone/randne/hope/netmf/grarep/deepwalk/node2vec "
                         "on the TPU (cleora itself always runs on device)")
+    p.add_argument("--factorization", choices=["host", "device"],
+                   default="host",
+                   help="deepwalk/node2vec PPMI factorization: 'device' "
+                        "runs a randomized SVD on the TPU instead of host "
+                        "ARPACK (requires --backend device)")
+    p.add_argument("--cooccurrence", choices=["host", "device"],
+                   default="host",
+                   help="deepwalk/node2vec pair counting: 'device' keeps "
+                        "the whole walk pipeline TPU-resident — the right "
+                        "mode on weak or remote hosts (requires --backend "
+                        "device; implies the device factorization)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--streaming", metavar="DIR", default=None,
                    help="Out-of-core build: spill the graph to DIR "
@@ -261,6 +272,14 @@ def _finish_embed(args, graph):
         print(f"{graph.num_entities} entities -> {emb.shape} saved to "
               f"{args.output} ({dt:.2f}s)")
         return
+    fact = getattr(args, "factorization", "host")
+    cooc = getattr(args, "cooccurrence", "host")
+    if ((fact != "host" or cooc != "host")
+            and args.algorithm not in ("deepwalk", "node2vec")):
+        raise SystemExit(
+            "--factorization/--cooccurrence apply only to "
+            "--algorithm deepwalk/node2vec"
+        )
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
                                 args.propagation, args.normalization, args.seed,
@@ -275,9 +294,11 @@ def _finish_embed(args, graph):
         "grarep": lambda: embed_grarep(graph, args.dim, seed=args.seed,
                                        backend=be),
         "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
-                                           backend=be),
+                                           backend=be, factorization=fact,
+                                           cooccurrence=cooc),
         "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,
-                                           backend=be),
+                                           backend=be, factorization=fact,
+                                           cooccurrence=cooc),
     }
     emb = algo_map[args.algorithm]()
 

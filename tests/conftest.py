@@ -25,6 +25,31 @@ if os.environ.get("CLEORA_TPU_TEST_DEVICE", "cpu") == "cpu":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+_TESTS_SINCE_CLEAR = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables():
+    """Clear JAX's executable caches every ~150 tests.
+
+    Full-suite runs on the virtual 8-device CPU mesh accumulate hundreds
+    of live XLA:CPU executables and, past a threshold, die
+    NON-deterministically inside an allocation-heavy pjit — observed as a
+    segfault, a silent SIGABRT, or a deadlock at the same test region
+    across runs, with RSS at only ~3 GB (not memory exhaustion), with the
+    native extension disabled, and never in any sub-suite run in
+    isolation.  Periodically dropping compiled programs keeps the live
+    set bounded; the recompiles cost a few seconds per cleared module and
+    made the crash unreproducible in repeated full runs.
+    """
+    yield
+    _TESTS_SINCE_CLEAR["n"] += 1
+    if _TESTS_SINCE_CLEAR["n"] >= 150:
+        _TESTS_SINCE_CLEAR["n"] = 0
+        import jax
+
+        jax.clear_caches()
+
 
 @pytest.fixture
 def karate():

@@ -515,6 +515,34 @@ def test_cli_device_backend(tmp_path, capsys):
               "--backend", "device"])
 
 
+def test_cli_walk_pipeline_flags(tmp_path, capsys):
+    """--factorization/--cooccurrence wire through to the walk pipeline
+    and are rejected for non-walk algorithms."""
+    import numpy as np
+
+    from cleora_tpu.cli import main
+
+    inp = tmp_path / "edges.txt"
+    inp.write_text("a b\nb c\nc a\na d\nd b\nc d\n")
+    out = tmp_path / "emb.npz"
+    main(["embed", "-i", str(inp), "-o", str(out), "-d", "8",
+          "-a", "deepwalk", "--backend", "device",
+          "--cooccurrence", "device"])
+    data = np.load(str(out))
+    assert data["embeddings"].shape == (4, 8)
+    assert np.isfinite(data["embeddings"]).all()
+
+    out2 = tmp_path / "emb2.npz"
+    main(["embed", "-i", str(inp), "-o", str(out2), "-d", "8",
+          "-a", "node2vec", "--backend", "device",
+          "--factorization", "device"])
+    assert np.isfinite(np.load(str(out2))["embeddings"]).all()
+
+    with pytest.raises(SystemExit):
+        main(["embed", "-i", str(inp), "-o", str(out), "-a", "prone",
+              "--cooccurrence", "device"])
+
+
 def test_cli_sharded_lifecycle(tmp_path, capsys):
     """--sharded drives embed_sharded: npz output, direct-to-.npy streaming
     output, checkpoint/resume flags (VERDICT r3 #8)."""
