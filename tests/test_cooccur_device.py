@@ -151,6 +151,17 @@ def test_multipass_ppmi_embedding_matches_single_pass(graph, monkeypatch):
     np.testing.assert_allclose(single, multi, rtol=2e-4, atol=2e-4)
 
 
+def test_mesh_walks_with_device_cooccurrence(graph):
+    """Sharded walk lanes compose with device counting: identical walks
+    (bitwise, proven in test_parallel_algorithms) through the same
+    sort-reduce give the same embedding."""
+    kw = dict(feature_dim=8, num_walks=2, walk_length=10, seed=3,
+              backend="device", cooccurrence="device")
+    a = alg.embed_deepwalk(graph, **kw)
+    b = alg.embed_deepwalk(graph, n_devices=4, **kw)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
 def test_device_counts_empty():
     ranges, m = cooccur.device_pair_counts(lambda: iter(()), 10, 3)
     assert m == 0 and ranges == []
