@@ -1598,49 +1598,6 @@ def _walk_pair_counts(walk_batches, n: int, window: int):
     return keys.astype(np.int64), counts
 
 
-def _sparse_rsvd_jit():
-    """Module-level jitted randomized U_k·√S_k of a SYMMETRIC sparse
-    matrix on the production SpMM layout (the PPMI factorization stage of
-    the walk pipeline) — subspace iteration + QR, small SVD on the (r, n)
-    projection.  One trace per shape."""
-    global _SPARSE_RSVD_FN
-    if _SPARSE_RSVD_FN is None:
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
-        from .ops.spmm import spmm_inner
-
-        def apply_layout(layout, order, rank, x, n_rows, chunk_edges):
-            if order is not None:
-                x = jnp.take(x, order, axis=0)
-            y = spmm_inner(*layout, x, n_rows, chunk_edges=chunk_edges)
-            return jnp.take(y, rank, axis=0) if rank is not None else y
-
-        @functools.partial(
-            jax.jit,
-            static_argnames=("n_rows", "k", "power_iters", "chunk_edges"),
-        )
-        def rsvd(layout, order, rank, omega, *, n_rows, k, power_iters,
-                 chunk_edges=None):
-            M = lambda x: apply_layout(layout, order, rank, x, n_rows,
-                                       chunk_edges)
-            Y = M(omega)
-            for _ in range(power_iters):  # static unroll; M symmetric
-                Q, _ = jnp.linalg.qr(Y)
-                Y = M(M(Q))
-            Q, _ = jnp.linalg.qr(Y)
-            C = M(Q)  # (n, r); symmetric M ⇒ Cᵀ = QᵀM, the projection
-            Ub, s, _ = jnp.linalg.svd(C.T, full_matrices=False)
-            su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
-            return (Q @ Ub[:, :k]) * su
-
-        _SPARSE_RSVD_FN = rsvd
-    return _SPARSE_RSVD_FN
-
-
-_SPARSE_RSVD_FN = None
 _ALIGN_JIT: dict = {}
 _RSVD_STEP_JITS: dict = {}
 
@@ -1742,22 +1699,43 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
         # gather+reduce fusion and the (slots, r) ELL slabs materialize —
         # observed OOM at 450M nnz with ~20 rematerialized 7 GiB slabs.
         # The flat path's scan keeps the intermediate at one bounded
-        # (chunk, r) buffer, and the rsvd is seconds either way.
-        from .ops.spmm import pad_coo
+        # (chunk, r) buffer, and the rsvd is seconds either way.  Padding
+        # is chunk-ALIGNED on the host before upload, and the subspace
+        # iteration runs as the UNFUSED per-step dispatches — the fused
+        # whole-rsvd program fragments HBM and crashed the TPU worker at
+        # 450M slots (see _rsvd_step_jits; same fixes as the
+        # device-counted path).
+        from .ops.spmm import _chunk_edges_for, pad_coo
 
         import jax.numpy as jnp
 
-        prow, pcol, pval = pad_coo(
-            krows[order].astype(np.int32), kcols[order].astype(np.int32),
-            kvals[order], n,
-        )
+        srow = krows[order].astype(np.int32)
+        scol = kcols[order].astype(np.int32)
+        sval = kvals[order]
+        chunk = _chunk_edges_for(n, r, edge_bytes=12 * srow.shape[0])
+        if srow.shape[0] > chunk and srow.shape[0] % chunk:
+            pad = chunk - srow.shape[0] % chunk
+            srow = np.concatenate(
+                [srow, np.full(pad, n - 1, dtype=np.int32)])
+            scol = np.concatenate([scol, np.zeros(pad, dtype=np.int32)])
+            sval = np.concatenate([sval, np.zeros(pad, dtype=np.float32)])
+            prow, pcol, pval = srow, scol, sval
+        else:
+            prow, pcol, pval = pad_coo(srow, scol, sval, n)
         layout = tuple(jnp.asarray(a) for a in (prow, pcol, pval))
         rng = np.random.default_rng(seed)
-        omega = rng.standard_normal((n, r)).astype(np.float32)
-        u_su = np.asarray(_sparse_rsvd_jit()(
-            layout, None, None, jnp.asarray(omega),
-            n_rows=n, k=k, power_iters=power_iters,
-        ), dtype=np.float64)
+        omega = jnp.asarray(rng.standard_normal((n, r)).astype(np.float32))
+        steps = _rsvd_step_jits()
+        m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
+                                           chunk_edges=chunk)
+        y = m_apply(omega)
+        del omega
+        for _ in range(power_iters):  # M symmetric
+            y = m_apply(m_apply(steps["qr"](y)))
+        q = steps["qr"](y)
+        del y
+        u_su = np.asarray(steps["tail"](m_apply(q), q, k=k),
+                          dtype=np.float64)
         pick = np.argmax(np.abs(u_su), axis=0)
         sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
         sign[sign == 0] = 1.0

@@ -248,8 +248,9 @@ def _ppmi_range_impl(cen, ctx, cnt, col_sums, total, *, n):
 def ppmi_ranges(ranges, n: int):
     """[(rows, cols, vals), ...] positive-PMI COO, one triple per range.
 
-    The triples are row-disjoint; their SpMMs sum to the full operator
-    (algorithms._sparse_rsvd_jit consumes exactly this tuple-of-triples).
+    The triples are row-disjoint; chunk-aligned and concatenated they
+    form the flat sorted COO the unfused randomized SVD consumes
+    (algorithms._device_counts_to_embeddings / _rsvd_step_jits).
     """
     import jax
 
