@@ -1187,6 +1187,22 @@ def _walk_csr(graph, with_vals: bool = False):
     return ip32, cols, deg, n, v, wmax, wsum.astype(np.float32)
 
 
+def _lane_pad(length: int, batch: int, lo: int, mesh) -> int:
+    """Padding lanes for a walk-starts chunk.
+
+    Trailing (lo > 0) short chunks pad to the compiled batch shape; a
+    sole/first short chunk keeps its own shape EXCEPT under a mesh, where
+    the lane axis must divide by the device count (an unpadded 149-lane
+    chunk on a 4-device mesh is a sharding error).  Padded lanes start at
+    the sentinel row and are dropped (host path) or masked (resident
+    consumers)."""
+    if length < batch and lo > 0:
+        return batch - length
+    if mesh is not None and length % mesh.size:
+        return mesh.size - length % mesh.size
+    return 0
+
+
 def _walk_placers(mesh):
     """(replicate, shard_batch) placement helpers for the walk engines.
 
@@ -1233,12 +1249,9 @@ def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
         chunk = all_starts[lo:lo + batch]
-        if chunk.shape[0] < batch and lo > 0:
-            # pad to the compiled batch shape; padded walks are dropped
-            pad = batch - chunk.shape[0]
+        pad = _lane_pad(chunk.shape[0], batch, lo, mesh)
+        if pad:
             chunk = np.concatenate([chunk, np.full(pad, n, dtype=np.int32)])
-        else:
-            pad = 0
         out = fn(
             d_indptr, d_cols, d_deg, shard_batch(chunk),
             jax.random.fold_in(root, i),
@@ -1508,11 +1521,9 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
         part = all_starts[lo:lo + batch]
-        if part.shape[0] < batch and lo > 0:
-            pad = batch - part.shape[0]
+        pad = _lane_pad(part.shape[0], batch, lo, mesh)
+        if pad:
             part = np.concatenate([part, np.full(pad, n, dtype=np.int32)])
-        else:
-            pad = 0
         out = fn(
             *dev, shard_batch(part), jax.random.fold_in(root, i),
             jnp.float32(1.0 / p), jnp.float32(1.0 / q),
@@ -1639,6 +1650,55 @@ def _rsvd_step_jits():
     return _RSVD_STEP_JITS
 
 
+def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim):
+    """Shared unfused-rsvd driver: subspace iteration over the flat COO
+    ``layout`` (chunk-aligned, so spmm_inner never pads in-trace), sign
+    canonicalization, finalize.  Used by both the host-counted and the
+    device-counted PPMI factorizations — one place for the iteration
+    order and the sign convention."""
+    steps = _rsvd_step_jits()
+    m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
+                                       chunk_edges=chunk)
+    y = m_apply(omega)
+    del omega
+    for _ in range(power_iters):  # M symmetric
+        y = m_apply(m_apply(steps["qr"](y)))
+    q = steps["qr"](y)
+    del y
+    u_su = np.asarray(steps["tail"](m_apply(q), q, k=k), dtype=np.float64)
+    pick = np.argmax(np.abs(u_su), axis=0)
+    sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
+    sign[sign == 0] = 1.0
+    return _finalize(u_su * sign, feature_dim)
+
+
+def _chunk_aligned_host(srow, scol, sval, n, chunk):
+    """Host-side COO padding that always yields a chunk-compatible length
+    (≤ chunk, or an exact chunk multiple) — a misaligned > chunk length
+    would make spmm_inner pad in-trace, copying the multi-GB operands
+    inside the compiled program.  Small inputs keep pad_coo's geometric
+    buckets for compile reuse unless the bucket itself would cross the
+    chunk boundary."""
+    from .ops.spmm import pad_coo
+
+    length = srow.shape[0]
+    if length <= chunk:
+        prow, pcol, pval = pad_coo(srow, scol, sval, n)
+        if prow.shape[0] <= chunk:
+            return prow, pcol, pval
+        target = chunk
+    else:
+        target = -(-length // chunk) * chunk
+    if target == length:
+        return srow, scol, sval
+    pad = target - length
+    return (
+        np.concatenate([srow, np.full(pad, max(n - 1, 0), np.int32)]),
+        np.concatenate([scol, np.zeros(pad, np.int32)]),
+        np.concatenate([sval, np.zeros(pad, np.float32)]),
+    )
+
+
 def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
                           factorization: str = "host", seed: int = 0,
                           oversample: int = 16, power_iters: int = 4):
@@ -1649,11 +1709,11 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
     ``factorization="device"`` replaces the host ARPACK ``svds`` (the
     dominant host stage at scale: hundreds of sequential sparse matvecs
     on a few cores) with a randomized SVD on the TPU — the PPMI matrix
-    rides the production sliced-ELL SpMM layout, so each of the
-    ~2·(power_iters+1) passes is one fused gather-reduce at the measured
-    SpMM rate.  Accuracy is the randomized-SVD guarantee (tunable via
-    ``oversample``/``power_iters``); column signs are canonicalized the
-    same way as the host path."""
+    uses the FLAT chunk-aligned COO layout (walk-corpus densities defeat
+    the ELL fusion and its slabs OOM — RESULTS.md round 4) driven by the
+    unfused per-step dispatches (:func:`_rsvd_flat`).  Accuracy is the
+    randomized-SVD guarantee (tunable via ``oversample``/``power_iters``);
+    column signs are canonicalized the same way as the host path."""
     if keys.shape[0] == 0:
         return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
     rows = keys // n
@@ -1705,41 +1765,20 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
         # whole-rsvd program fragments HBM and crashed the TPU worker at
         # 450M slots (see _rsvd_step_jits; same fixes as the
         # device-counted path).
-        from .ops.spmm import _chunk_edges_for, pad_coo
+        from .ops.spmm import _chunk_edges_for
 
         import jax.numpy as jnp
 
-        srow = krows[order].astype(np.int32)
-        scol = kcols[order].astype(np.int32)
-        sval = kvals[order]
-        chunk = _chunk_edges_for(n, r, edge_bytes=12 * srow.shape[0])
-        if srow.shape[0] > chunk and srow.shape[0] % chunk:
-            pad = chunk - srow.shape[0] % chunk
-            srow = np.concatenate(
-                [srow, np.full(pad, n - 1, dtype=np.int32)])
-            scol = np.concatenate([scol, np.zeros(pad, dtype=np.int32)])
-            sval = np.concatenate([sval, np.zeros(pad, dtype=np.float32)])
-            prow, pcol, pval = srow, scol, sval
-        else:
-            prow, pcol, pval = pad_coo(srow, scol, sval, n)
+        chunk = _chunk_edges_for(n, r, edge_bytes=12 * krows.shape[0])
+        prow, pcol, pval = _chunk_aligned_host(
+            krows[order].astype(np.int32), kcols[order].astype(np.int32),
+            kvals[order], n, chunk,
+        )
         layout = tuple(jnp.asarray(a) for a in (prow, pcol, pval))
         rng = np.random.default_rng(seed)
         omega = jnp.asarray(rng.standard_normal((n, r)).astype(np.float32))
-        steps = _rsvd_step_jits()
-        m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
-                                           chunk_edges=chunk)
-        y = m_apply(omega)
-        del omega
-        for _ in range(power_iters):  # M symmetric
-            y = m_apply(m_apply(steps["qr"](y)))
-        q = steps["qr"](y)
-        del y
-        u_su = np.asarray(steps["tail"](m_apply(q), q, k=k),
-                          dtype=np.float64)
-        pick = np.argmax(np.abs(u_su), axis=0)
-        sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
-        sign[sign == 0] = 1.0
-        return _finalize(u_su * sign, feature_dim)
+        return _rsvd_flat(layout, chunk, n, k, omega, power_iters,
+                          feature_dim)
     if factorization != "host":
         raise ValueError(
             f"Unknown factorization '{factorization}'. Use 'host' or "
@@ -1792,8 +1831,11 @@ _COOC_PASS_PAIRS = 200_000_000
 def _cooc_passes(graph, num_walks: int, walk_length: int,
                  window_size: int) -> int:
     """Counting passes for :func:`ops.cooccur.device_pair_counts`, from the
-    worst-case (all-unique) pair count of the walk corpus."""
-    deg = np.diff(graph.data.indptr)
+    worst-case (all-unique) pair count of the walk corpus.  Walkable-start
+    counting uses the walk engine's OWN degree table (self-loops removed —
+    raw indptr degrees overcount on reflexive graphs and each phantom pass
+    re-sweeps the whole corpus)."""
+    deg = _walk_csr(graph)[2]
     starts = int((deg > 0).sum()) * num_walks
     w = min(window_size, walk_length - 1)
     per_walk = 2 * (w * walk_length - w * (w + 1) // 2)
@@ -1895,20 +1937,7 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
         layout = aligned[0]
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
-    steps = _rsvd_step_jits()
-    m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
-                                       chunk_edges=chunk)
-    y = m_apply(omega)
-    del omega
-    for _ in range(power_iters):  # M symmetric
-        y = m_apply(m_apply(steps["qr"](y)))
-    q = steps["qr"](y)
-    del y
-    u_su = np.asarray(steps["tail"](m_apply(q), q, k=k), dtype=np.float64)
-    pick = np.argmax(np.abs(u_su), axis=0)
-    sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
-    sign[sign == 0] = 1.0
-    return _finalize(u_su * sign, feature_dim)
+    return _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim)
 
 
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,

@@ -274,12 +274,17 @@ def _finish_embed(args, graph):
         return
     fact = getattr(args, "factorization", "host")
     cooc = getattr(args, "cooccurrence", "host")
-    if ((fact != "host" or cooc != "host")
-            and args.algorithm not in ("deepwalk", "node2vec")):
-        raise SystemExit(
-            "--factorization/--cooccurrence apply only to "
-            "--algorithm deepwalk/node2vec"
-        )
+    if fact != "host" or cooc != "host":
+        if args.algorithm not in ("deepwalk", "node2vec"):
+            raise SystemExit(
+                "--factorization/--cooccurrence apply only to "
+                "--algorithm deepwalk/node2vec"
+            )
+        if be != "device":
+            raise SystemExit(
+                "--factorization/--cooccurrence device require "
+                "--backend device"
+            )
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,
                                 args.propagation, args.normalization, args.seed,

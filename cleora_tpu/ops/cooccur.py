@@ -34,6 +34,10 @@ import numpy as np
 
 _SENT = np.int32(np.iinfo(np.int32).max)
 _JITS: dict = {}
+# walk-batch cache budget for multi-pass counting (see device_pair_counts);
+# 2 GiB ≈ 6.7M len-80 walks — far past any single-chip workload's walks,
+# while the sort working set is what actually gates a pass
+_WALK_CACHE_BYTES = 2 << 30
 
 
 def _sort_reduce(cen, ctx, cnt):
@@ -179,10 +183,36 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
     maybe_enable_compile_cache()  # sorts/merges cost minutes to compile
     reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
     passes = max(1, int(passes))
+
+    # The PAIRS don't fit one pass's working set, but the WALKS usually
+    # fit HBM outright (1M len-80 walks = 320 MB) — cache the device walk
+    # batches during pass 0 and replay them, instead of regenerating per
+    # pass.  Regeneration is ~free for the first-order engine but costs
+    # minutes per pass for the rejection-sampled second-order walker
+    # (measured: 768 s of a 903 s Node2Vec e2e was walk regeneration).
+    # Corpora past the cache budget fall back to regeneration.
+    cache: list = []
+    cache_state = {"ok": passes > 1, "bytes": 0}
+
+    def pass_batches(s):
+        if s > 0 and cache_state["ok"]:
+            yield from cache
+            return
+        for item in batches_fn():
+            if s == 0 and cache_state["ok"]:
+                walks = item[0]
+                cache_state["bytes"] += walks.size * walks.dtype.itemsize
+                if cache_state["bytes"] > _WALK_CACHE_BYTES:
+                    cache.clear()
+                    cache_state["ok"] = False
+                else:
+                    cache.append(item)
+            yield item
+
     ranges = []
     for s in range(passes):
         acc = []  # [(cen, ctx, cnt, m_actual)]
-        for walks, pad in batches_fn():
+        for walks, pad in pass_batches(s):
             b = walks.shape[0]
             u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n),
                           jnp.int32(s), jnp.int32(passes), window=window)
@@ -203,6 +233,21 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
                 nxt.append(acc[-1])
             acc = nxt
         ranges.append(acc[0])
+    if "cntmin" not in _JITS:
+        import jax
+
+        _JITS["cntmin"] = jax.jit(
+            lambda cen, cnt, n_: jnp.min(jnp.where(cen < n_, cnt, 1)))
+    for cen, _, cnt, _ in ranges:
+        # counts are int32 on device (the host twin counts in int64); a
+        # single pair exceeding 2^31 co-occurrences wraps NEGATIVE, which
+        # this scalar probe catches before it silently corrupts the PMI
+        if int(_JITS["cntmin"](cen, cnt, jnp.int32(n))) < 0:
+            raise ValueError(
+                "co-occurrence count overflow: one (center, context) pair "
+                "exceeds 2^31 occurrences — use cooccurrence='host' "
+                "(int64 counts) for this corpus"
+            )
     return ranges, sum(r[3] for r in ranges)
 
 
@@ -281,3 +326,24 @@ def ppmi_ranges(ranges, n: int):
 def ppmi_coo(cen, ctx, cnt, n: int):
     """Single-range convenience wrapper around :func:`ppmi_ranges`."""
     return ppmi_ranges([(cen, ctx, cnt, None)], n)[0]
+
+
+def pair_total(ranges, n: int) -> int:
+    """Total counted pairs across ranges — summed ON DEVICE, one scalar
+    fetch per range (fetching a 450M-slot count array through a tunneled
+    runtime is exactly the multi-GB transfer this module exists to
+    avoid)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    if "pairsum" not in _JITS:
+        # int32 is exact here: the pass partitioning bounds each range's
+        # pair total at roughly the per-pass budget (~2e8 ≪ 2^31); the
+        # CROSS-range sum accumulates in a Python int
+        _JITS["pairsum"] = jax.jit(
+            lambda cen, cnt, n_: jnp.sum(jnp.where(cen < n_, cnt, 0)))
+    return sum(
+        int(_JITS["pairsum"](cen, cnt, jnp.int32(n)))
+        for cen, _, cnt, _ in ranges
+    )

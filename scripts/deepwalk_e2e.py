@@ -45,6 +45,10 @@ def main():
                     help="device = fully TPU-resident pipeline "
                          "(ops/cooccur.py): pairs counted and factorized "
                          "on device, no multi-GB host sort-reduce")
+    ap.add_argument("--p", type=float, default=1.0,
+                    help="Node2Vec return bias; p=q=1 = first-order engine")
+    ap.add_argument("--q", type=float, default=1.0,
+                    help="Node2Vec in-out bias")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -65,6 +69,17 @@ def main():
     log(f"graph: {g.num_entities} nodes, {g.num_edges} nnz "
         f"({time.time()-t0:.1f}s build)")
 
+    second = not (args.p == 1.0 and args.q == 1.0)
+
+    def resident_batches():
+        if second:
+            return alg._device_walks2(
+                g, args.num_walks, args.walk_length, args.p, args.q,
+                args.seed, resident=True)
+        return alg._device_walks(
+            g, args.num_walks, args.walk_length, args.seed,
+            batch=alg._WALK_BATCH // 2, resident=True)
+
     if args.cooccurrence == "device":
         # fully device-resident: walks are consumed lazily by the device
         # sort-reduce, so walks+counting is ONE phase; only per-batch
@@ -75,16 +90,12 @@ def main():
 
         passes = alg._cooc_passes(g, args.num_walks, args.walk_length,
                                   args.window)
-        log(f"counting passes: {passes} (hash-partitioned by center id)")
+        log(f"counting passes: {passes} (hash-partitioned by center id); "
+            f"engine: {'second-order p/q' if second else 'first-order'}")
         ranges, m = cooccur.device_pair_counts(
-            lambda: alg._device_walks(g, args.num_walks, args.walk_length,
-                                      args.seed,
-                                      batch=alg._WALK_BATCH // 2,
-                                      resident=True),
-            n, args.window, passes=passes,
+            resident_batches, n, args.window, passes=passes,
         )
-        cnt_total = sum(int(np.asarray(c[:mm]).sum())
-                        for _, _, c, mm in ranges)
+        cnt_total = cooccur.pair_total(ranges, n)  # scalar fetch per range
         cooc_wall = time.time() - t0
         log(f"device walks+co-occurrence: {cnt_total} pairs -> {m} unique "
             f"in {cooc_wall:.1f}s")
@@ -99,6 +110,7 @@ def main():
             "nodes": n, "nnz": g.num_edges, "num_walks": args.num_walks,
             "walk_length": args.walk_length, "window": args.window,
             "dim": args.dim, "cooccurrence": "device",
+            "p": args.p, "q": args.q,
             "cooccur_s": round(cooc_wall, 1),
             "factorize_s": round(fact_wall, 1), "total_s": round(total, 1),
             "pairs": cnt_total, "unique_pairs": int(m),
@@ -110,9 +122,14 @@ def main():
 
     # phase 1: device walks (materialize every batch host-side, timed)
     t0 = time.time()
-    batches = list(alg._device_walks(
-        g, args.num_walks, args.walk_length, args.seed
-    ))
+    if second:
+        batches = list(alg._device_walks2(
+            g, args.num_walks, args.walk_length, args.p, args.q, args.seed
+        ))
+    else:
+        batches = list(alg._device_walks(
+            g, args.num_walks, args.walk_length, args.seed
+        ))
     n_walks = sum(b.shape[0] for b in batches)
     hops = n_walks * (args.walk_length - 1)
     walks_wall = time.time() - t0

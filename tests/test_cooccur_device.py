@@ -53,6 +53,37 @@ def test_device_counts_integer_exact(graph, batch):
     assert np.array_equal(counts_h, counts_d)
 
 
+def test_multipass_walk_cache(graph, monkeypatch):
+    """Multi-pass counting replays cached device walk batches (the
+    factory runs ONCE) unless the cache budget is exceeded, in which case
+    every pass regenerates — identical counts either way."""
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return alg._device_walks(graph, 2, 10, seed=9, batch=1 << 15,
+                                 resident=True)
+
+    ref, refc = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15)
+    ranges, _ = cooccur.device_pair_counts(factory, graph.num_entities, 3,
+                                           passes=3)
+    assert calls["n"] == 1  # cached after pass 0
+    keys = np.sort(np.concatenate([
+        np.asarray(c[:m], np.int64) * graph.num_entities
+        + np.asarray(x[:m], np.int64) for c, x, _, m in ranges]))
+    assert np.array_equal(np.sort(ref), keys)
+
+    calls["n"] = 0
+    monkeypatch.setattr(cooccur, "_WALK_CACHE_BYTES", 16)  # force fallback
+    ranges2, _ = cooccur.device_pair_counts(factory, graph.num_entities, 3,
+                                            passes=3)
+    assert calls["n"] == 3  # regenerated per pass
+    keys2 = np.sort(np.concatenate([
+        np.asarray(c[:m], np.int64) * graph.num_entities
+        + np.asarray(x[:m], np.int64) for c, x, _, m in ranges2]))
+    assert np.array_equal(keys, keys2)
+
+
 def test_device_counts_multipass(graph):
     """Hash-partitioned counting passes (the >HBM unique-set strategy)
     reproduce the single-pass counts exactly — disjoint center bins,

@@ -130,6 +130,32 @@ def test_grarep_sharded_matches_single_device(graph):
     )
 
 
+def test_sharded_walks_indivisible_lanes(graph):
+    """A sole short batch whose lane count doesn't divide the mesh size
+    must pad rather than fail device_put's divisibility check (review
+    finding: 149 lanes on a 4-device mesh raised ValueError)."""
+    from cleora_tpu import SparseMatrix
+    from cleora_tpu import algorithms as alg
+    from cleora_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(1)
+    lines = [f"n{rng.integers(0, 149)} n{rng.integers(0, 149)}"
+             for _ in range(400)]
+    g = SparseMatrix.from_iterator(iter(lines), "complex::reflexive::n")
+    single = np.concatenate(
+        list(alg._device_walks(g, 1, 8, seed=2)), axis=0)
+    assert single.shape[0] % 4 != 0  # the regression precondition
+    sharded = np.concatenate(
+        list(alg._device_walks(g, 1, 8, seed=2, mesh=make_mesh(4))), axis=0)
+    assert np.array_equal(single, sharded)
+    s2 = np.concatenate(
+        list(alg._device_walks2(g, 1, 6, 0.5, 2.0, seed=2)), axis=0)
+    sh2 = np.concatenate(
+        list(alg._device_walks2(g, 1, 6, 0.5, 2.0, seed=2,
+                                mesh=make_mesh(4))), axis=0)
+    assert np.array_equal(s2, sh2)
+
+
 def test_sharded_walks_value_identical(graph):
     """Batch-sharding the walk lanes over the mesh (tables replicated)
     must produce BITWISE-identical walks — integer gathers and per-lane
