@@ -65,6 +65,16 @@ def _finalize(result: np.ndarray, feature_dim: int) -> np.ndarray:
     return (result / norms).astype(np.float32)
 
 
+def _fetch_f64(dev) -> np.ndarray:
+    """Device→host fetch of an algorithm result in bounded row chunks
+    (CLEORA_TPU_FETCH_MB), then float64.  One multi-hundred-MB fetch can
+    stall a tunneled runtime where chunked transfers stream fine — the
+    same pattern the sharded-embed outputs use (parallel/state.py)."""
+    from .parallel.state import _fetch_shard
+
+    return _fetch_shard(dev).astype(np.float64)
+
+
 def _svd_sqrt(M: np.ndarray, k: int) -> np.ndarray:
     """U_k · sqrt(S_k) — the shared factorization epilogue."""
     u, s, _ = np.linalg.svd(M, full_matrices=False)
@@ -169,7 +179,7 @@ def _device_spmm_weighted_sum(graph, R: np.ndarray, weights: List[float],
     """Σ_i weights[i] · N^i · R on the TPU (N = adjacency, optionally
     D^-1/2 A D^-1/2), one fused jit over the production SpMM layout."""
     dev, rank = _device_weighted_sum_core(graph, R, weights, sym_norm)
-    out = np.asarray(dev, dtype=np.float64)
+    out = _fetch_f64(dev)
     return out[rank] if rank is not None else out
 
 
@@ -359,7 +369,7 @@ def _hope_device(graph, feature_dim: int, beta: float, seed: int,
         layA, ordA, rnkA, layT, ordT, rnkT, omega, jnp.float32(beta),
         n_rows=n, terms=terms, k=k, power_iters=power_iters,
     )
-    return np.asarray(out, dtype=np.float64)
+    return _fetch_f64(out)
 
 
 # --------------------------------------- device dense log-factorization core
@@ -715,7 +725,7 @@ def _netmf_blocked_device(graph, feature_dim: int, window_size: int,
         return Y, G
 
     out = _blocked_u_sqrt(pass_fn, k, power_iters, omega_rel)
-    return np.asarray(out, dtype=np.float64)
+    return _fetch_f64(out)
 
 
 def _grarep_blocked_device(graph, feature_dim: int, max_step: int, seed: int,
@@ -791,7 +801,7 @@ def _netmf_device(graph, feature_dim: int, window_size: int,
         jnp.float32(negative_samples),
         n=n, window=max(1, window_size), k=k, power_iters=power_iters,
     )
-    return np.asarray(out, dtype=np.float64)
+    return _fetch_f64(out)
 
 
 def _grarep_device(graph, feature_dim: int, max_step: int, seed: int,
@@ -816,7 +826,7 @@ def _grarep_device(graph, feature_dim: int, max_step: int, seed: int,
         jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals), omega,
         n=n, max_step=max_step, k=k, power_iters=power_iters,
     )
-    return np.asarray(out, dtype=np.float64)
+    return _fetch_f64(out)
 
 
 # ---------------------------------------------------------------- algorithms
@@ -848,7 +858,7 @@ def embed_prone(
         return _finalize(U, feature_dim)
     if backend == "device":
         dev, rank = _prone_chebyshev_core(graph, feature_dim, mu, theta, seed)
-        U = np.asarray(dev, dtype=np.float64)
+        U = _fetch_f64(dev)
         if rank is not None:
             U = U[rank]
     else:
@@ -1665,7 +1675,9 @@ def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim):
         y = m_apply(m_apply(steps["qr"](y)))
     q = steps["qr"](y)
     del y
-    u_su = np.asarray(steps["tail"](m_apply(q), q, k=k), dtype=np.float64)
+    # bounded-chunk fetch (the measured 418 s vs 135 s factorize spread
+    # was this ~0.5 GB fetch hitting a slow tunnel window)
+    u_su = _fetch_f64(steps["tail"](m_apply(q), q, k=k))
     pick = np.argmax(np.abs(u_su), axis=0)
     sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
     sign[sign == 0] = 1.0
