@@ -778,7 +778,9 @@ def _grarep_blocked_device(graph, feature_dim: int, max_step: int, seed: int,
         Ub, sv, _ = jnp.linalg.svd(C[s].T, full_matrices=False)
         su = jnp.sqrt(jnp.maximum(sv[:k], 0.0))
         embs.append(jnp.dot(Q[s], Ub[:, :k], precision=hp) * su)
-    return np.asarray(jnp.concatenate(embs, axis=1), dtype=np.float64)
+    # the blocked driver exists precisely for large n, where this result
+    # is the fetch big enough to stall a tunneled runtime — chunk it
+    return _fetch_f64(jnp.concatenate(embs, axis=1))
 
 
 def _netmf_device(graph, feature_dim: int, window_size: int,

@@ -22,12 +22,15 @@ import numpy as np
 
 def planted_edges(n, communities, deg_in, deg_out, rng):
     """Block-structured random edges, vectorized (the reference-exact SBM
-    generator is per-block-pair and too slow past ~10k nodes)."""
-    size = n // communities
+    generator is per-block-pair and too slow past ~10k nodes).  Handles
+    n % communities != 0: the last block is smaller, and in-community
+    destinations clamp into the block instead of wrapping into block 0."""
+    size = -(-n // communities)
     comm = np.arange(n) // size
     m_in = n * deg_in
     src_in = rng.integers(0, n, m_in)
-    dst_in = (comm[src_in] * size + rng.integers(0, size, m_in)) % n
+    dst_in = np.minimum(
+        comm[src_in] * size + rng.integers(0, size, m_in), n - 1)
     m_out = n * deg_out
     src_out = rng.integers(0, n, m_out)
     dst_out = rng.integers(0, n, m_out)
@@ -80,13 +83,14 @@ def main():
     # entity order is first-seen; map labels through the entity ids
     ids = np.array([int(e) for e in g.entity_ids])
     labels = comm[ids]
+    n_comm = int(labels.max()) + 1  # == args.communities when it divides n
     print(f"[quality] {g.num_entities} nodes / {g.num_edges} nnz, "
-          f"{args.communities} planted communities "
-          f"(chance={1 / args.communities:.3f})", flush=True)
+          f"{n_comm} planted communities "
+          f"(chance={1 / n_comm:.3f})", flush=True)
 
     out = {"nodes": g.num_entities, "nnz": g.num_edges,
-           "communities": args.communities,
-           "chance": round(1 / args.communities, 4)}
+           "communities": n_comm,
+           "chance": round(1 / n_comm, 4)}
     runs = [
         ("deepwalk_device_cooc", lambda: alg.embed_deepwalk(
             g, args.dim, num_walks=args.num_walks,

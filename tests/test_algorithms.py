@@ -308,6 +308,22 @@ def test_device_factorization_matches_host_svds(graph):
                            factorization="bogus")
 
 
+def test_algorithm_result_fetch_chunks(graph, monkeypatch):
+    """Sub-row chunk sizes through CLEORA_TPU_FETCH_MB must reproduce the
+    unchunked algorithm results exactly — every device epilogue fetches
+    through the bounded helper (_fetch_f64)."""
+    kw = dict(feature_dim=8, backend="device")
+    base = {
+        "prone": alg.embed_prone(graph, **kw),
+        "hope": alg.embed_hope(graph, **kw),
+        "grarep": alg.embed_grarep(graph, **kw),
+    }
+    monkeypatch.setenv("CLEORA_TPU_FETCH_MB", "0.001")
+    assert np.array_equal(base["prone"], alg.embed_prone(graph, **kw))
+    assert np.array_equal(base["hope"], alg.embed_hope(graph, **kw))
+    assert np.array_equal(base["grarep"], alg.embed_grarep(graph, **kw))
+
+
 def test_device_ppmi_factorization_hbm_precheck(graph, monkeypatch):
     """A PPMI matrix too big for HBM raises the descriptive fit error
     (naming the walk-pipeline levers) instead of an XLA allocator abort;
