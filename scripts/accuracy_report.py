@@ -51,6 +51,55 @@ PUBLISHED = {  # reference README.md:256-260
 
 DEFAULT = ["karate_club", "cora", "citeseer", "pubmed", "ppi"]
 
+# reference README.md:257-258 — the full per-algorithm comparison rows
+PUBLISHED_ALGOS = {
+    "cora": {"cleora": 0.861, "netmf": 0.839, "deepwalk": 0.835,
+             "node2vec": 0.835, "hope": 0.821, "grarep": 0.809,
+             "prone": 0.179, "randne": 0.247},
+    "citeseer": {"cleora": 0.824, "netmf": 0.810, "deepwalk": 0.806,
+                 "node2vec": 0.806, "hope": 0.740, "grarep": 0.756,
+                 "prone": 0.189, "randne": 0.244},
+}
+
+
+def algorithms_table(names):
+    """Per-algorithm accuracy vs the reference's published comparison
+    (--algorithms flag).  Each sibling runs with its reference-default
+    hyperparameters on the same RNG-exact synthetic loaders."""
+    from cleora_tpu import algorithms as alg
+
+    runners = {
+        "cleora": lambda g: embed(g, feature_dim=256, num_iterations=40),
+        "netmf": lambda g: alg.embed_netmf(g),
+        "deepwalk": lambda g: alg.embed_deepwalk(g),
+        "node2vec": lambda g: alg.embed_node2vec(g),
+        "hope": lambda g: alg.embed_hope(g),
+        "grarep": lambda g: alg.embed_grarep(g),
+        "prone": lambda g: alg.embed_prone(g),
+        "randne": lambda g: alg.embed_randne(g),
+    }
+    for name in names:
+        ds = load_dataset(name)
+        graph = SparseMatrix.from_iterator(iter(ds["edges"]), ds["columns"])
+        pub = PUBLISHED_ALGOS.get(name, {})
+        print(f"\n{name} ({ds['num_nodes']} nodes): "
+              f"{'algorithm':<10} {'accuracy':>9} {'published':>10} "
+              f"{'time_s':>7}")
+        for aname, fn in runners.items():
+            t0 = time.time()
+            try:
+                emb = fn(graph)
+                scores = node_classification_scores(graph, emb,
+                                                    ds["labels"])
+                acc = f"{scores['accuracy']:>9.3f}"
+            except Exception as e:  # mirror the reference's T/O-OOM cells
+                acc = f"{'error':>9}"
+                sys.stderr.write(f"{aname} on {name}: {e}\n")
+            p = pub.get(aname)
+            print(f"  {aname:<10} {acc} "
+                  f"{p if p is not None else '—':>10} "
+                  f"{time.time() - t0:>7.1f}", flush=True)
+
 
 def default_datasets():
     """The bundled set, plus ego-Facebook whenever its cache is seeded."""
@@ -68,6 +117,10 @@ def default_datasets():
 
 
 def main():
+    if "--algorithms" in sys.argv:
+        sys.argv.remove("--algorithms")
+        algorithms_table(sys.argv[1:] or ["cora", "citeseer"])
+        return
     names = sys.argv[1:] or default_datasets()
     print(f"{'dataset':<14} {'nodes':>7} {'edges':>8} {'time_s':>7} "
           f"{'accuracy':>9} {'published':>10}")
