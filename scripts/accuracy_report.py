@@ -62,21 +62,26 @@ PUBLISHED_ALGOS = {
 }
 
 
-def algorithms_table(names):
+def algorithms_table(names, device=False):
     """Per-algorithm accuracy vs the reference's published comparison
     (--algorithms flag).  Each sibling runs with its reference-default
-    hyperparameters on the same RNG-exact synthetic loaders."""
+    hyperparameters on the same RNG-exact synthetic loaders.
+    ``--device`` routes every sibling through its TPU backend — the mode
+    that completes the rows the reference's table reports as OOM / T-O
+    (e.g. NetMF and the walk algorithms on pubmed)."""
     from cleora_tpu import algorithms as alg
 
+    kw = {"backend": "device"} if device else {}
+    wkw = dict(kw, cooccurrence="device") if device else {}
     runners = {
         "cleora": lambda g: embed(g, feature_dim=256, num_iterations=40),
-        "netmf": lambda g: alg.embed_netmf(g),
-        "deepwalk": lambda g: alg.embed_deepwalk(g),
-        "node2vec": lambda g: alg.embed_node2vec(g),
-        "hope": lambda g: alg.embed_hope(g),
-        "grarep": lambda g: alg.embed_grarep(g),
-        "prone": lambda g: alg.embed_prone(g),
-        "randne": lambda g: alg.embed_randne(g),
+        "netmf": lambda g: alg.embed_netmf(g, **kw),
+        "deepwalk": lambda g: alg.embed_deepwalk(g, **wkw),
+        "node2vec": lambda g: alg.embed_node2vec(g, **wkw),
+        "hope": lambda g: alg.embed_hope(g, **kw),
+        "grarep": lambda g: alg.embed_grarep(g, **kw),
+        "prone": lambda g: alg.embed_prone(g, **kw),
+        "randne": lambda g: alg.embed_randne(g, **kw),
     }
     for name in names:
         ds = load_dataset(name)
@@ -119,7 +124,11 @@ def default_datasets():
 def main():
     if "--algorithms" in sys.argv:
         sys.argv.remove("--algorithms")
-        algorithms_table(sys.argv[1:] or ["cora", "citeseer"])
+        device = "--device" in sys.argv
+        if device:
+            sys.argv.remove("--device")
+        algorithms_table(sys.argv[1:] or ["cora", "citeseer"],
+                         device=device)
         return
     names = sys.argv[1:] or default_datasets()
     print(f"{'dataset':<14} {'nodes':>7} {'edges':>8} {'time_s':>7} "
