@@ -120,9 +120,11 @@ def _merge_jit():
     if "merge" not in _JITS:
         import jax
 
-        # donated inputs: the accumulator buffers are dead after the merge
-        # and the concat+sort workspace is the HBM high-water mark
-        _JITS["merge"] = jax.jit(_merge_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
+        # NO donation: XLA can only alias a donated input onto a
+        # SAME-SIZE output, and every merge output is larger than either
+        # input — donation never engages (it only warned) and XLA frees
+        # the inputs after their last read regardless
+        _JITS["merge"] = jax.jit(_merge_impl)
     return _JITS["merge"]
 
 
