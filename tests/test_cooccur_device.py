@@ -193,6 +193,63 @@ def test_mesh_walks_with_device_cooccurrence(graph):
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+def test_sort_reduce_random_oracle():
+    """_sort_reduce vs a numpy oracle on random key streams, including
+    sentinel entries, all-sentinel, and single-key degenerate inputs."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    fn = jax.jit(cooccur._sort_reduce)
+    cases = [
+        (rng.integers(0, 50, 4096), rng.integers(0, 50, 4096)),
+        (np.full(512, 3), np.full(512, 9)),            # one key
+        (np.full(256, cooccur._SENT), np.full(256, cooccur._SENT)),
+        (np.concatenate([rng.integers(0, 9, 1000),
+                         np.full(24, cooccur._SENT)]),
+         np.concatenate([rng.integers(0, 9, 1000),
+                         np.full(24, cooccur._SENT)])),
+    ]
+    for cen, ctx in cases:
+        cen = cen.astype(np.int32)
+        ctx = ctx.astype(np.int32)
+        cnt = np.ones(cen.shape[0], np.int32)
+        ucen, uctx, ucnt, m = map(np.asarray, fn(cen, ctx, cnt))
+        valid = cen != cooccur._SENT
+        keys = cen[valid].astype(np.int64) * (1 << 32) + ctx[valid]
+        exp_keys, exp_cnt = np.unique(keys, return_counts=True)
+        m = int(m)
+        assert m == exp_keys.shape[0]
+        got = ucen[:m].astype(np.int64) * (1 << 32) + uctx[:m]
+        assert np.array_equal(got, exp_keys)
+        assert np.array_equal(ucnt[:m], exp_cnt)
+        # tail slots must be inert: sentinel keys or zero counts
+        assert ((ucen[m:] == cooccur._SENT) | (ucnt[m:] == 0)).all()
+
+
+def test_chunk_aligned_host_edges():
+    """Every output length is chunk-compatible (≤ chunk or an exact
+    multiple) — including the exact-multiple and bucket-crossing inputs
+    that defeated earlier alignment logic (review finding)."""
+    from cleora_tpu.algorithms import _chunk_aligned_host
+
+    chunk = 1 << 20
+    for length in (100, chunk - 5, chunk, chunk + 1, 2 * chunk,
+                   2 * chunk + 7, int(chunk * 0.95)):
+        rows = np.sort(np.random.default_rng(1).integers(
+            0, 1000, length)).astype(np.int32)
+        cols = np.zeros(length, np.int32)
+        vals = np.ones(length, np.float32)
+        pr, pc, pv = _chunk_aligned_host(rows, cols, vals, 1000, chunk)
+        out = pr.shape[0]
+        assert out >= length
+        assert out <= chunk or out % chunk == 0, (length, out)
+        assert pc.shape[0] == out and pv.shape[0] == out
+        # padding must be inert for the sorted segment-sum
+        assert (pv[length:] == 0).all()
+        assert (pr[length:] == 999).all()
+        assert (np.diff(pr.astype(np.int64)) >= 0).all()
+
+
 def test_device_counts_empty():
     ranges, m = cooccur.device_pair_counts(lambda: iter(()), 10, 3)
     assert m == 0 and ranges == []
