@@ -235,22 +235,28 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
                 nxt.append(acc[-1])
             acc = nxt
         ranges.append(acc[0])
-    if "cntmin" not in _JITS:
-        import jax
+    _check_count_overflow(ranges, n)
+    return ranges, sum(r[3] for r in ranges)
 
+
+def _check_count_overflow(ranges, n: int) -> None:
+    """Counts are int32 on device (the host twin counts in int64); a
+    single pair exceeding 2^31 co-occurrences wraps NEGATIVE.  One scalar
+    probe per range catches it before it silently corrupts the PMI."""
+    import jax
+
+    import jax.numpy as jnp
+
+    if "cntmin" not in _JITS:
         _JITS["cntmin"] = jax.jit(
             lambda cen, cnt, n_: jnp.min(jnp.where(cen < n_, cnt, 1)))
     for cen, _, cnt, _ in ranges:
-        # counts are int32 on device (the host twin counts in int64); a
-        # single pair exceeding 2^31 co-occurrences wraps NEGATIVE, which
-        # this scalar probe catches before it silently corrupts the PMI
         if int(_JITS["cntmin"](cen, cnt, jnp.int32(n))) < 0:
             raise ValueError(
                 "co-occurrence count overflow: one (center, context) pair "
                 "exceeds 2^31 occurrences — use cooccurrence='host' "
                 "(int64 counts) for this corpus"
             )
-    return ranges, sum(r[3] for r in ranges)
 
 
 def _colsum_impl(cen, ctx, cnt, col_acc):

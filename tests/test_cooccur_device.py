@@ -250,6 +250,20 @@ def test_chunk_aligned_host_edges():
         assert (np.diff(pr.astype(np.int64)) >= 0).all()
 
 
+def test_count_overflow_check():
+    """A wrapped (negative) int32 count raises the descriptive overflow
+    error; healthy counts pass."""
+    import jax.numpy as jnp
+
+    good = [(jnp.array([1, 2], jnp.int32), jnp.array([3, 4], jnp.int32),
+             jnp.array([5, 6], jnp.int32), 2)]
+    cooccur._check_count_overflow(good, 10)  # no raise
+    bad = [(jnp.array([1, 2], jnp.int32), jnp.array([3, 4], jnp.int32),
+            jnp.array([5, -2147483000], jnp.int32), 2)]
+    with pytest.raises(ValueError, match="overflow"):
+        cooccur._check_count_overflow(bad, 10)
+
+
 def test_device_counts_empty():
     ranges, m = cooccur.device_pair_counts(lambda: iter(()), 10, 3)
     assert m == 0 and ranges == []
