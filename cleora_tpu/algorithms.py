@@ -1172,7 +1172,24 @@ def _walk_csr(graph, with_vals: bool = False):
     which the second-order walker's binary-search membership test relies on.
     ``with_vals`` additionally returns the edge weights plus the per-row max
     weight (the rejection-sampling envelope) and per-row weight sum (the
-    host walker's dead-row termination threshold)."""
+    host walker's dead-row termination threshold).
+
+    Cached per graph (when the graph carries a cache dict): the walk
+    pipeline calls this repeatedly — pass estimation, then the walk
+    engine once per counting pass when the cross-pass walk cache falls
+    back to regeneration — and rebuilding the multi-GB host CSR each
+    time is a redundant seconds-to-minutes pass on big graphs."""
+    cache = getattr(graph, "_device_cache", None)
+    key = ("walk_csr", with_vals)
+    if cache is not None and key in cache:
+        return cache[key]
+    out = _walk_csr_build(graph, with_vals)
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def _walk_csr_build(graph, with_vals: bool):
     rows, cols, vals, n, _ = graph.to_sparse_csr()
     keep = rows != cols
     rows = rows[keep].astype(np.int64)
@@ -1208,11 +1225,11 @@ def _lane_pad(length: int, batch: int, lo: int, mesh) -> int:
     chunk on a 4-device mesh is a sharding error).  Padded lanes start at
     the sentinel row and are dropped (host path) or masked (resident
     consumers)."""
-    if length < batch and lo > 0:
-        return batch - length
-    if mesh is not None and length % mesh.size:
-        return mesh.size - length % mesh.size
-    return 0
+    target = batch if (length < batch and lo > 0) else length
+    if mesh is not None and target % mesh.size:
+        # batch itself may not divide a non-power-of-two mesh
+        target += mesh.size - target % mesh.size
+    return target - length
 
 
 def _walk_placers(mesh):
@@ -1819,13 +1836,32 @@ def _counts_to_embeddings(keys, counts, n: int, feature_dim: int,
     return _finalize(emb, feature_dim)
 
 
-def _validate_cooccurrence(cooccurrence: str, backend: str) -> None:
+def _validate_cooccurrence(cooccurrence: str, backend: str,
+                           factorization) -> str:
+    """Validate the walk-pipeline mode combination; resolve the
+    factorization default (None → 'host').  cooccurrence='device' always
+    factorizes on device, so an EXPLICIT factorization='host' alongside
+    it is a contradiction, not a silently-ignored preference."""
     if cooccurrence not in ("host", "device"):
         raise ValueError(
             f"Unknown cooccurrence '{cooccurrence}'. Use 'host' or 'device'."
         )
-    if cooccurrence == "device" and backend != "device":
-        raise ValueError("cooccurrence='device' requires backend='device'")
+    if factorization not in (None, "host", "device"):
+        raise ValueError(
+            f"Unknown factorization '{factorization}'. Use 'host' or "
+            "'device'."
+        )
+    if cooccurrence == "device":
+        if backend != "device":
+            raise ValueError(
+                "cooccurrence='device' requires backend='device'")
+        if factorization == "host":
+            raise ValueError(
+                "cooccurrence='device' runs the PPMI factorization on "
+                "device; omit factorization or pass 'device'"
+            )
+        return "device"
+    return factorization or "host"
 
 
 def _walk_mesh(mesh, n_devices):
@@ -2074,7 +2110,7 @@ def embed_deepwalk(
     window_size: int = 5,
     seed: int = 0,
     backend: str = "host",
-    factorization: str = "host",
+    factorization: Optional[str] = None,
     mesh=None,
     n_devices: Optional[int] = None,
     cooccurrence: str = "host",
@@ -2095,7 +2131,8 @@ def embed_deepwalk(
     the windowed pairs on the TPU too (ops/cooccur.py — sort-reduce +
     tree merge), implying the device factorization; integer-exact counts,
     the right choice when the host's sort-reduce dominates e2e."""
-    _validate_cooccurrence(cooccurrence, backend)
+    factorization = _validate_cooccurrence(cooccurrence, backend,
+                                           factorization)
     if backend == "device":
         return _deepwalk_device(
             graph, feature_dim, num_walks, walk_length, window_size, seed,
@@ -2119,7 +2156,7 @@ def embed_node2vec(
     q: float = 1.0,
     seed: int = 0,
     backend: str = "host",
-    factorization: str = "host",
+    factorization: Optional[str] = None,
     mesh=None,
     n_devices: Optional[int] = None,
     cooccurrence: str = "host",
@@ -2139,7 +2176,8 @@ def embed_node2vec(
     stream."""
     if p <= 0.0 or q <= 0.0:
         raise ValueError("p and q must be positive")
-    _validate_cooccurrence(cooccurrence, backend)
+    factorization = _validate_cooccurrence(cooccurrence, backend,
+                                           factorization)
     if backend == "device":
         if p == 1.0 and q == 1.0:
             return _deepwalk_device(

@@ -44,10 +44,11 @@ def main(argv=None):
                         "prone/randne/hope/netmf/grarep/deepwalk/node2vec "
                         "on the TPU (cleora itself always runs on device)")
     p.add_argument("--factorization", choices=["host", "device"],
-                   default="host",
+                   default=None,
                    help="deepwalk/node2vec PPMI factorization: 'device' "
                         "runs a randomized SVD on the TPU instead of host "
-                        "ARPACK (requires --backend device)")
+                        "ARPACK (requires --backend device; implied by "
+                        "--cooccurrence device)")
     p.add_argument("--cooccurrence", choices=["host", "device"],
                    default="host",
                    help="deepwalk/node2vec pair counting: 'device' keeps "
@@ -272,9 +273,9 @@ def _finish_embed(args, graph):
         print(f"{graph.num_entities} entities -> {emb.shape} saved to "
               f"{args.output} ({dt:.2f}s)")
         return
-    fact = getattr(args, "factorization", "host")
+    fact = getattr(args, "factorization", None)
     cooc = getattr(args, "cooccurrence", "host")
-    if fact != "host" or cooc != "host":
+    if fact is not None or cooc != "host":
         if args.algorithm not in ("deepwalk", "node2vec"):
             raise SystemExit(
                 "--factorization/--cooccurrence apply only to "
@@ -284,6 +285,11 @@ def _finish_embed(args, graph):
             raise SystemExit(
                 "--factorization/--cooccurrence device require "
                 "--backend device"
+            )
+        if fact == "host" and cooc == "device":
+            raise SystemExit(
+                "--cooccurrence device runs the factorization on device; "
+                "drop --factorization host"
             )
     algo_map = {
         "cleora": lambda: embed(graph, args.dim, args.iterations,

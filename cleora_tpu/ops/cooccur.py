@@ -242,7 +242,11 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
 def _check_count_overflow(ranges, n: int) -> None:
     """Counts are int32 on device (the host twin counts in int64); a
     single pair exceeding 2^31 co-occurrences wraps NEGATIVE.  One scalar
-    probe per range catches it before it silently corrupts the PMI."""
+    probe per range catches that FIRST wrap before it silently corrupts
+    the PMI.  (A count wrapping past 2^32 lands positive again and is
+    undetectable here — that needs a pair >20× over a whole pass's
+    budget concentrated on one key; the host path is the refuge for such
+    corpora either way.)"""
     import jax
 
     import jax.numpy as jnp
@@ -285,7 +289,10 @@ def _ppmi_range_impl(cen, ctx, cnt, col_sums, total, *, n):
 
     valid = cen < n
     w = jnp.where(valid, cnt, 0).astype(jnp.float32)
-    idx_r = jnp.where(valid, cen, 0)
+    # invalid tail slots map to n-1 (not 0) so the index stream stays
+    # genuinely nondecreasing — the sorted-scatter hint is an XLA
+    # contract, not a suggestion; the tail's weight is 0 either way
+    idx_r = jnp.where(valid, cen, n - 1)
     idx_c = jnp.where(valid, ctx, 0)
     row_sums = jnp.zeros(n, jnp.float32).at[idx_r].add(
         w, indices_are_sorted=True)
@@ -346,12 +353,14 @@ def pair_total(ranges, n: int) -> int:
     import jax.numpy as jnp
 
     if "pairsum" not in _JITS:
-        # int32 is exact here: the pass partitioning bounds each range's
-        # pair total at roughly the per-pass budget (~2e8 ≪ 2^31); the
+        # f32 accumulation: never wraps (an int32 sum would past 2^31 if
+        # a hash partition lands far over the per-pass budget), at worst
+        # ~1e-7 relative error on this informational statistic; the
         # CROSS-range sum accumulates in a Python int
         _JITS["pairsum"] = jax.jit(
-            lambda cen, cnt, n_: jnp.sum(jnp.where(cen < n_, cnt, 0)))
+            lambda cen, cnt, n_: jnp.sum(
+                jnp.where(cen < n_, cnt, 0).astype(jnp.float32)))
     return sum(
-        int(_JITS["pairsum"](cen, cnt, jnp.int32(n)))
+        int(round(float(_JITS["pairsum"](cen, cnt, jnp.int32(n)))))
         for cen, _, cnt, _ in ranges
     )

@@ -168,6 +168,28 @@ def test_cooccurrence_validation(graph):
     with pytest.raises(ValueError, match="cooccurrence"):
         alg.embed_node2vec(graph, feature_dim=8, backend="device",
                            cooccurrence="bogus")
+    # an explicit host factorization contradicts device counting (which
+    # always factorizes on device) — loud error, not silent override
+    with pytest.raises(ValueError, match="factorization"):
+        alg.embed_deepwalk(graph, feature_dim=8, backend="device",
+                           cooccurrence="device", factorization="host")
+    with pytest.raises(ValueError, match="factorization"):
+        alg.embed_deepwalk(graph, feature_dim=8, backend="device",
+                           cooccurrence="device", factorization="bogus")
+
+
+def test_sharded_walks_nonpow2_mesh_trailing_chunk(graph):
+    """A trailing short chunk pads to the batch size, which itself may
+    not divide a non-power-of-two mesh — the pad must round up to a
+    mesh-size multiple (review finding)."""
+    from cleora_tpu.parallel.mesh import make_mesh
+
+    single = np.concatenate(
+        list(alg._device_walks(graph, 2, 8, seed=5, batch=99)), axis=0)
+    sharded = np.concatenate(
+        list(alg._device_walks(graph, 2, 8, seed=5, batch=99,
+                               mesh=make_mesh(2))), axis=0)
+    assert np.array_equal(single, sharded)
 
 
 def test_multipass_ppmi_embedding_matches_single_pass(graph, monkeypatch):
