@@ -1893,7 +1893,7 @@ def _cooc_passes(graph, num_walks: int, walk_length: int,
 
 
 def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
-                       passes=1, oversample=16, power_iters=4):
+                       passes=1, oversample=16, power_iters=4, mesh=None):
     """Fully device-resident walks → co-occurrence → PPMI → randomized SVD.
 
     ``batches_fn()`` returns a fresh iterable of resident
@@ -1905,12 +1905,20 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
     where the host sort-reduce dominates the measured e2e (RESULTS.md).
     Counts are integer-exact vs the host sort-reduce; the factorization
     matches ``factorization="device"`` up to the RNG of the sketch
-    (device PRNG here, host ``default_rng`` there)."""
+    (device PRNG here, host ``default_rng`` there).
+
+    A multi-device ``mesh`` fans the counting passes out across its
+    devices (disjoint hash partitions, no collectives —
+    ops/cooccur.py:_pair_counts_pass_parallel); the factorization then
+    runs on the first device, where its flat COO must fit regardless."""
     from .ops.cooccur import device_pair_counts
 
+    devices = None
+    if mesh is not None and mesh.devices.size > 1 and passes > 1:
+        devices = list(mesh.devices.flat)
     n = graph.num_entities
     ranges, m_total = device_pair_counts(batches_fn, n, window_size,
-                                         passes=passes)
+                                         passes=passes, devices=devices)
     return _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
                                         seed, oversample=oversample,
                                         power_iters=power_iters)
@@ -2003,6 +2011,7 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                                   batch=_WALK_BATCH // 2, mesh=mesh,
                                   resident=True),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
+            mesh=mesh,
         )
     batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
@@ -2021,6 +2030,7 @@ def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
             lambda: _device_walks2(graph, num_walks, walk_length, p, q,
                                    seed, mesh=mesh, resident=True),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
+            mesh=mesh,
         )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
                              mesh=mesh)

@@ -156,7 +156,91 @@ def _bucket(m: int, floor: int = 2048) -> int:
     return bucket
 
 
-def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
+def _run_pass(batch_iter, s, passes, n, window):
+    """One counting pass: reduce every batch, tree-merge, compact.
+
+    ``batch_iter`` yields ``(walks, pad)`` device arrays; when the walks
+    are COMMITTED to a device, every sort/merge of the pass runs there —
+    the pass-parallel driver relies on that to spread disjoint hash
+    partitions across chips.  Returns a compacted ``(cen, ctx, cnt, m)``
+    or ``None`` for an empty corpus."""
+    import jax.numpy as jnp
+
+    reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
+    acc = []  # [(cen, ctx, cnt, m_actual)]
+    for walks, pad in batch_iter:
+        b = walks.shape[0]
+        u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n),
+                      jnp.int32(s), jnp.int32(passes), window=window)
+        m = int(u[3])
+        acc.append((*compact(*u[:3], mb=_bucket(m)), m))
+        del u
+    if not acc:
+        return None
+    while len(acc) > 1:  # pairwise tree merge bounds the concat size
+        nxt = []
+        for i in range(0, len(acc) - 1, 2):
+            a, b_ = acc[i], acc[i + 1]
+            u = merge_fn(*a[:3], *b_[:3])
+            m = int(u[3])
+            nxt.append((*compact(*u[:3], mb=_bucket(m)), m))
+            del u
+        if len(acc) % 2:
+            nxt.append(acc[-1])
+        acc = nxt
+    return acc[0]
+
+
+def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
+    """Counting passes fanned out over ``devices`` (ROADMAP design (a)).
+
+    The hash partitions are disjoint and the per-pass walks identical, so
+    pass ``s`` runs WHOLE on ``devices[s % P]`` with no collectives: the
+    corpus is materialized once (it must fit the walk-cache budget — the
+    sorts, not the walks, gate a pass), broadcast to each counting device,
+    and one host thread per device drives its passes so each thread's
+    blocking unique-count fetches overlap every other device's sorts.
+    Finished ranges land back on ``devices[0]`` — they must fit one
+    chip's HBM anyway, because the downstream factorization consumes them
+    as a single flat COO.  Returns ``None`` when the corpus exceeds the
+    cache budget (caller falls back to the sequential regenerating path).
+    """
+    import concurrent.futures
+
+    import jax
+
+    corpus, bytes_ = [], 0
+    for item in batches_fn():
+        walks = item[0]
+        bytes_ += walks.size * walks.dtype.itemsize
+        if bytes_ > _WALK_CACHE_BYTES:
+            return None
+        corpus.append(item)
+    if not corpus:
+        return []
+    ndev = min(len(devices), passes)
+    devs = list(devices)[:ndev]
+    per_dev = [[(jax.device_put(w, d), pad) for w, pad in corpus]
+               for d in devs]
+    del corpus
+    results = [None] * passes
+
+    def drive(di):
+        for s in range(di, passes, ndev):
+            results[s] = _run_pass(per_dev[di], s, passes, n, window)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=ndev) as pool:
+        for f in [pool.submit(drive, di) for di in range(ndev)]:
+            f.result()  # re-raise worker exceptions
+    home = devs[0]
+    return [
+        (*(jax.device_put(a, home) for a in r[:3]), r[3])
+        for r in results if r is not None
+    ]
+
+
+def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
+                       devices=None):
     """Reduce device walk batches to device-resident unique
     (center, context, count) ranges.
 
@@ -170,6 +254,12 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
     chip's HBM, but each partition's does, and regenerating walks is cheap
     next to the sorts (hash, not range, so power-law hubs spread evenly).
 
+    ``devices`` (multiple jax devices) runs the passes in PARALLEL, one
+    whole partition per device at a time (no cross-device collectives —
+    see :func:`_pair_counts_pass_parallel`); counts are bit-identical to
+    the sequential path.  Corpora past the walk-cache budget fall back to
+    sequential single-device counting over regenerated walks.
+
     Returns ``(ranges, m_total)`` where ``ranges`` is a list of
     ``(cen, ctx, cnt, m)`` — compacted device arrays whose first ``m``
     slots are real unique pairs sorted by (center, context); tails are
@@ -178,13 +268,16 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
     which is what the multi-range SpMM layout consumes.  Only scalar
     counts cross to the host.
     """
-    import jax.numpy as jnp
-
     from .._util import maybe_enable_compile_cache
 
     maybe_enable_compile_cache()  # sorts/merges cost minutes to compile
-    reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
     passes = max(1, int(passes))
+    if devices is not None and len(devices) > 1 and passes > 1:
+        ranges = _pair_counts_pass_parallel(batches_fn, n, window, passes,
+                                            devices)
+        if ranges is not None:
+            _check_count_overflow(ranges, n)
+            return ranges, sum(r[3] for r in ranges)
 
     # The PAIRS don't fit one pass's working set, but the WALKS usually
     # fit HBM outright (1M len-80 walks = 320 MB) — cache the device walk
@@ -213,28 +306,9 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1):
 
     ranges = []
     for s in range(passes):
-        acc = []  # [(cen, ctx, cnt, m_actual)]
-        for walks, pad in pass_batches(s):
-            b = walks.shape[0]
-            u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n),
-                          jnp.int32(s), jnp.int32(passes), window=window)
-            m = int(u[3])
-            acc.append((*compact(*u[:3], mb=_bucket(m)), m))
-            del u
-        if not acc:
-            continue
-        while len(acc) > 1:  # pairwise tree merge bounds the concat size
-            nxt = []
-            for i in range(0, len(acc) - 1, 2):
-                a, b_ = acc[i], acc[i + 1]
-                u = merge_fn(*a[:3], *b_[:3])
-                m = int(u[3])
-                nxt.append((*compact(*u[:3], mb=_bucket(m)), m))
-                del u
-            if len(acc) % 2:
-                nxt.append(acc[-1])
-            acc = nxt
-        ranges.append(acc[0])
+        r = _run_pass(pass_batches(s), s, passes, n, window)
+        if r is not None:
+            ranges.append(r)
     _check_count_overflow(ranges, n)
     return ranges, sum(r[3] for r in ranges)
 

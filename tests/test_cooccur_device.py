@@ -289,3 +289,74 @@ def test_count_overflow_check():
 def test_device_counts_empty():
     ranges, m = cooccur.device_pair_counts(lambda: iter(()), 10, 3)
     assert m == 0 and ranges == []
+
+
+def _ranges_payload(ranges, n):
+    return [
+        (np.asarray(c[:m], np.int64) * n + np.asarray(x[:m], np.int64),
+         np.asarray(k[:m], np.int64))
+        for c, x, k, m in ranges
+    ]
+
+
+@pytest.mark.parametrize("ndev,passes", [(4, 5), (2, 2), (8, 3)])
+def test_pass_parallel_counts_bit_identical(graph, ndev, passes):
+    """Pass-parallel counting (one hash partition per device, threaded —
+    ROADMAP design (a)) returns the SAME ranges as the sequential path:
+    same pass order, same keys, same counts, same compaction."""
+    import jax
+
+    n = graph.num_entities
+    factory = lambda: alg._device_walks(graph, 2, 10, seed=9, batch=1 << 13,
+                                        resident=True)
+    seq, m_seq = cooccur.device_pair_counts(factory, n, 3, passes=passes)
+    par, m_par = cooccur.device_pair_counts(
+        factory, n, 3, passes=passes, devices=jax.devices()[:ndev])
+    assert m_seq == m_par
+    assert len(seq) == len(par) == passes
+    for (ks, cs), (kp, cp) in zip(_ranges_payload(seq, n),
+                                  _ranges_payload(par, n)):
+        assert np.array_equal(ks, kp)
+        assert np.array_equal(cs, cp)
+    # every returned range lives on ONE device (the factorization home)
+    homes = {d for _, _, k, _ in par for d in k.devices()}
+    assert len(homes) == 1
+
+
+def test_pass_parallel_cache_budget_fallback(graph, monkeypatch):
+    """A corpus past the walk-cache budget cannot be broadcast per device;
+    counting must fall back to the sequential regenerating path (factory
+    re-runs once per pass) with identical results."""
+    import jax
+
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return alg._device_walks(graph, 2, 10, seed=9, batch=1 << 13,
+                                 resident=True)
+
+    n = graph.num_entities
+    ref, _ = cooccur.device_pair_counts(factory, n, 3, passes=3)
+    calls["n"] = 0
+    monkeypatch.setattr(cooccur, "_WALK_CACHE_BYTES", 16)
+    par, _ = cooccur.device_pair_counts(factory, n, 3, passes=3,
+                                        devices=jax.devices()[:4])
+    # one aborted broadcast probe + one regenerating sweep per pass
+    assert calls["n"] == 4
+    for (ks, cs), (kp, cp) in zip(_ranges_payload(ref, n),
+                                  _ranges_payload(par, n)):
+        assert np.array_equal(ks, kp)
+        assert np.array_equal(cs, cp)
+
+
+def test_mesh_pass_parallel_embedding(graph, monkeypatch):
+    """Through the public API: a multi-device mesh + forced multi-pass
+    counting fans passes across devices and yields the same embedding as
+    the single-device run (same counts, same sketch seed)."""
+    kw = dict(feature_dim=8, num_walks=2, walk_length=12, window_size=3,
+              seed=7, backend="device", cooccurrence="device")
+    single = alg.embed_deepwalk(graph, **kw)
+    monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 100_000)
+    multi = alg.embed_deepwalk(graph, n_devices=4, **kw)
+    np.testing.assert_allclose(single, multi, rtol=2e-4, atol=2e-4)
