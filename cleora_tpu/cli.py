@@ -72,10 +72,12 @@ def main(argv=None):
     p.add_argument("--sharded", nargs="?", const=0, type=int, default=None,
                    metavar="N",
                    help="Multi-device embed over an N-device mesh (omit N "
-                        "to use every visible device); cleora algorithm "
-                        "only.  With a .npy --output the embedding streams "
+                        "to use every visible device).  cleora: sharded "
+                        "loop; with a .npy --output the embedding streams "
                         "shard-by-shard into the file — no host ever holds "
-                        "the full (N, D) matrix")
+                        "the full (N, D) matrix.  Sibling algorithms "
+                        "(--backend device): sharded propagate loops / "
+                        "walk lanes / pass-parallel counting")
     p.add_argument("--checkpoint-dir", default=None, metavar="DIR",
                    help="With --sharded: persist the sharded loop state to "
                         "DIR every --checkpoint-every iterations; an "
@@ -243,11 +245,25 @@ def _finish_embed(args, graph):
         )
     if getattr(args, "checkpoint_dir", None) and args.sharded is None:
         raise SystemExit("--checkpoint-dir requires --sharded")
-    if getattr(args, "sharded", None) is not None:
+    mesh = None
+    if getattr(args, "sharded", None) is not None and args.algorithm != "cleora":
+        # sibling algorithms run their whole device pipeline over a mesh
+        # (sharded propagate loops / walk lanes / pass-parallel counting);
+        # the checkpoint/.npy streaming lifecycle stays cleora-only
+        if be != "device":
+            raise SystemExit(
+                "--sharded with a sibling algorithm requires --backend device"
+            )
+        if getattr(args, "checkpoint_dir", None):
+            raise SystemExit(
+                "--checkpoint-dir supports only --algorithm cleora"
+            )
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.sharded or None)
+    elif getattr(args, "sharded", None) is not None:
         # scale lifecycle: the sharded loop with optional checkpointing and
         # memory-bounded direct-to-.npy output (parallel/embed.py)
-        if args.algorithm != "cleora":
-            raise SystemExit("--sharded supports only --algorithm cleora")
         from .parallel.embed import embed_sharded
 
         to_npy = args.output.endswith(".npy")
@@ -296,20 +312,20 @@ def _finish_embed(args, graph):
                                 args.propagation, args.normalization, args.seed,
                                 dtype=args.dtype),
         "prone": lambda: embed_prone(graph, args.dim, seed=args.seed,
-                                     backend=be),
+                                     backend=be, mesh=mesh),
         "randne": lambda: embed_randne(graph, args.dim, seed=args.seed,
-                                       backend=be),
-        "hope": lambda: embed_hope(graph, args.dim, backend=be),
+                                       backend=be, mesh=mesh),
+        "hope": lambda: embed_hope(graph, args.dim, backend=be, mesh=mesh),
         "netmf": lambda: embed_netmf(graph, args.dim, seed=args.seed,
-                                     backend=be),
+                                     backend=be, mesh=mesh),
         "grarep": lambda: embed_grarep(graph, args.dim, seed=args.seed,
-                                       backend=be),
+                                       backend=be, mesh=mesh),
         "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
-                                           cooccurrence=cooc),
+                                           cooccurrence=cooc, mesh=mesh),
         "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
-                                           cooccurrence=cooc),
+                                           cooccurrence=cooc, mesh=mesh),
     }
     emb = algo_map[args.algorithm]()
 

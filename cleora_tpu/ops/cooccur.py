@@ -218,6 +218,7 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
         corpus.append(item)
     if not corpus:
         return []
+    _reduce_jit(), _merge_jit(), _compact_jit()  # populate before threads
     ndev = min(len(devices), passes)
     devs = list(devices)[:ndev]
     per_dev = [[(jax.device_put(w, d), pad) for w, pad in corpus]

@@ -576,12 +576,45 @@ def test_cli_sharded_lifecycle(tmp_path, capsys):
     main(argv)  # resume from the completed checkpoint
     assert np.array_equal(np.load(str(npy)), a)
 
-    with pytest.raises(SystemExit):  # non-cleora algorithms reject --sharded
+    with pytest.raises(SystemExit):  # sibling --sharded needs device backend
         main(["embed", "-i", str(inp), "-o", str(out), "-a", "prone",
               "--sharded"])
     with pytest.raises(SystemExit):  # checkpointing requires --sharded
         main(["embed", "-i", str(inp), "-o", str(out),
               "--checkpoint-dir", str(ck)])
+    with pytest.raises(SystemExit):  # checkpointing stays cleora-only
+        main(["embed", "-i", str(inp), "-o", str(out), "-a", "prone",
+              "--backend", "device", "--sharded",
+              "--checkpoint-dir", str(ck)])
+
+
+def test_cli_sharded_sibling_algorithms(tmp_path, capsys):
+    """--sharded with a sibling algorithm runs its device pipeline over a
+    mesh (sharded propagate / mesh walk lanes + device counting) and
+    matches the unmeshed run."""
+    import numpy as np
+
+    from cleora_tpu.cli import main
+
+    rng = np.random.default_rng(5)
+    inp = tmp_path / "edges.txt"
+    inp.write_text("".join(
+        f"n{rng.integers(0, 60)} n{rng.integers(0, 60)}\n"
+        for _ in range(300)))
+    for algo, extra in (("prone", []),
+                        ("deepwalk", ["--cooccurrence", "device"])):
+        out1 = tmp_path / f"{algo}_1.npz"
+        out4 = tmp_path / f"{algo}_4.npz"
+        base = ["embed", "-i", str(inp), "-d", "8", "-a", algo,
+                "--backend", "device", *extra]
+        main([*base, "-o", str(out1)])
+        main([*base, "-o", str(out4), "--sharded", "4"])
+        capsys.readouterr()
+        a = np.load(str(out1))["embeddings"]
+        b = np.load(str(out4))["embeddings"]
+        # ProNE's spectral filter is eigensolver-seeded identically on and
+        # off the mesh; walks are bitwise-identical under lane sharding
+        assert np.allclose(a @ a.T, b @ b.T, atol=1e-3), algo
 
 
 def test_cli_scaling(tmp_path, capsys):
