@@ -360,3 +360,10 @@ def test_mesh_pass_parallel_embedding(graph, monkeypatch):
     monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 100_000)
     multi = alg.embed_deepwalk(graph, n_devices=4, **kw)
     np.testing.assert_allclose(single, multi, rtol=2e-4, atol=2e-4)
+    # hierarchical ("host", "chip") meshes fan out the same way — the
+    # walk lanes shard over the axis tuple, the counting passes over
+    # mesh.devices.flat
+    from cleora_tpu.parallel.mesh import make_hier_mesh
+
+    hier = alg.embed_deepwalk(graph, mesh=make_hier_mesh(2, 4), **kw)
+    np.testing.assert_allclose(single, hier, rtol=2e-4, atol=2e-4)
