@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--q", type=float, default=1.0,
                     help="Node2Vec in-out bias")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--count-devices", type=int, default=None,
+                    help="With --cooccurrence device: fan the counting "
+                         "passes out over the first N devices (pod A/B "
+                         "for pass-parallel counting, ROADMAP 3a)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -92,8 +96,15 @@ def main():
                                   args.window)
         log(f"counting passes: {passes} (hash-partitioned by center id); "
             f"engine: {'second-order p/q' if second else 'first-order'}")
+        devices = None
+        if args.count_devices and args.count_devices > 1:
+            import jax
+
+            devices = jax.devices()[: args.count_devices]
+            log(f"pass-parallel counting over {len(devices)} devices")
         ranges, m = cooccur.device_pair_counts(
             resident_batches, n, args.window, passes=passes,
+            devices=devices,
         )
         cnt_total = cooccur.pair_total(ranges, n)  # scalar fetch per range
         cooc_wall = time.time() - t0
