@@ -1190,6 +1190,8 @@ def _walk_csr(graph, with_vals: bool = False):
 
 
 def _walk_csr_build(graph, with_vals: bool):
+    if not hasattr(graph, "to_sparse_csr"):  # DiskGraph (streamed build)
+        return _walk_csr_build_disk(graph, with_vals)
     rows, cols, vals, n, _ = graph.to_sparse_csr()
     keep = rows != cols
     rows = rows[keep].astype(np.int64)
@@ -1214,6 +1216,57 @@ def _walk_csr_build(graph, with_vals: bool):
     wsum = np.zeros(n, dtype=np.float64)
     np.add.at(wsum, rows, v.astype(np.float64))
     return ip32, cols, deg, n, v, wmax, wsum.astype(np.float32)
+
+
+def _walk_csr_build_disk(g, with_vals: bool, chunk_rows: int = 1 << 21):
+    """Walk CSR straight off a DiskGraph's memmaps (graph/stream.py) —
+    two bounded passes over the on-disk arrays (count self-loops, then
+    fill), never materializing entity-id strings or the int64 COO rows
+    that ``to_sparse_matrix()``/``to_sparse_csr()`` would build.  Output
+    identical to the in-RAM branch on the same graph (parity-tested)."""
+    n = g.num_entities
+    src_ip = g.indptr  # (n+1,) int64 memmap
+    deg = np.zeros(n, dtype=np.int64)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        s, e = int(src_ip[lo]), int(src_ip[hi])
+        counts = np.diff(np.asarray(src_ip[lo:hi + 1]))
+        cols_c = np.asarray(g.indices[s:e])
+        rows_c = np.repeat(np.arange(lo, hi, dtype=np.int64), counts)
+        loops = np.bincount(rows_c[cols_c == rows_c] - lo, minlength=hi - lo)
+        deg[lo:hi] = counts - loops
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    nnz = int(indptr[-1])
+    if nnz >= 2**31:
+        raise ValueError(
+            f"graph has {nnz} self-loop-free edges; the device walk "
+            "engines support < 2**31 — use backend='host' or shard the "
+            "walk workload by subgraph"
+        )
+    cols = np.empty(nnz, dtype=np.int32)
+    v = np.empty(nnz, dtype=np.float32) if with_vals else None
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        s, e = int(src_ip[lo]), int(src_ip[hi])
+        counts = np.diff(np.asarray(src_ip[lo:hi + 1]))
+        cols_c = np.asarray(g.indices[s:e])
+        rows_c = np.repeat(np.arange(lo, hi, dtype=np.int64), counts)
+        keep = cols_c != rows_c
+        o, d = int(indptr[lo]), int(indptr[hi])
+        cols[o:d] = cols_c[keep]
+        if with_vals:
+            v[o:d] = np.asarray(g.left_vals[s:e])[keep]
+    deg32 = deg.astype(np.int32)
+    ip32 = indptr[:-1].astype(np.int32)
+    if not with_vals:
+        return ip32, cols, deg32, n
+    rows64 = np.repeat(np.arange(n, dtype=np.int64), deg)
+    wmax = np.zeros(n, dtype=np.float32)
+    np.maximum.at(wmax, rows64, v)
+    wsum = np.zeros(n, dtype=np.float64)
+    np.add.at(wsum, rows64, v.astype(np.float64))
+    return ip32, cols, deg32, n, v, wmax, wsum.astype(np.float32)
 
 
 def _lane_pad(length: int, batch: int, lo: int, mesh) -> int:
@@ -1679,12 +1732,19 @@ def _rsvd_step_jits():
     return _RSVD_STEP_JITS
 
 
-def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim):
+def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim,
+               out=None):
     """Shared unfused-rsvd driver: subspace iteration over the flat COO
     ``layout`` (chunk-aligned, so spmm_inner never pads in-trace), sign
     canonicalization, finalize.  Used by both the host-counted and the
     device-counted PPMI factorizations — one place for the iteration
-    order and the sign convention."""
+    order and the sign convention.
+
+    ``out`` streams the finalized embedding straight into one standard
+    ``.npy`` in bounded row chunks instead of materializing (n, d) on the
+    host — the production exit for large n behind a tunneled runtime
+    (same rationale as ``parallel.state.write_memmap``); returns a
+    read-only memmap."""
     steps = _rsvd_step_jits()
     m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
                                        chunk_edges=chunk)
@@ -1694,13 +1754,54 @@ def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim):
         y = m_apply(m_apply(steps["qr"](y)))
     q = steps["qr"](y)
     del y
+    u_su_dev = steps["tail"](m_apply(q), q, k=k)
+    if out is not None:
+        return _stream_finalize_npy(u_su_dev, feature_dim, out)
     # bounded-chunk fetch (the measured 418 s vs 135 s factorize spread
     # was this ~0.5 GB fetch hitting a slow tunnel window)
-    u_su = _fetch_f64(steps["tail"](m_apply(q), q, k=k))
+    u_su = _fetch_f64(u_su_dev)
     pick = np.argmax(np.abs(u_su), axis=0)
     sign = np.sign(u_su[pick, np.arange(u_su.shape[1])])
     sign[sign == 0] = 1.0
     return _finalize(u_su * sign, feature_dim)
+
+
+def _stream_finalize_npy(dev, feature_dim: int, path: str):
+    """Sign-canonicalize + ``_finalize`` a device (n, k) factor and stream
+    it into ``path`` (one standard float32 ``.npy``) in bounded row
+    chunks; the host never holds more than one chunk.  The sign rule (the
+    largest-|u| entry of each column made positive, first row on ties) is
+    computed ON device and matches the host path exactly — argmax
+    tie-breaking is first-index in both numpy and XLA, and the f32→f64
+    cast preserves comparisons.  Returns a read-only memmap."""
+    import os
+
+    import jax
+
+    import jax.numpy as jnp
+
+    from .parallel.state import _fetch_chunk_rows
+
+    if "sign" not in _ALIGN_JIT:
+        def _sign(u):
+            pick = jnp.argmax(jnp.abs(u), axis=0)
+            s = jnp.sign(u[pick, jnp.arange(u.shape[1])])
+            return jnp.where(s == 0, 1.0, s)
+
+        _ALIGN_JIT["sign"] = jax.jit(_sign)
+    sign = np.asarray(_ALIGN_JIT["sign"](dev)).astype(np.float64)
+    n, k = int(dev.shape[0]), int(dev.shape[1])
+    tmp = path + ".tmp"
+    mm = np.lib.format.open_memmap(
+        tmp, mode="w+", dtype=np.float32, shape=(n, feature_dim))
+    step = _fetch_chunk_rows(4 * k)
+    for lo in range(0, n, step):
+        block = np.asarray(dev[lo:lo + step]).astype(np.float64) * sign
+        mm[lo:lo + block.shape[0]] = _finalize(block, feature_dim)
+    mm.flush()
+    del mm
+    os.replace(tmp, path)
+    return np.load(path, mmap_mode="r")
 
 
 def _chunk_aligned_host(srow, scol, sval, n, chunk):
@@ -1864,6 +1965,63 @@ def _validate_cooccurrence(cooccurrence: str, backend: str,
     return factorization or "host"
 
 
+def _walk_fingerprint(graph, with_vals: bool, params: dict) -> str:
+    """Content fingerprint of a walk-pipeline run: every byte of the CSR
+    arrays the walk engine actually consumes (indptr/cols, plus weights
+    for the second-order engine) + the walk/counting parameters.  Keyed
+    the same way as ``parallel.state.content_digest`` — full-content, not
+    sampled, so checkpoint resume can never silently reuse counts from a
+    different graph.  The walk CSR is cached per graph, so the arrays are
+    already materialized for the run itself."""
+    import hashlib
+    import json
+
+    h = hashlib.blake2b(digest_size=16)
+    arrs = _walk_csr(graph, with_vals=with_vals)
+    indptr, cols = arrs[0], arrs[1]
+    h.update(np.ascontiguousarray(indptr).data)
+    h.update(np.ascontiguousarray(cols).data)
+    if with_vals:
+        h.update(np.ascontiguousarray(arrs[4]).data)
+    h.update(json.dumps(params, sort_keys=True, default=str).encode())
+    return h.hexdigest()
+
+
+def _write_npy(emb: np.ndarray, path: str):
+    """Persist a host-resident embedding as ``path`` (.npy, atomic) and
+    return the read-only memmap — the host-path twin of the streamed
+    device exit, so ``out=`` has one contract everywhere."""
+    import os
+
+    tmp = path + ".tmp"
+    mm = np.lib.format.open_memmap(
+        tmp, mode="w+", dtype=np.float32, shape=emb.shape)
+    mm[:] = emb
+    mm.flush()
+    del mm
+    os.replace(tmp, path)
+    return np.load(path, mmap_mode="r")
+
+
+def _validate_lifecycle(graph, backend: str, cooccurrence: str,
+                        checkpoint_dir) -> None:
+    """Lifecycle-argument validation for the walk pipeline.  Counting
+    checkpoints exist only where counting runs on device (the host
+    sort-reduce path has no pass structure to checkpoint); DiskGraph
+    input needs the device walk engines (the host walker builds Python
+    adjacency lists — materializing them defeats the streamed build)."""
+    if checkpoint_dir is not None and cooccurrence != "device":
+        raise ValueError(
+            "checkpoint_dir requires cooccurrence='device' (the counting "
+            "checkpoint is per device counting pass)"
+        )
+    if backend != "device" and not hasattr(graph, "to_sparse_csr"):
+        raise ValueError(
+            "DiskGraph input requires backend='device' (or materialize "
+            "with graph.to_sparse_matrix() for the host walker)"
+        )
+
+
 def _walk_mesh(mesh, n_devices):
     if mesh is not None or n_devices is None:
         return mesh
@@ -1893,7 +2051,9 @@ def _cooc_passes(graph, num_walks: int, walk_length: int,
 
 
 def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
-                       passes=1, oversample=16, power_iters=4, mesh=None):
+                       passes=1, oversample=16, power_iters=4, mesh=None,
+                       checkpoint_dir=None, checkpoint_every=1, out=None,
+                       fp_params=None):
     """Fully device-resident walks → co-occurrence → PPMI → randomized SVD.
 
     ``batches_fn()`` returns a fresh iterable of resident
@@ -1910,23 +2070,74 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
     A multi-device ``mesh`` fans the counting passes out across its
     devices (disjoint hash partitions, no collectives —
     ops/cooccur.py:_pair_counts_pass_parallel); the factorization then
-    runs on the first device, where its flat COO must fit regardless."""
-    from .ops.cooccur import device_pair_counts
+    runs on the first device, where its flat COO must fit regardless.
+
+    Production lifecycle (the canonical loop has had this since round 3;
+    the reference's DeepWalk is an unresumable host loop,
+    /root/reference/pycleora/algorithms.py:248-369):
+
+    * ``checkpoint_dir`` — per-pass durable counting
+      (:class:`ops.cooccur.CountCheckpoint`, keyed by a full-content
+      fingerprint of the walk CSR + parameters); a killed run resumes
+      from the completed partitions, and a COMPLETED run (finished
+      ``out`` + done marker) returns its memmap immediately.
+    * ``checkpoint_every`` — persist every k-th pass (1 = all).
+    * ``out`` — stream the final embedding into one ``.npy`` in bounded
+      row chunks (no (n, d) host materialization, no multi-GB fetch);
+      defaults to ``<checkpoint_dir>/embedding.npy`` when checkpointing.
+    """
+    from .ops.cooccur import CountCheckpoint, device_pair_counts
+
+    checkpoint = None
+    if checkpoint_dir is not None:
+        fp = _walk_fingerprint(
+            graph,
+            bool(fp_params and fp_params.get("engine") == "walk2"),
+            dict(fp_params or {}, window=window_size, passes=passes,
+                 n=graph.num_entities, seed=seed),
+        )
+        checkpoint = CountCheckpoint(checkpoint_dir, fp,
+                                     every=checkpoint_every)
+        if out is None:
+            import os
+
+            out = os.path.join(checkpoint_dir, "embedding.npy")
+        done = checkpoint.done_result(feature_dim)
+        if done is not None:
+            return done
 
     devices = None
     if mesh is not None and mesh.devices.size > 1 and passes > 1:
-        devices = list(mesh.devices.flat)
+        # pass-parallel counting drives each device from a host thread
+        # with direct device_put — only THIS process's devices are
+        # addressable, so on a multi-host mesh the fan-out is restricted
+        # to the local devices (each process then computes all passes —
+        # redundant across hosts but correct, exactly like the
+        # sequential path under SPMD).  Fewer than 2 local devices falls
+        # back to sequential counting.
+        import jax
+
+        me = jax.process_index()
+        local = [d for d in mesh.devices.flat if d.process_index == me]
+        if len(local) > 1:
+            devices = local
     n = graph.num_entities
     ranges, m_total = device_pair_counts(batches_fn, n, window_size,
-                                         passes=passes, devices=devices)
-    return _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
-                                        seed, oversample=oversample,
-                                        power_iters=power_iters)
+                                         passes=passes, devices=devices,
+                                         checkpoint=checkpoint)
+    emb = _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
+                                       seed, oversample=oversample,
+                                       power_iters=power_iters, out=out)
+    if checkpoint is not None:
+        checkpoint.mark_done(out, emb.shape)
+    return emb
 
 
 def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
-                                 oversample=16, power_iters=4):
-    """PPMI + randomized SVD over device-resident unique pair ranges."""
+                                 oversample=16, power_iters=4, out=None):
+    """PPMI + randomized SVD over device-resident unique pair ranges.
+
+    ``out`` streams the result into a ``.npy`` (see :func:`_rsvd_flat`)."""
     import jax
 
     import jax.numpy as jnp
@@ -1938,7 +2149,8 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
     maybe_enable_compile_cache()
     k = min(feature_dim, n - 1)
     if m_total == 0 or k < 1:
-        return _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+        empty = _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+        return _write_npy(empty, out) if out is not None else empty
     r = min(n, k + oversample)
     slots = sum(int(c.shape[0]) for c, _, _, _ in ranges)
     try:
@@ -1995,12 +2207,14 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
         layout = aligned[0]
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
-    return _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim)
+    return _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim,
+                      out=out)
 
 
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                      seed, factorization="host", mesh=None, n_devices=None,
-                     cooccurrence="host"):
+                     cooccurrence="host", checkpoint_dir=None,
+                     checkpoint_every=1, out=None):
     mesh = _walk_mesh(mesh, n_devices)
     if cooccurrence == "device":
         # half-size batches: the counting pass's sort working set shares
@@ -2011,18 +2225,23 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                                   batch=_WALK_BATCH // 2, mesh=mesh,
                                   resident=True),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
-            mesh=mesh,
+            mesh=mesh, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, out=out,
+            fp_params=dict(engine="walk1", num_walks=num_walks,
+                           walk_length=walk_length),
         )
     batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
-    return _counts_to_embeddings(keys, counts, graph.num_entities,
-                                 feature_dim, factorization=factorization,
-                                 seed=seed)
+    emb = _counts_to_embeddings(keys, counts, graph.num_entities,
+                                feature_dim, factorization=factorization,
+                                seed=seed)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
                      p, q, seed, factorization="host", mesh=None,
-                     n_devices=None, cooccurrence="host"):
+                     n_devices=None, cooccurrence="host", checkpoint_dir=None,
+                     checkpoint_every=1, out=None):
     mesh = _walk_mesh(mesh, n_devices)
     if cooccurrence == "device":
         return _walks_ppmi_device(
@@ -2030,14 +2249,18 @@ def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
             lambda: _device_walks2(graph, num_walks, walk_length, p, q,
                                    seed, mesh=mesh, resident=True),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
-            mesh=mesh,
+            mesh=mesh, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, out=out,
+            fp_params=dict(engine="walk2", num_walks=num_walks,
+                           walk_length=walk_length, p=p, q=q),
         )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
                              mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
-    return _counts_to_embeddings(keys, counts, graph.num_entities,
-                                 feature_dim, factorization=factorization,
-                                 seed=seed)
+    emb = _counts_to_embeddings(keys, counts, graph.num_entities,
+                                feature_dim, factorization=factorization,
+                                seed=seed)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 # -------------------------------------------------------------- random walks
@@ -2124,6 +2347,9 @@ def embed_deepwalk(
     mesh=None,
     n_devices: Optional[int] = None,
     cooccurrence: str = "host",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361).
 
@@ -2140,20 +2366,34 @@ def embed_deepwalk(
     ``cooccurrence="device"`` keeps the walks device-resident and counts
     the windowed pairs on the TPU too (ops/cooccur.py — sort-reduce +
     tree merge), implying the device factorization; integer-exact counts,
-    the right choice when the host's sort-reduce dominates e2e."""
+    the right choice when the host's sort-reduce dominates e2e.
+
+    Production lifecycle (device pipeline): ``checkpoint_dir=`` makes the
+    counting stage durable per hash partition and resumes a killed run
+    (byte-identical output — counts round-trip exactly and everything
+    downstream is deterministic); ``checkpoint_every=k`` persists every
+    k-th pass; ``out="path.npy"`` streams the final embedding to disk in
+    bounded chunks and returns a read-only memmap (accepted by every
+    backend; required plumbing for n where (n, d) exceeds host RAM or the
+    fetch link).  ``graph`` may be a ``DiskGraph`` (streamed build) when
+    ``backend="device"`` — the walk CSR is assembled from the on-disk
+    arrays without materializing entity ids."""
     factorization = _validate_cooccurrence(cooccurrence, backend,
                                            factorization)
+    _validate_lifecycle(graph, backend, cooccurrence, checkpoint_dir)
     if backend == "device":
         return _deepwalk_device(
             graph, feature_dim, num_walks, walk_length, window_size, seed,
             factorization=factorization, mesh=mesh, n_devices=n_devices,
-            cooccurrence=cooccurrence,
+            cooccurrence=cooccurrence, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, out=out,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")
     adj, weights, n = _build_adj_list(graph)
     walks = _random_walks(adj, weights, n, num_walks, walk_length, 1.0, 1.0, seed)
-    return _walks_to_embeddings(walks, n, feature_dim, window_size)
+    emb = _walks_to_embeddings(walks, n, feature_dim, window_size)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def embed_node2vec(
@@ -2170,6 +2410,9 @@ def embed_node2vec(
     mesh=None,
     n_devices: Optional[int] = None,
     cooccurrence: str = "host",
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
 
@@ -2183,28 +2426,37 @@ def embed_node2vec(
     residual regimes are only q ≫ 1 with rare common neighbors (budget
     scales with q) and heavily skewed edge weights.  Host-path semantics
     otherwise (incl. dead-row termination), different (device) RNG
-    stream."""
+    stream.  ``checkpoint_dir``/``checkpoint_every``/``out`` give the
+    device pipeline the production lifecycle — see
+    :func:`embed_deepwalk`; checkpointing pays off MOST here, where walk
+    regeneration is the expensive stage (rejection sampling)."""
     if p <= 0.0 or q <= 0.0:
         raise ValueError("p and q must be positive")
     factorization = _validate_cooccurrence(cooccurrence, backend,
                                            factorization)
+    _validate_lifecycle(graph, backend, cooccurrence, checkpoint_dir)
     if backend == "device":
         if p == 1.0 and q == 1.0:
             return _deepwalk_device(
                 graph, feature_dim, num_walks, walk_length, window_size,
                 seed, factorization=factorization, mesh=mesh,
                 n_devices=n_devices, cooccurrence=cooccurrence,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every, out=out,
             )
         return _node2vec_device(
             graph, feature_dim, num_walks, walk_length, window_size, p, q,
             seed, factorization=factorization, mesh=mesh,
             n_devices=n_devices, cooccurrence=cooccurrence,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            out=out,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")
     adj, weights, n = _build_adj_list(graph)
     walks = _random_walks(adj, weights, n, num_walks, walk_length, p, q, seed)
-    return _walks_to_embeddings(walks, n, feature_dim, window_size)
+    emb = _walks_to_embeddings(walks, n, feature_dim, window_size)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def list_algorithms() -> List[Dict]:

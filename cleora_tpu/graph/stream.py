@@ -65,6 +65,10 @@ class DiskGraph:
         self.row_sums = mm("row_sums.bin", np.float32)
         self.id_lens = mm("id_lens.bin", np.uint32)
         self.id_blob = mm("id_blob.bin", np.uint8)
+        # per-graph device/layout cache (same contract as SparseMatrix's):
+        # the walk pipeline keys its self-loop-free CSR here so repeated
+        # passes don't re-stream the on-disk arrays
+        self._device_cache: dict = {}
 
     @property
     def num_entities(self) -> int:

@@ -30,6 +30,9 @@ in tests/test_cooccur_device.py.
 
 from __future__ import annotations
 
+import os
+import threading
+
 import numpy as np
 
 _SENT = np.int32(np.iinfo(np.int32).max)
@@ -156,6 +159,127 @@ def _bucket(m: int, floor: int = 2048) -> int:
     return bucket
 
 
+class CountCheckpoint:
+    """Per-pass durable checkpoint of the counting stage.
+
+    Counting dominates the device walk pipeline's wall-clock (RESULTS.md)
+    and the walks are deterministically regenerable per seed, so the
+    durable unit is one hash partition's FINISHED count range: when pass
+    ``s`` completes, its compacted (cen, ctx, cnt, m) is fetched
+    host-side in bounded chunks (the tunnel-safe pattern,
+    parallel/state.py) and written as one self-validating ``.npz`` via
+    atomic rename — each pass file is complete-or-absent, no meta
+    ordering to corrupt.  Files embed the caller's ``fingerprint`` (walk
+    configuration + graph content, computed in
+    ``algorithms._walk_fingerprint``) so a resume rejects ranges from a
+    different corpus and recounts instead of silently reusing them.
+
+    ``every=k`` persists only passes with ``s % k == 0`` (the rest are
+    recomputed on resume) — the knob for corpora where a pass's ranges
+    are large relative to the fetch link.
+
+    The factorization stage is deliberately NOT checkpointed: its inputs
+    are exactly these ranges, it is deterministic given them (fixed
+    sketch seed), and it is minutes where counting is the long pole —
+    a resume replays it from the last counted pass.  The finished
+    embedding itself is the final durable artifact (``out=``), marked
+    done via :meth:`mark_done`.
+    """
+
+    _DONE = "embedding.json"
+
+    def __init__(self, directory: str, fingerprint: str, every: int = 1):
+        self.dir = directory
+        self.fp = str(fingerprint)
+        self.every = max(1, int(every))
+        self._lock = threading.Lock()
+        os.makedirs(directory, exist_ok=True)
+
+    def _pass_path(self, s: int) -> str:
+        return os.path.join(self.dir, f"counts_pass_{s:05d}.npz")
+
+    def has_pass(self, s: int) -> bool:
+        try:
+            with np.load(self._pass_path(s)) as z:
+                return str(z["fingerprint"]) == self.fp
+        except (FileNotFoundError, OSError, ValueError, KeyError):
+            return False
+
+    def load_pass(self, s: int, device=None):
+        """(cen, ctx, cnt, m) on ``device`` (default placement when None),
+        or None when the pass is absent or from a different corpus."""
+        import jax
+
+        try:
+            with np.load(self._pass_path(s)) as z:
+                if str(z["fingerprint"]) != self.fp:
+                    return None
+                cen, ctx, cnt = z["cen"], z["ctx"], z["cnt"]
+                m = int(z["m"])
+        except (FileNotFoundError, OSError, ValueError, KeyError):
+            return None
+        put = (lambda a: jax.device_put(a, device)) if device is not None \
+            else jax.device_put
+        return put(cen), put(ctx), put(cnt), m
+
+    def save_pass(self, s: int, r) -> None:
+        """Persist one completed pass (thread-safe — the pass-parallel
+        driver calls this from per-device threads)."""
+        if r is None or s % self.every:
+            return
+        from ..parallel.state import _fetch_shard
+
+        cen, ctx, cnt, m = r
+        payload = {
+            "fingerprint": np.asarray(self.fp),
+            "m": np.int64(m),
+            "cen": _fetch_shard(cen),
+            "ctx": _fetch_shard(ctx),
+            "cnt": _fetch_shard(cnt),
+        }
+        path = self._pass_path(s)
+        tmp = path + f".tmp{s}.npz"
+        with self._lock:  # one writer at a time keeps fetch+IO bounded
+            np.savez(tmp, **payload)
+            os.replace(tmp, path)
+
+    # ---- finished-embedding marker (the walk pipeline's "done" state)
+    def done_result(self, feature_dim: int):
+        """The finished embedding of a completed earlier run (read-only
+        memmap), or None.  Validated against the fingerprint, the
+        recorded output path, and the expected shape."""
+        import json
+
+        try:
+            with open(os.path.join(self.dir, self._DONE)) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        if meta.get("fingerprint") != self.fp:
+            return None
+        try:
+            mm = np.load(meta["path"], mmap_mode="r")
+        except (FileNotFoundError, OSError, ValueError, KeyError):
+            return None
+        if mm.ndim != 2 or mm.shape[1] != feature_dim or \
+                list(mm.shape) != meta.get("shape"):
+            return None
+        return mm
+
+    def mark_done(self, path: str, shape) -> None:
+        import json
+
+        meta = {
+            "fingerprint": self.fp,
+            "path": os.path.abspath(path),
+            "shape": [int(x) for x in shape],
+        }
+        tmp = os.path.join(self.dir, self._DONE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, os.path.join(self.dir, self._DONE))
+
+
 def _run_pass(batch_iter, s, passes, n, window):
     """One counting pass: reduce every batch, tree-merge, compact.
 
@@ -191,7 +315,8 @@ def _run_pass(batch_iter, s, passes, n, window):
     return acc[0]
 
 
-def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
+def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
+                               checkpoint=None):
     """Counting passes fanned out over ``devices`` (ROADMAP design (a)).
 
     The hash partitions are disjoint and the per-pass walks identical, so
@@ -209,6 +334,8 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
 
     import jax
 
+    import jax.numpy as jnp
+
     corpus, bytes_ = [], 0
     for item in batches_fn():
         walks = item[0]
@@ -224,11 +351,31 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
     per_dev = [[(jax.device_put(w, d), pad) for w, pad in corpus]
                for d in devs]
     del corpus
+    # Warm the reduce executable per device BEFORE the threads race into
+    # it: jit caches key on the input device assignment, so P concurrent
+    # cold calls would push P simultaneous compiles through the (single,
+    # serializing) remote-compile slot.  One blocking reduce of the first
+    # batch per device compiles the dominant program sequentially; the
+    # partition argument is dynamic, so every pass on that device reuses
+    # it.  (Merge/compact shapes evolve with the bucket schedule and stay
+    # lazily compiled — the persistent compile cache covers them across
+    # runs.)
+    for di in range(ndev):
+        w0, pad0 = per_dev[di][0]
+        _reduce_jit()(
+            w0, jnp.int32(w0.shape[0] - pad0), jnp.int32(n),
+            jnp.int32(0), jnp.int32(passes), window=window,
+        )[3].block_until_ready()
     results = [None] * passes
 
     def drive(di):
         for s in range(di, passes, ndev):
-            results[s] = _run_pass(per_dev[di], s, passes, n, window)
+            r = checkpoint.load_pass(s, devs[di]) if checkpoint else None
+            if r is None:
+                r = _run_pass(per_dev[di], s, passes, n, window)
+                if checkpoint is not None:
+                    checkpoint.save_pass(s, r)
+            results[s] = r
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=ndev) as pool:
         for f in [pool.submit(drive, di) for di in range(ndev)]:
@@ -241,7 +388,7 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices):
 
 
 def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
-                       devices=None):
+                       devices=None, checkpoint=None):
     """Reduce device walk batches to device-resident unique
     (center, context, count) ranges.
 
@@ -261,6 +408,13 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
     the sequential path.  Corpora past the walk-cache budget fall back to
     sequential single-device counting over regenerated walks.
 
+    ``checkpoint`` (a :class:`CountCheckpoint`) persists each completed
+    pass and resumes from the completed set: with every pass already on
+    disk, the walk corpus is never generated at all; otherwise only the
+    missing partitions are counted (the cross-pass walk cache fills on
+    the first pass actually computed).  Loaded ranges are identical to
+    computed ones — integer count arrays round-trip exactly.
+
     Returns ``(ranges, m_total)`` where ``ranges`` is a list of
     ``(cen, ctx, cnt, m)`` — compacted device arrays whose first ``m``
     slots are real unique pairs sorted by (center, context); tails are
@@ -273,9 +427,16 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
 
     maybe_enable_compile_cache()  # sorts/merges cost minutes to compile
     passes = max(1, int(passes))
+    if checkpoint is not None and \
+            all(checkpoint.has_pass(s) for s in range(passes)):
+        # every partition is durable — skip walk generation entirely
+        ranges = [checkpoint.load_pass(s) for s in range(passes)]
+        if all(r is not None for r in ranges):
+            _check_count_overflow(ranges, n)
+            return ranges, sum(r[3] for r in ranges)
     if devices is not None and len(devices) > 1 and passes > 1:
         ranges = _pair_counts_pass_parallel(batches_fn, n, window, passes,
-                                            devices)
+                                            devices, checkpoint=checkpoint)
         if ranges is not None:
             _check_count_overflow(ranges, n)
             return ranges, sum(r[3] for r in ranges)
@@ -288,26 +449,38 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
     # (measured: 768 s of a 903 s Node2Vec e2e was walk regeneration).
     # Corpora past the cache budget fall back to regeneration.
     cache: list = []
-    cache_state = {"ok": passes > 1, "bytes": 0}
+    todo = sum(
+        1 for s in range(passes)
+        if checkpoint is None or not checkpoint.has_pass(s)
+    )
+    cache_state = {"ok": todo > 1, "bytes": 0, "filled": False}
 
-    def pass_batches(s):
-        if s > 0 and cache_state["ok"]:
+    def pass_batches():
+        if cache_state["filled"]:
             yield from cache
             return
+        fill = cache_state["ok"]  # first COMPUTED pass populates the cache
         for item in batches_fn():
-            if s == 0 and cache_state["ok"]:
+            if fill:
                 walks = item[0]
                 cache_state["bytes"] += walks.size * walks.dtype.itemsize
                 if cache_state["bytes"] > _WALK_CACHE_BYTES:
                     cache.clear()
                     cache_state["ok"] = False
+                    fill = False
                 else:
                     cache.append(item)
             yield item
+        if fill:
+            cache_state["filled"] = True
 
     ranges = []
     for s in range(passes):
-        r = _run_pass(pass_batches(s), s, passes, n, window)
+        r = checkpoint.load_pass(s) if checkpoint is not None else None
+        if r is None:
+            r = _run_pass(pass_batches(), s, passes, n, window)
+            if checkpoint is not None:
+                checkpoint.save_pass(s, r)
         if r is not None:
             ranges.append(r)
     _check_count_overflow(ranges, n)

@@ -54,6 +54,20 @@ def main():
                     help="With --cooccurrence device: fan the counting "
                          "passes out over the first N devices (pod A/B "
                          "for pass-parallel counting, ROADMAP 3a)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="With --cooccurrence device: durable per-pass "
+                         "counting checkpoints + streamed npy output "
+                         "(the production lifecycle); rerunning the same "
+                         "command resumes")
+    ap.add_argument("--out", default=None,
+                    help="Stream the final embedding into this .npy "
+                         "(bounded chunked fetches, no (n,d) host "
+                         "materialization)")
+    ap.add_argument("--kill-after-counting", action="store_true",
+                    help="With --checkpoint-dir: exit(0) once every "
+                         "counting pass is durable, BEFORE the "
+                         "factorization — the lifecycle kill point; "
+                         "rerun without this flag to resume")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -102,20 +116,58 @@ def main():
 
             devices = jax.devices()[: args.count_devices]
             log(f"pass-parallel counting over {len(devices)} devices")
+        checkpoint = None
+        out = args.out
+        if args.checkpoint_dir:
+            # same fingerprint construction as embed_deepwalk/node2vec →
+            # this script and the public API resume each other's runs
+            import os
+
+            fp_params = (
+                dict(engine="walk2", num_walks=args.num_walks,
+                     walk_length=args.walk_length, p=args.p, q=args.q)
+                if second else
+                dict(engine="walk1", num_walks=args.num_walks,
+                     walk_length=args.walk_length)
+            )
+            fp = alg._walk_fingerprint(
+                g, second,
+                dict(fp_params, window=args.window, passes=passes, n=n,
+                     seed=args.seed),
+            )
+            checkpoint = cooccur.CountCheckpoint(args.checkpoint_dir, fp)
+            if out is None:
+                out = os.path.join(args.checkpoint_dir, "embedding.npy")
+            done = checkpoint.done_result(args.dim)
+            if done is not None:
+                log(f"finished embedding found at {out} — nothing to do")
+                return
         ranges, m = cooccur.device_pair_counts(
             resident_batches, n, args.window, passes=passes,
-            devices=devices,
+            devices=devices, checkpoint=checkpoint,
         )
         cnt_total = cooccur.pair_total(ranges, n)  # scalar fetch per range
         cooc_wall = time.time() - t0
         log(f"device walks+co-occurrence: {cnt_total} pairs -> {m} unique "
             f"in {cooc_wall:.1f}s")
+        if args.kill_after_counting:
+            log("counting durable — exiting before factorization "
+                "(lifecycle kill point); rerun to resume")
+            print("E2E_SUMMARY " + json.dumps({
+                "phase": "counting_done", "pairs": cnt_total,
+                "unique_pairs": int(m), "cooccur_s": round(cooc_wall, 1),
+                "checkpoint_dir": args.checkpoint_dir,
+            }), flush=True)
+            return
         t0 = time.time()
         emb = alg._device_counts_to_embeddings(
-            ranges, m, n, args.dim, args.seed,
+            ranges, m, n, args.dim, args.seed, out=out,
         )
+        if checkpoint is not None:
+            checkpoint.mark_done(out, emb.shape)
         fact_wall = time.time() - t0
-        log(f"device PPMI+factorize: {emb.shape} in {fact_wall:.1f}s")
+        log(f"device PPMI+factorize: {emb.shape} in {fact_wall:.1f}s"
+            + (f" -> {out}" if out else ""))
         total = cooc_wall + fact_wall
         summary = {
             "nodes": n, "nnz": g.num_edges, "num_walks": args.num_walks,
