@@ -1755,6 +1755,14 @@ def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim,
     q = steps["qr"](y)
     del y
     u_su_dev = steps["tail"](m_apply(q), q, k=k)
+    return _finalize_factor(u_su_dev, feature_dim, out)
+
+
+def _finalize_factor(u_su_dev, feature_dim: int, out):
+    """Shared rsvd exit: sign canonicalization + finalize, either as a
+    bounded-chunk host fetch or streamed into ``out`` (.npy).  One place
+    for the sign convention across the single-device and mesh-sharded
+    factorizations."""
     if out is not None:
         return _stream_finalize_npy(u_su_dev, feature_dim, out)
     # bounded-chunk fetch (the measured 418 s vs 135 s factorize spread
@@ -1942,15 +1950,18 @@ def _validate_cooccurrence(cooccurrence: str, backend: str,
     """Validate the walk-pipeline mode combination; resolve the
     factorization default (None → 'host').  cooccurrence='device' always
     factorizes on device, so an EXPLICIT factorization='host' alongside
-    it is a contradiction, not a silently-ignored preference."""
+    it is a contradiction, not a silently-ignored preference.
+    factorization='sharded' (mesh-sharded rsvd, parallel/cooccur.py)
+    consumes device-resident count ranges, so it exists only under
+    device counting."""
     if cooccurrence not in ("host", "device"):
         raise ValueError(
             f"Unknown cooccurrence '{cooccurrence}'. Use 'host' or 'device'."
         )
-    if factorization not in (None, "host", "device"):
+    if factorization not in (None, "host", "device", "sharded"):
         raise ValueError(
-            f"Unknown factorization '{factorization}'. Use 'host' or "
-            "'device'."
+            f"Unknown factorization '{factorization}'. Use 'host', "
+            "'device' or 'sharded'."
         )
     if cooccurrence == "device":
         if backend != "device":
@@ -1959,9 +1970,14 @@ def _validate_cooccurrence(cooccurrence: str, backend: str,
         if factorization == "host":
             raise ValueError(
                 "cooccurrence='device' runs the PPMI factorization on "
-                "device; omit factorization or pass 'device'"
+                "device; omit factorization or pass 'device'/'sharded'"
             )
-        return "device"
+        return factorization or "device"
+    if factorization == "sharded":
+        raise ValueError(
+            "factorization='sharded' requires cooccurrence='device' (it "
+            "factorizes the device-resident count ranges in place)"
+        )
     return factorization or "host"
 
 
@@ -2053,7 +2069,7 @@ def _cooc_passes(graph, num_walks: int, walk_length: int,
 def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
                        passes=1, oversample=16, power_iters=4, mesh=None,
                        checkpoint_dir=None, checkpoint_every=1, out=None,
-                       fp_params=None):
+                       fp_params=None, factorization="device"):
     """Fully device-resident walks → co-occurrence → PPMI → randomized SVD.
 
     ``batches_fn()`` returns a fresh iterable of resident
@@ -2124,10 +2140,40 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
     n = graph.num_entities
     ranges, m_total = device_pair_counts(batches_fn, n, window_size,
                                          passes=passes, devices=devices,
-                                         checkpoint=checkpoint)
-    emb = _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
-                                       seed, oversample=oversample,
-                                       power_iters=power_iters, out=out)
+                                         checkpoint=checkpoint,
+                                         gather_home=False)
+    # Factorization placement: 'sharded' keeps each partition on its
+    # counting device and runs the mesh rsvd (parallel/cooccur.py);
+    # 'device' (the default) homes the partitions onto one chip — unless
+    # they no longer FIT one chip, in which case the sharded path engages
+    # automatically (that capacity is exactly what it exists for).
+    use_sharded = factorization == "sharded"
+    spread = len({next(iter(r[0].devices())) for r in ranges}) > 1 \
+        if ranges else False
+    if not use_sharded and spread:
+        from .ops.memory import check_device_fit
+
+        r_ = min(n, min(feature_dim, n - 1) + oversample)
+        slots = sum(int(c.shape[0]) for c, _, _, _ in ranges)
+        try:
+            check_device_fit(n, max(1, (3 * r_) // 2), slots)
+        except ValueError:
+            use_sharded = True
+    if use_sharded:
+        from .parallel.cooccur import sharded_counts_to_embeddings
+
+        emb = sharded_counts_to_embeddings(
+            ranges, m_total, n, feature_dim, seed, oversample=oversample,
+            power_iters=power_iters, out=out,
+        )
+    else:
+        if spread:
+            from .parallel.cooccur import home_ranges
+
+            ranges = home_ranges(ranges)
+        emb = _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
+                                           seed, oversample=oversample,
+                                           power_iters=power_iters, out=out)
     if checkpoint is not None:
         checkpoint.mark_done(out, emb.shape)
     return emb
@@ -2229,6 +2275,7 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
             checkpoint_every=checkpoint_every, out=out,
             fp_params=dict(engine="walk1", num_walks=num_walks,
                            walk_length=walk_length),
+            factorization=factorization,
         )
     batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
@@ -2253,6 +2300,7 @@ def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
             checkpoint_every=checkpoint_every, out=out,
             fp_params=dict(engine="walk2", num_walks=num_walks,
                            walk_length=walk_length, p=p, q=q),
+            factorization=factorization,
         )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
                              mesh=mesh)

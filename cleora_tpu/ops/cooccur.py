@@ -316,7 +316,7 @@ def _run_pass(batch_iter, s, passes, n, window):
 
 
 def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
-                               checkpoint=None):
+                               checkpoint=None, gather_home=True):
     """Counting passes fanned out over ``devices`` (ROADMAP design (a)).
 
     The hash partitions are disjoint and the per-pass walks identical, so
@@ -380,6 +380,10 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
     with concurrent.futures.ThreadPoolExecutor(max_workers=ndev) as pool:
         for f in [pool.submit(drive, di) for di in range(ndev)]:
             f.result()  # re-raise worker exceptions
+    if not gather_home:
+        # leave each partition on its counting device — the mesh-sharded
+        # factorization (parallel/cooccur.py) consumes them in place
+        return [r for r in results if r is not None]
     home = devs[0]
     return [
         (*(jax.device_put(a, home) for a in r[:3]), r[3])
@@ -388,7 +392,8 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
 
 
 def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
-                       devices=None, checkpoint=None):
+                       devices=None, checkpoint=None,
+                       gather_home: bool = True):
     """Reduce device walk batches to device-resident unique
     (center, context, count) ranges.
 
@@ -429,14 +434,24 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
     passes = max(1, int(passes))
     if checkpoint is not None and \
             all(checkpoint.has_pass(s) for s in range(passes)):
-        # every partition is durable — skip walk generation entirely
-        ranges = [checkpoint.load_pass(s) for s in range(passes)]
+        # every partition is durable — skip walk generation entirely.
+        # gather_home=False restores the pass-parallel device placement
+        # (pass s on device s % P) so the sharded factorization resumes
+        # with the same distribution a live counting run would leave.
+        devs = None
+        if not gather_home and devices is not None and len(devices) > 1:
+            devs = list(devices)[:min(len(devices), passes)]
+        ranges = [
+            checkpoint.load_pass(s, devs[s % len(devs)] if devs else None)
+            for s in range(passes)
+        ]
         if all(r is not None for r in ranges):
             _check_count_overflow(ranges, n)
             return ranges, sum(r[3] for r in ranges)
     if devices is not None and len(devices) > 1 and passes > 1:
         ranges = _pair_counts_pass_parallel(batches_fn, n, window, passes,
-                                            devices, checkpoint=checkpoint)
+                                            devices, checkpoint=checkpoint,
+                                            gather_home=gather_home)
         if ranges is not None:
             _check_count_overflow(ranges, n)
             return ranges, sum(r[3] for r in ranges)
@@ -553,26 +568,37 @@ def _ppmi_range_impl(cen, ctx, cnt, col_sums, total, *, n):
     return rows, cols, val
 
 
-def ppmi_ranges(ranges, n: int):
-    """[(rows, cols, vals), ...] positive-PMI COO, one triple per range.
-
-    The triples are row-disjoint; chunk-aligned and concatenated they
-    form the flat sorted COO the unfused randomized SVD consumes
-    (algorithms._device_counts_to_embeddings / _rsvd_step_jits).
-    """
+def _ppmi_jits():
     import jax
-
-    import jax.numpy as jnp
 
     if "colsum" not in _JITS:
         _JITS["colsum"] = jax.jit(_colsum_impl, donate_argnums=(3,))
         _JITS["ppmi_range"] = jax.jit(_ppmi_range_impl,
                                       static_argnames=("n",))
+    return _JITS
+
+
+def range_col_sums(ranges, n: int):
+    """(col_sums (n,) f32 device array, total f32 scalar) over ``ranges``
+    — the cross-range reduction phase of the PPMI transform, separated so
+    the mesh-sharded factorization can reduce per-device partials
+    globally before transforming (contexts span every range)."""
+    import jax.numpy as jnp
+
+    jits = _ppmi_jits()
     col_sums = jnp.zeros(n, jnp.float32)
     total = jnp.float32(0.0)
     for cen, ctx, cnt, _ in ranges:
-        col_sums, t = _JITS["colsum"](cen, ctx, cnt, col_sums)
+        col_sums, t = jits["colsum"](cen, ctx, cnt, col_sums)
         total = total + t
+    return col_sums, total
+
+
+def ppmi_transform(ranges, n: int, col_sums, total):
+    """Count ranges → positive-PMI COO triples, given ALREADY-REDUCED
+    global column sums + pair total (see :func:`range_col_sums`).  Row
+    sums are range-local by construction (ranges are center-disjoint)."""
+    jits = _ppmi_jits()
     # consume the caller's list destructively: each range's count buffers
     # free as soon as its value triple exists, halving the transient HBM
     # peak (a tuple input is copied and the caller keeps its refs alive)
@@ -581,9 +607,20 @@ def ppmi_ranges(ranges, n: int):
         ranges = list(ranges)
     while ranges:
         cen, ctx, cnt, _ = ranges.pop(0)
-        out.append(_JITS["ppmi_range"](cen, ctx, cnt, col_sums, total, n=n))
+        out.append(jits["ppmi_range"](cen, ctx, cnt, col_sums, total, n=n))
         del cen, ctx, cnt
     return tuple(out)
+
+
+def ppmi_ranges(ranges, n: int):
+    """[(rows, cols, vals), ...] positive-PMI COO, one triple per range.
+
+    The triples are row-disjoint; chunk-aligned and concatenated they
+    form the flat sorted COO the unfused randomized SVD consumes
+    (algorithms._device_counts_to_embeddings / _rsvd_step_jits).
+    """
+    col_sums, total = range_col_sums(ranges, n)
+    return ppmi_transform(ranges, n, col_sums, total)
 
 
 def ppmi_coo(cen, ctx, cnt, n: int):

@@ -1,0 +1,226 @@
+"""Mesh-sharded PPMI factorization for the device walk pipeline.
+
+Removes the walk pipeline's last single-device HBM pin (ROADMAP design
+(b), VERDICT r4 weak #2): pass-parallel counting
+(ops/cooccur.py:_pair_counts_pass_parallel) leaves each hash partition's
+unique-count range on the device that counted it, and this module runs
+the PPMI transform and the randomized SVD IN PLACE — every device holds
+only its partitions' flat COO (the capacity axis that grows with the
+corpus), while the (n, r) subspace panels are replicated (the
+unavoidable output-sized state).  Per-device HBM is
+O(own slots + n·r) instead of O(total slots + n·r), so the factorizable
+corpus scales ~P-fold with the counting devices.
+
+Parity with the single-device path (algorithms._rsvd_flat /
+_device_counts_to_embeddings): the same PPMI formula with GLOBALLY
+reduced column sums and pair total (contexts span every partition; the
+(n,)-sized partials are reduced through the host — 4 MB/device at 1M
+nodes), the same subspace iteration with the operator application as a
+``psum`` of per-device local SpMMs (partitions are row-disjoint by
+construction, so partial (n, r) outputs add without overlap), the same
+sign canonicalization and streamed/chunked exit (_finalize_factor).
+Results match to f32 summation-order tolerance; tests pin Gram parity
+and the capacity win (tests/test_cooccur_sharded.py).
+
+The walk pipeline has no reference analog — the reference's DeepWalk
+accumulates a dense n×n host matrix
+(/root/reference/pycleora/algorithms.py:315-349); this is the
+framework's own scale story.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_JITS: dict = {}
+
+
+def groups_by_device(ranges):
+    """[(device, [ranges...])] grouped by each range's (single) device,
+    in first-seen order — pass-parallel counting places pass s on device
+    s % P, so first-seen order is device order."""
+    by: dict = {}
+    order = []
+    for r in ranges:
+        (d,) = r[0].devices()
+        if d not in by:
+            by[d] = []
+            order.append(d)
+        by[d].append(r)
+    return [(d, by[d]) for d in order]
+
+
+def home_ranges(ranges):
+    """Move every range onto the first range's device (the single-device
+    factorization's contract).  No-op for already-homed ranges."""
+    import jax
+
+    if not ranges:
+        return ranges
+    (home,) = ranges[0][0].devices()
+    return [
+        (*(jax.device_put(a, home) for a in r[:3]), r[3]) for r in ranges
+    ]
+
+
+def _align_jit():
+    if "align" not in _JITS:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        def _align(rows, cols, vals, *, out_len, n_rows):
+            pad = out_len - rows.shape[0]
+            return (jnp.pad(rows, (0, pad), constant_values=n_rows - 1),
+                    jnp.pad(cols, (0, pad)), jnp.pad(vals, (0, pad)))
+
+        _JITS["align"] = jax.jit(
+            functools.partial(_align), static_argnames=("out_len", "n_rows"))
+    return _JITS["align"]
+
+
+def _apply_jit(mesh):
+    """psum-of-local-SpMMs operator application for ``mesh`` (cached per
+    device tuple — shard_map closes over the mesh)."""
+    key = ("apply", tuple(d.id for d in mesh.devices.flat))
+    if key not in _JITS:
+        import functools
+
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.spmm import spmm_inner
+
+        @functools.partial(jax.jit, static_argnames=("n_rows",
+                                                     "chunk_edges"))
+        def apply(rows, cols, vals, x, *, n_rows, chunk_edges):
+            def local(r, c, v, x_rep):
+                y = spmm_inner(
+                    r.reshape(-1), c.reshape(-1), v.reshape(-1), x_rep,
+                    n_rows, chunk_edges=chunk_edges,
+                )
+                return jax.lax.psum(y, "cooc")
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P("cooc", None),) * 3 + (P(),),
+                out_specs=P(),
+            )(rows, cols, vals, x)
+
+        _JITS[key] = apply
+    return _JITS[key]
+
+
+def sharded_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
+                                 oversample=16, power_iters=4, out=None):
+    """PPMI + randomized SVD over count ranges DISTRIBUTED across devices
+    (each range stays where counting left it).  Drop-in replacement for
+    ``algorithms._device_counts_to_embeddings`` past one device's HBM."""
+    import jax
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .._util import maybe_enable_compile_cache
+    from ..algorithms import (_finalize, _finalize_factor, _rsvd_step_jits,
+                              _write_npy)
+    from ..ops.cooccur import ppmi_transform, range_col_sums
+    from ..ops.memory import check_device_fit
+    from ..ops.spmm import _chunk_edges_for
+
+    maybe_enable_compile_cache()
+    k = min(feature_dim, n - 1)
+    if m_total == 0 or k < 1:
+        empty = _finalize(np.zeros((n, 1), dtype=np.float64), feature_dim)
+        return _write_npy(empty, out) if out is not None else empty
+    r = min(n, k + oversample)
+    groups = groups_by_device(ranges)
+    del ranges
+    devs = [d for d, _ in groups]
+    slots_per_dev = [
+        sum(int(c.shape[0]) for c, _, _, _ in rs) for _, rs in groups
+    ]
+    max_slots = max(slots_per_dev)
+    try:
+        # capacity is per DEVICE: the panels replicate, the COO shards
+        check_device_fit(n, max(1, (3 * r) // 2), max_slots)
+    except ValueError as e:
+        raise ValueError(
+            f"{e} For the sharded walk-pipeline factorization "
+            "specifically: more counting devices (more passes spread the "
+            "partitions), fewer walks, or a smaller window all shrink the "
+            "per-device footprint."
+        ) from None
+
+    # ---- global PPMI statistics: per-device partials, host reduction
+    col_parts = []
+    total = 0.0
+    for _, rs in groups:
+        cs, t = range_col_sums(rs, n)
+        col_parts.append(np.asarray(cs, dtype=np.float64))
+        total += float(t)
+    col_sums = sum(col_parts).astype(np.float32)
+    del col_parts
+
+    # ---- per-device flat chunk-aligned COO (same layout contract as the
+    # single-device path: every range padded to a chunk multiple so no
+    # scan chunk spans a range boundary and the sorted segment-sum hint
+    # stays valid; devices pad to a common length with inert slots)
+    chunk = _chunk_edges_for(n, r, edge_bytes=12 * max_slots)
+    align = _align_jit()
+    flats = []
+    for d, rs in groups:
+        cs_d = jax.device_put(col_sums, d)
+        parts = list(ppmi_transform(rs, n, cs_d, np.float32(total)))
+        aligned = []
+        while parts:
+            rows, cols, vals = parts.pop(0)
+            length = int(rows.shape[0])
+            if length % chunk:
+                target = -(-length // chunk) * chunk
+                rows, cols, vals = align(rows, cols, vals, out_len=target,
+                                         n_rows=n)
+            aligned.append((rows, cols, vals))
+            del rows, cols, vals
+        flat = tuple(
+            jnp.concatenate([a[i] for a in aligned]) if len(aligned) > 1
+            else aligned[0][i]
+            for i in range(3)
+        )
+        del aligned
+        flats.append(flat)
+    L = max(int(f[0].shape[0]) for f in flats)
+    flats = [
+        f if int(f[0].shape[0]) == L
+        else align(*f, out_len=L, n_rows=n)
+        for f in flats
+    ]
+
+    mesh = Mesh(np.asarray(devs), ("cooc",))
+    sh = NamedSharding(mesh, P("cooc", None))
+    stacked = tuple(
+        jax.make_array_from_single_device_arrays(
+            (len(devs), L), sh, [f[i].reshape(1, L) for f in flats]
+        )
+        for i in range(3)
+    )
+    del flats
+
+    rep = NamedSharding(mesh, P())
+    omega = jax.device_put(
+        np.asarray(jax.random.normal(
+            jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)),
+        rep,
+    )
+    apply = _apply_jit(mesh)
+    steps = _rsvd_step_jits()
+    m_apply = lambda x: apply(*stacked, x, n_rows=n, chunk_edges=chunk)
+    y = m_apply(omega)
+    del omega
+    for _ in range(power_iters):  # M symmetric — same schedule as _rsvd_flat
+        y = m_apply(m_apply(steps["qr"](y)))
+    q = steps["qr"](y)
+    del y
+    u_su = steps["tail"](m_apply(q), q, k=k)
+    return _finalize_factor(u_su, feature_dim, out)
