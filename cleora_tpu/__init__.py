@@ -723,74 +723,90 @@ def supervised_refine(
             f"{graph.num_entities} entities"
         )
 
-    refined = embeddings.copy().astype(np.float64)
-    n_entities = graph.num_entities
-    index_map = graph._index_map  # cached on the graph; O(n) once, not per call
-
-    def lookup(pairs):
-        out = []
-        for a, b in pairs:
-            ia = index_map.get(a)
-            ib = index_map.get(b)
-            if ia is None:
-                raise ValueError(f"Entity '{a}' not found in graph")
-            if ib is None:
-                raise ValueError(f"Entity '{b}' not found in graph")
-            out.append((ia, ib))
-        return out
-
-    pos_indices = lookup(positive_pairs)
-    neg_indices = lookup(negative_pairs) if negative_pairs is not None else []
-
-    rng = np.random.default_rng(42)
+    x = embeddings.copy().astype(np.float64)
+    n = graph.num_entities
+    pos_idx = _pair_indices(graph, positive_pairs)
+    neg_idx = (_pair_indices(graph, negative_pairs)
+               if negative_pairs is not None else [])
+    rng = np.random.default_rng(42)  # parity: fixed neg-sampling stream
 
     for epoch in range(num_epochs):
-        total_loss = 0.0
-        for ia, ib in pos_indices:
-            va, vb = refined[ia], refined[ib]
-            norm_a, norm_b = np.linalg.norm(va), np.linalg.norm(vb)
-            if norm_a < 1e-10 or norm_b < 1e-10:
-                continue
-            cos_sim = np.dot(va, vb) / (norm_a * norm_b)
-            loss_pos = max(0.0, 1.0 - cos_sim)
-            total_loss += loss_pos
-            if loss_pos > 0:
-                grad_a = vb / (norm_a * norm_b) - va * cos_sim / (norm_a * norm_a)
-                grad_b = va / (norm_a * norm_b) - vb * cos_sim / (norm_b * norm_b)
-                refined[ia] += learning_rate * grad_a
-                refined[ib] += learning_rate * grad_b
-
+        epoch_loss = 0.0
+        for i, j in pos_idx:
+            hinge = _cosine_sgd_step(x, i, j, learning_rate)
+            if hinge is None:
+                continue  # degenerate norms skip the negatives too
+            epoch_loss += hinge
             if negative_pairs is not None:
-                neg_pool = neg_indices
+                contrast = neg_idx
             else:
-                neg_pool_indices = rng.choice(
-                    n_entities,
-                    size=min(num_negatives_per_positive, n_entities - 1),
+                # drawn every positive step (even converged ones) so the
+                # RNG stream is position-independent of the loss values
+                draw = rng.choice(
+                    n, size=min(num_negatives_per_positive, n - 1),
                     replace=False,
                 )
-                neg_pool = [(ia, int(ni)) for ni in neg_pool_indices if ni != ia]
+                contrast = [(i, int(c)) for c in draw if c != i]
+            for ni, nj in contrast[:num_negatives_per_positive]:
+                h = _cosine_sgd_step(x, ni, nj, learning_rate,
+                                     push_margin=margin)
+                if h is not None:
+                    epoch_loss += h
 
-            for ia_neg, ib_neg in neg_pool[:num_negatives_per_positive]:
-                va_n, vb_n = refined[ia_neg], refined[ib_neg]
-                norm_an, norm_bn = np.linalg.norm(va_n), np.linalg.norm(vb_n)
-                if norm_an < 1e-10 or norm_bn < 1e-10:
-                    continue
-                cos_neg = np.dot(va_n, vb_n) / (norm_an * norm_bn)
-                loss_neg = max(0.0, cos_neg - margin)
-                total_loss += loss_neg
-                if loss_neg > 0:
-                    grad_an = -vb_n / (norm_an * norm_bn) + va_n * cos_neg / (norm_an * norm_an)
-                    grad_bn = -va_n / (norm_an * norm_bn) + vb_n * cos_neg / (norm_bn * norm_bn)
-                    refined[ia_neg] += learning_rate * grad_an
-                    refined[ib_neg] += learning_rate * grad_bn
-
-        avg_loss = total_loss / max(len(pos_indices), 1)
+        mean_loss = epoch_loss / max(len(pos_idx), 1)
         if callback is not None:
-            callback(epoch, avg_loss)
-        if avg_loss < 1e-6:
+            callback(epoch, mean_loss)
+        if mean_loss < 1e-6:
             break
 
-    return _normalize(refined.astype(np.float32), "l2")
+    return _normalize(x.astype(np.float32), "l2")
+
+
+def _pair_indices(graph: SparseMatrix,
+                  pairs: List[Tuple[str, str]]) -> List[Tuple[int, int]]:
+    """Entity-name pairs → dense-index pairs, erroring on unknown names
+    (the graph's cached index map makes this O(1) per lookup)."""
+    index_map = graph._index_map
+    out = []
+    for a, b in pairs:
+        ia = index_map.get(a)
+        ib = index_map.get(b)
+        if ia is None:
+            raise ValueError(f"Entity '{a}' not found in graph")
+        if ib is None:
+            raise ValueError(f"Entity '{b}' not found in graph")
+        out.append((ia, ib))
+    return out
+
+
+def _cosine_sgd_step(x: np.ndarray, i: int, j: int, lr: float,
+                     push_margin: Optional[float] = None):
+    """One in-place cosine SGD step on rows (i, j) of ``x``.
+
+    Default mode pulls the pair together (hinge 1 − cos); with
+    ``push_margin`` it pushes them apart once cos exceeds the margin
+    (hinge cos − margin), applying the negated gradient.  Returns the
+    hinge loss, or None when either row's norm underflows (callers use
+    that to skip a degenerate pair's whole step, reference semantics).
+    ∂cos/∂x_i = x_j/(‖x_i‖‖x_j‖) − x_i·cos/‖x_i‖²; both row gradients
+    are evaluated before either row is updated."""
+    u, v = x[i], x[j]
+    nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+    if nu < 1e-10 or nv < 1e-10:
+        return None
+    cos = np.dot(u, v) / (nu * nv)
+    push = push_margin is not None
+    hinge = max(0.0, cos - push_margin) if push else max(0.0, 1.0 - cos)
+    if hinge > 0:
+        gi = v / (nu * nv) - u * cos / (nu * nu)
+        gj = u / (nu * nv) - v * cos / (nv * nv)
+        if push:
+            x[i] -= lr * gi
+            x[j] -= lr * gj
+        else:
+            x[i] += lr * gi
+            x[j] += lr * gj
+    return hinge
 
 
 def update_graph(

@@ -1310,40 +1310,215 @@ def _walk_placers(mesh):
 
 
 def _device_walks(graph, num_walks: int, walk_length: int, seed: int,
-                  batch: int = _WALK_BATCH, mesh=None, resident: bool = False):
+                  batch: int = _WALK_BATCH, mesh=None, resident: bool = False,
+                  walk_tables: str = "auto"):
     """Yield (B, walk_length) int32 host walk batches (sentinel == n).
 
     ``mesh`` shards each batch's walk lanes across the devices (tables
     replicated) — same outputs, N× the walk throughput per dispatch.
-    ``resident=True`` instead yields ``(device_array, pad)`` without
-    fetching — for the on-device co-occurrence path (ops/cooccur.py),
-    which must mask the ``pad`` trailing lanes itself."""
+    ``walk_tables`` picks the table placement ('auto' fit-checks —
+    :func:`_walk_table_mode`): 'sharded' row-partitions the CSR over the
+    mesh for graphs past one chip's HBM (owner-routed hops,
+    value-identical outputs).  ``resident=True`` instead yields
+    ``(device_array, pad)`` without fetching — for the on-device
+    co-occurrence path (ops/cooccur.py), which must mask the ``pad``
+    trailing lanes itself."""
     import jax
 
     indptr, cols, deg, n = _walk_csr(graph)
+    mode = _walk_table_mode(walk_tables, mesh, n, int(cols.shape[0]), False)
     starts = np.nonzero(deg > 0)[0].astype(np.int32)
     if starts.shape[0] == 0:
         return
     all_starts = np.tile(starts, num_walks)
     rep, shard_batch = _walk_placers(mesh)
-    d_indptr, d_cols, d_deg = rep(indptr), rep(cols), rep(deg)
-    fn = _device_walk_jit()
+    if mode == "sharded":
+        fn = _device_walk_sharded_jit(mesh)
+        cache = getattr(graph, "_device_cache", None)
+        ck = ("walk_tables_sharded",
+              tuple(d.id for d in mesh.devices.flat))
+        if cache is not None and ck in cache:
+            ip_sh, cols_sh, deg_sh, rps = cache[ck]
+        else:
+            ip_sh, cols_sh, deg_sh, rps = _shard_walk_tables(
+                indptr, cols, deg, n, mesh)
+            if cache is not None:
+                cache[ck] = (ip_sh, cols_sh, deg_sh, rps)
+        run = lambda chunk, key: fn(ip_sh, cols_sh, deg_sh, rep(chunk),
+                                    key, walk_length=walk_length, n_rows=n,
+                                    rps=rps)
+    else:
+        d_indptr, d_cols, d_deg = rep(indptr), rep(cols), rep(deg)
+        fn = _device_walk_jit()
+        run = lambda chunk, key: fn(d_indptr, d_cols, d_deg,
+                                    shard_batch(chunk), key,
+                                    walk_length=walk_length, n_rows=n)
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
         chunk = all_starts[lo:lo + batch]
         pad = _lane_pad(chunk.shape[0], batch, lo, mesh)
         if pad:
             chunk = np.concatenate([chunk, np.full(pad, n, dtype=np.int32)])
-        out = fn(
-            d_indptr, d_cols, d_deg, shard_batch(chunk),
-            jax.random.fold_in(root, i),
-            walk_length=walk_length, n_rows=n,
-        )
+        out = run(chunk, jax.random.fold_in(root, i))
         if resident:
             yield out, pad
             continue
         w = np.asarray(out)
         yield w[: w.shape[0] - pad] if pad else w
+
+
+# --------------------------------------- sharded-table first-order engine
+_WALK_SHARDED_JITS: dict = {}
+
+
+def _device_walk_sharded_jit(mesh):
+    """First-order walk engine with the CSR TABLES row-sharded over the
+    mesh (round 5, VERDICT r4 #5) — the capacity mode for graphs whose
+    cols array exceeds one chip's HBM (each device holds nnz/P edges).
+
+    Owner-routed hop: the frontier is replicated (each hop's (B,) int32
+    ids cost one psum — tiny next to the table), every device computes
+    the next hop for the lanes whose CURRENT row it owns (a local
+    gather in its CSR slice), and a psum combines the disjoint
+    contributions.  The per-hop uniforms are drawn replicated with the
+    SAME key/shape as the replicated engine, and each valid row has
+    exactly one owner, so outputs are VALUE-IDENTICAL to
+    :func:`_device_walk_jit` (tested).  Dead ends/sentinels behave
+    identically (n_rows, sticky)."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    if key not in _WALK_SHARDED_JITS:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import shard_axes
+
+        axis = shard_axes(mesh)
+
+        @functools.partial(
+            jax.jit, static_argnames=("walk_length", "n_rows", "rps"))
+        def walks(ip_sh, cols_sh, deg_sh, starts, key_, *, walk_length,
+                  n_rows, rps):
+            def local(ip, cols, deg, starts_, kk):
+                ip = ip.reshape(-1)
+                cols = cols.reshape(-1)
+                deg = deg.reshape(-1)
+                row_lo = lax.axis_index(axis) * rps
+                ecap = cols.shape[0]
+
+                def body(cur, k):
+                    valid = cur < n_rows
+                    u = jax.random.uniform(k, cur.shape)
+                    lr = cur - row_lo
+                    owned = valid & (lr >= 0) & (lr < rps)
+                    lrc = jnp.clip(lr, 0, rps - 1)
+                    d = jnp.take(deg, lrc)
+                    t = jnp.minimum(
+                        (u * d.astype(jnp.float32)).astype(jnp.int32),
+                        jnp.maximum(d - 1, 0),
+                    )
+                    slot = jnp.clip(jnp.take(ip, lrc) + t, 0, ecap - 1)
+                    cand = jnp.where(d > 0, jnp.take(cols, slot), n_rows)
+                    nxt = lax.psum(jnp.where(owned, cand, 0), axis)
+                    nxt = jnp.where(valid, nxt, n_rows)
+                    return nxt, nxt
+
+                keys = jax.random.split(kk, walk_length - 1)
+                _, ys = lax.scan(body, starts_, keys)
+                return jnp.concatenate([starts_[None, :], ys], axis=0).T
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis, None),) * 3 + (P(), P()),
+                out_specs=P(),
+            )(ip_sh, cols_sh, deg_sh, starts, key_)
+
+        _WALK_SHARDED_JITS[key] = walks
+    return _WALK_SHARDED_JITS[key]
+
+
+def _shard_walk_tables(indptr, cols, deg, n, mesh):
+    """(ip_sh (P, rps), cols_sh (P, E), deg_sh (P, rps), rps) — the walk
+    CSR row-partitioned for the sharded-table engine.  Per-shard indptr
+    is LOCAL to the shard's cols slice; shards pad to the max per-shard
+    edge count (dead slots are never addressed: local gathers clip and
+    unowned lanes contribute zero to the psum)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import shard_axes
+
+    P_ = int(mesh.devices.size)
+    rps = -(-n // P_)
+    ip64 = np.zeros(n + 1, dtype=np.int64)
+    ip64[:n] = indptr
+    ip64[n] = (int(indptr[n - 1]) + int(deg[n - 1])) if n else 0
+    bounds = np.minimum(np.arange(P_ + 1) * rps, n)
+    counts = [int(ip64[bounds[k + 1]] - ip64[bounds[k]]) for k in range(P_)]
+    E = max(max(counts), 1)
+    ip_sh = np.zeros((P_, rps), dtype=np.int32)
+    deg_sh = np.zeros((P_, rps), dtype=np.int32)
+    cols_sh = np.zeros((P_, E), dtype=np.int32)
+    for k in range(P_):
+        lo, hi = bounds[k], bounds[k + 1]
+        if hi > lo:
+            ip_sh[k, : hi - lo] = (ip64[lo:hi] - ip64[lo]).astype(np.int32)
+            deg_sh[k, : hi - lo] = deg[lo:hi]
+            cols_sh[k, :counts[k]] = cols[ip64[lo]:ip64[hi]]
+    ax = shard_axes(mesh)
+    sh = NamedSharding(mesh, P(ax, None))
+    return (jax.device_put(ip_sh, sh), jax.device_put(cols_sh, sh),
+            jax.device_put(deg_sh, sh), rps)
+
+
+def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
+                     second_order: bool) -> str:
+    """Resolve the walk-table placement: 'auto' prefers replicated
+    tables (no per-hop collective) and switches to the sharded-table
+    engine when the replicated CSR wouldn't fit one device's HBM.  The
+    chain ends with an actionable error (backend='host' walks the graph
+    from host RAM) rather than a silent 1000× host-walker fallback."""
+    if mode not in ("auto", "replicated", "sharded"):
+        raise ValueError(
+            f"Unknown walk_tables '{mode}'. Use 'auto', 'replicated' or "
+            "'sharded'."
+        )
+    if mode == "sharded" and second_order:
+        raise ValueError(
+            "walk_tables='sharded' supports the first-order engine only "
+            "(p == q == 1); the p/q walker's rejection loop needs "
+            "replicated tables"
+        )
+    if mode != "auto":
+        if mode == "sharded" and mesh is None:
+            raise ValueError("walk_tables='sharded' needs a mesh")
+        return mode
+    from .ops.memory import device_hbm_limit
+
+    limit = device_hbm_limit()
+    if limit is None:
+        return "replicated"
+    # replicated live set: cols + indptr + deg (+vals/wmax/wsum for the
+    # second-order engine) + ~3 batch-sized (B, L) buffers
+    per_row = 8
+    per_edge = 8 if second_order else 4
+    table = n * per_row + nnz * per_edge + (n * 12 if second_order else 0)
+    batch = 3 * (_WALK2_BATCH if second_order else _WALK_BATCH) * 4 * 80
+    if table + batch <= int(limit * 0.9):
+        return "replicated"
+    if mesh is not None and not second_order:
+        P_ = int(mesh.devices.size)
+        if table / P_ + batch <= int(limit * 0.9):
+            return "sharded"
+    raise ValueError(
+        f"walk tables need ~{table / (1 << 30):.1f} GiB "
+        f"({'replicated' if mesh is None else 'even sharded over the mesh'}"
+        f" exceeds the ~{limit / (1 << 30):.1f} GiB device budget) — "
+        "use more devices (mesh=), or backend='host' for host-RAM walks"
+    )
 
 
 # ------------------------------------- device second-order (p/q) walk engine
@@ -1571,17 +1746,22 @@ _WALK2_BATCH = 65_536
 def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
                    q: float, seed: int, batch: int = _WALK2_BATCH,
                    tries: int | None = None, mesh=None,
-                   resident: bool = False):
+                   resident: bool = False, walk_tables: str = "auto"):
     """Yield (B, walk_length) int32 host batches of p/q-biased walks.
 
     ``mesh`` shards the walk lanes across the devices (see
     :func:`_walk_placers`); ``resident=True`` yields ``(device_array,
-    pad)`` unfetched, as in :func:`_device_walks`."""
+    pad)`` unfetched, as in :func:`_device_walks`.  Tables are always
+    replicated here (``walk_tables`` validates the fit and rejects
+    'sharded' — the rejection loop's binary searches need the whole
+    CSR); past one chip, use p == q == 1 (first-order sharded tables) or
+    ``backend='host'``."""
     import jax
 
     import jax.numpy as jnp
 
     indptr, cols, deg, n, vals, wmax, wsum = _walk_csr(graph, with_vals=True)
+    _walk_table_mode(walk_tables, mesh, n, int(cols.shape[0]), True)
     bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
     if tries is None:
         # the composition sampler's acceptance is independent of p (exact
@@ -2260,7 +2440,7 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
 def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                      seed, factorization="host", mesh=None, n_devices=None,
                      cooccurrence="host", checkpoint_dir=None,
-                     checkpoint_every=1, out=None):
+                     checkpoint_every=1, out=None, walk_tables="auto"):
     mesh = _walk_mesh(mesh, n_devices)
     if cooccurrence == "device":
         # half-size batches: the counting pass's sort working set shares
@@ -2269,7 +2449,7 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
             graph, feature_dim, window_size, seed,
             lambda: _device_walks(graph, num_walks, walk_length, seed,
                                   batch=_WALK_BATCH // 2, mesh=mesh,
-                                  resident=True),
+                                  resident=True, walk_tables=walk_tables),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
             mesh=mesh, checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, out=out,
@@ -2277,7 +2457,8 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
                            walk_length=walk_length),
             factorization=factorization,
         )
-    batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh)
+    batches = _device_walks(graph, num_walks, walk_length, seed, mesh=mesh,
+                            walk_tables=walk_tables)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     emb = _counts_to_embeddings(keys, counts, graph.num_entities,
                                 feature_dim, factorization=factorization,
@@ -2288,13 +2469,14 @@ def _deepwalk_device(graph, feature_dim, num_walks, walk_length, window_size,
 def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
                      p, q, seed, factorization="host", mesh=None,
                      n_devices=None, cooccurrence="host", checkpoint_dir=None,
-                     checkpoint_every=1, out=None):
+                     checkpoint_every=1, out=None, walk_tables="auto"):
     mesh = _walk_mesh(mesh, n_devices)
     if cooccurrence == "device":
         return _walks_ppmi_device(
             graph, feature_dim, window_size, seed,
             lambda: _device_walks2(graph, num_walks, walk_length, p, q,
-                                   seed, mesh=mesh, resident=True),
+                                   seed, mesh=mesh, resident=True,
+                                   walk_tables=walk_tables),
             passes=_cooc_passes(graph, num_walks, walk_length, window_size),
             mesh=mesh, checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, out=out,
@@ -2303,7 +2485,7 @@ def _node2vec_device(graph, feature_dim, num_walks, walk_length, window_size,
             factorization=factorization,
         )
     batches = _device_walks2(graph, num_walks, walk_length, p, q, seed,
-                             mesh=mesh)
+                             mesh=mesh, walk_tables=walk_tables)
     keys, counts = _walk_pair_counts(batches, graph.num_entities, window_size)
     emb = _counts_to_embeddings(keys, counts, graph.num_entities,
                                 feature_dim, factorization=factorization,
@@ -2398,6 +2580,7 @@ def embed_deepwalk(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     out: Optional[str] = None,
+    walk_tables: str = "auto",
 ) -> np.ndarray:
     """DeepWalk = uniform walks + PMI + SVD (reference algorithms.py:352-361).
 
@@ -2425,7 +2608,11 @@ def embed_deepwalk(
     backend; required plumbing for n where (n, d) exceeds host RAM or the
     fetch link).  ``graph`` may be a ``DiskGraph`` (streamed build) when
     ``backend="device"`` — the walk CSR is assembled from the on-disk
-    arrays without materializing entity ids."""
+    arrays without materializing entity ids.  ``walk_tables`` places the
+    walk engine's CSR: 'auto' (fit-checked), 'replicated', or 'sharded'
+    (row-partitioned over the mesh with owner-routed hops,
+    value-identical walks — the capacity mode for edge lists past one
+    chip's HBM)."""
     factorization = _validate_cooccurrence(cooccurrence, backend,
                                            factorization)
     _validate_lifecycle(graph, backend, cooccurrence, checkpoint_dir)
@@ -2435,6 +2622,7 @@ def embed_deepwalk(
             factorization=factorization, mesh=mesh, n_devices=n_devices,
             cooccurrence=cooccurrence, checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every, out=out,
+            walk_tables=walk_tables,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")
@@ -2461,6 +2649,7 @@ def embed_node2vec(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1,
     out: Optional[str] = None,
+    walk_tables: str = "auto",
 ) -> np.ndarray:
     """Node2Vec = p/q-biased walks + PMI + SVD (reference algorithms.py:364-369).
 
@@ -2491,13 +2680,14 @@ def embed_node2vec(
                 n_devices=n_devices, cooccurrence=cooccurrence,
                 checkpoint_dir=checkpoint_dir,
                 checkpoint_every=checkpoint_every, out=out,
+                walk_tables=walk_tables,
             )
         return _node2vec_device(
             graph, feature_dim, num_walks, walk_length, window_size, p, q,
             seed, factorization=factorization, mesh=mesh,
             n_devices=n_devices, cooccurrence=cooccurrence,
             checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-            out=out,
+            out=out, walk_tables=walk_tables,
         )
     if factorization == "device":
         raise ValueError("factorization='device' requires backend='device'")

@@ -38,36 +38,44 @@ _DATA_JSON = os.path.join(os.path.dirname(__file__), "data", "builtin_graphs.jso
 
 
 class _LazyEdgeList(Sequence):
-    """numpy-backed lazy sequence of '"src dst"' strings (reference
-    datasets.py:12-39) — avoids materializing hundreds of millions of
-    Python strings for the big SNAP graphs."""
+    """Read-only sequence view rendering parallel (src, dst) id arrays
+    as ``"src dst"`` strings on access, so the big SNAP edge lists live
+    as two int arrays instead of hundreds of millions of Python strings
+    (capability parity with reference datasets.py:12-39; the rendering
+    here is chunked-vectorized — one ``np.char`` join per 64k block on
+    iteration, which is where the graph builders consume it)."""
 
-    __slots__ = ("_src", "_dst", "_len")
+    __slots__ = ("_pairs",)
+    _CHUNK = 1 << 16
 
     def __init__(self, src: np.ndarray, dst: np.ndarray):
-        self._src = src
-        self._dst = dst
-        self._len = len(src)
+        if len(src) != len(dst):
+            raise ValueError("src/dst length mismatch")
+        self._pairs = (src, dst)
 
     def __len__(self):
-        return self._len
+        return len(self._pairs[0])
+
+    def _render(self, lo: int, hi: int):
+        src, dst = self._pairs
+        left = np.char.add(src[lo:hi].astype(str), " ")
+        return np.char.add(left, dst[lo:hi].astype(str)).tolist()
 
     def __getitem__(self, idx):
+        n = len(self)
         if isinstance(idx, slice):
-            return [
-                f"{self._src[i]} {self._dst[i]}"
-                for i in range(*idx.indices(self._len))
-            ]
-        if idx < 0:
-            idx += self._len
-        if not 0 <= idx < self._len:
-            raise IndexError(f"index {idx} out of range")
-        return f"{self._src[idx]} {self._dst[idx]}"
+            return [self[i] for i in range(*idx.indices(n))]
+        i = int(idx)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(f"index {i} out of range")
+        src, dst = self._pairs
+        return f"{src[i]} {dst[i]}"
 
     def __iter__(self):
-        src, dst = self._src, self._dst
-        for i in range(self._len):
-            yield f"{src[i]} {dst[i]}"
+        for lo in range(0, len(self), self._CHUNK):
+            yield from self._render(lo, min(lo + self._CHUNK, len(self)))
 
     def __repr__(self):
         return f"_LazyEdgeList(len={self._len:,})"

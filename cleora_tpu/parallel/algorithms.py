@@ -24,6 +24,17 @@ State convention: the recurrence carries the row-block state ((rows_per_
 shard, d) per shard); ELL-layout ops scatter/gather through the per-shard
 ``rank`` permutation at each application, so two differently-relabeled
 operators (HOPE's A and Aᵀ) compose in original row space.
+
+Multi-process (multi-host) runs are first-class (round 5, VERDICT r4 #3):
+every algorithm runs over a ``jax.distributed`` mesh when each host holds
+the full graph (operand placement is process-local —
+``shard.put_global``; results allgather to every host), and ProNE/RandNE
+additionally run straight off per-host sharded-build PIECES via the same
+machinery embed_sharded uses (``plan_halo_distributed`` for the
+exchange, ``allgather_degrees`` for the ELL histogram, an allgathered
+degree vector for the symmetric normalization).  HOPE/NetMF/GraRep need
+the TRANSPOSED operator, which a row-range piece cannot provide — those
+raise a descriptive error for pieces (merge the shards first).
 """
 
 from __future__ import annotations
@@ -31,21 +42,62 @@ from __future__ import annotations
 import numpy as np
 
 
-def _require_single_process():
-    import jax
-
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "sharded sibling algorithms currently assume a single-process "
-            "run (every host holds the full graph); the multi-process "
-            "piece lifecycle is embed_sharded-only"
-        )
-
-
 def _mesh_for(mesh, n_devices):
     from .mesh import make_mesh
 
     return mesh if mesh is not None else make_mesh(n_devices)
+
+
+def _to_host_out(arr, n: int) -> np.ndarray:
+    """(n, d) float64 host copy of a (possibly multi-process global)
+    result array — every process receives the full matrix."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(arr, tiled=True),
+            dtype=np.float64,
+        )[:n]
+    return np.asarray(arr, dtype=np.float64)[:n]
+
+
+def _host_full(arr) -> np.ndarray:
+    """Host copy of a (possibly multi-process, row-sharded) device array
+    in its own dtype — the blocked drivers' fetch primitive."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
+def _piece_range_of(graph):
+    """(lo, hi) when ``graph`` is one host's piece of a sharded build,
+    else None."""
+    pr = (graph.meta.get("row_range")
+          if getattr(graph, "meta", None) else None)
+    if pr is None:
+        return None
+    lo, hi = int(pr[0]), int(pr[1])
+    if lo > 0 or hi < graph.num_entities:
+        return lo, hi
+    return None
+
+
+def _reject_piece(graph, name: str) -> None:
+    if _piece_range_of(graph) is not None:
+        raise ValueError(
+            f"{name} applies the TRANSPOSED operator, which a per-host "
+            "sharded-build piece cannot provide (a piece holds a row "
+            "range; the transpose's rows are scattered across every "
+            "piece) — merge the pieces first "
+            "(graph.stream.merge_disk_graph_shards) or use prone/randne, "
+            "which run directly from pieces."
+        )
 
 
 class ShardedOp:
@@ -56,20 +108,43 @@ class ShardedOp:
     padded COO otherwise."""
 
     def __init__(self, mesh, rows, cols, vals, n, width):
-        from .ell import ell_shards
-        from .shard import plan_halo, shard_coo
+        from .shard import shard_coo
 
         P = int(mesh.devices.size)
         self.sharded = shard_coo(
             np.asarray(rows, dtype=np.int64), np.asarray(cols),
             np.asarray(vals, dtype=np.float32), n, P,
         )
+        self._finish(mesh, width, piece=False)
+
+    @classmethod
+    def from_sharded(cls, mesh, sharded, width, piece=False):
+        """Wrap an already-built ShardedCoo (DiskGraph / piece loaders).
+        ``piece=True`` plans the exchange and the ELL histogram from
+        per-process knowledge (this host's ShardedCoo holds real edges
+        only for its own shards)."""
+        op = cls.__new__(cls)
+        op.sharded = sharded
+        op._finish(mesh, width, piece=piece)
+        return op
+
+    def _finish(self, mesh, width, piece):
+        from .ell import ell_shards
+        from .shard import (allgather_degrees, plan_halo,
+                            plan_halo_distributed)
+
+        P = int(mesh.devices.size)
         self.plan = None
         if P > 1:
-            cand = plan_halo(self.sharded)
+            cand = (plan_halo_distributed(self.sharded, mesh) if piece
+                    else plan_halo(self.sharded))
             if cand.table_rows < self.sharded.n_rows_padded:
                 self.plan = cand
-        self.ell = ell_shards(self.sharded, d=width, halo=self.plan)
+        extra = {}
+        if piece:
+            extra["global_deg"] = allgather_degrees(self.sharded, mesh)
+        self.ell = ell_shards(self.sharded, d=width, halo=self.plan,
+                              **extra)
         self.rows_per_shard = self.sharded.rows_per_shard
 
     def operands(self):
@@ -180,12 +255,13 @@ def _gram_usqrt(U, axis):
 # ------------------------------------------------------------ run plumbing
 def _place(mesh, tree, specs):
     import jax
-    from jax.sharding import NamedSharding
+
+    from .shard import put_global
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     spec_leaves = treedef.flatten_up_to(specs)
     return treedef.unflatten([
-        jax.device_put(np.asarray(a), NamedSharding(mesh, s))
+        put_global(mesh, np.asarray(a), s)
         for a, s in zip(leaves, spec_leaves)
     ])
 
@@ -193,9 +269,9 @@ def _place(mesh, tree, specs):
 def _run(mesh, axis, fn, x0, ops_list):
     """shard_map + jit fn(x_local, *local_op_trees) over the mesh."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    from .shard import pad_rows
+    from .shard import pad_rows, put_global
 
     op0 = ops_list[0]
     row_spec = P(axis, None)
@@ -203,10 +279,11 @@ def _run(mesh, axis, fn, x0, ops_list):
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=row_spec,
     )
-    x = jax.device_put(
+    x = put_global(
+        mesh,
         pad_rows(np.asarray(x0, dtype=np.float32),
                  op0.sharded.n_rows_padded),
-        NamedSharding(mesh, row_spec),
+        row_spec,
     )
     placed = [_place(mesh, op.operands(), op.specs(axis)) for op in ops_list]
     return jax.jit(mapped)(x, *placed)
@@ -226,22 +303,125 @@ def _sym_normalized_coo(graph):
     return rows.astype(np.int32), cols.astype(np.int32), nvals, n
 
 
+def _sym_normalize_sharded(sharded, mesh) -> None:
+    """In-place D^-1/2 A D^-1/2 on a (possibly piece-mode) ShardedCoo.
+
+    Row degrees come from this process's OWNED shards (row ownership is
+    disjoint, so the per-process (n_padded,) contributions allgather-sum
+    to the exact global vector — f64, same numerics as the host twin);
+    the value scaling needs ``dis`` at COLUMN positions too, which is why
+    the full vector is assembled on every process (8·n bytes — the
+    degree vector, not the edge list).  Padding slots (vals == 0) stay
+    zero."""
+    import jax
+
+    P, _ = sharded.cols.shape
+    rps = sharded.rows_per_shard
+    me = jax.process_index()
+    owned = [k for k in range(P)
+             if mesh.devices.flat[k].process_index == me]
+    deg = np.zeros(sharded.n_rows_padded, dtype=np.float64)
+    for k in owned:
+        np.add.at(deg, np.int64(k) * rps + sharded.local_rows[k].astype(
+            np.int64), sharded.vals[k].astype(np.float64))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        deg = np.asarray(
+            multihost_utils.process_allgather(deg), dtype=np.float64
+        ).sum(axis=0)
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1e-10))
+    for k in owned:
+        g_rows = np.int64(k) * rps + sharded.local_rows[k].astype(np.int64)
+        sharded.vals[k] = (
+            dis[g_rows] * sharded.vals[k].astype(np.float64)
+            * dis[sharded.cols[k].astype(np.int64)]
+        ).astype(np.float32)
+
+
+def _sharded_op_sym(graph, mesh, width):
+    """Symmetric-normalized ShardedOp for ProNE/RandNE, from a full
+    in-RAM graph, a full DiskGraph (streamed build), or one host's PIECE
+    of a sharded build (multi-process only — mirrors embed_sharded's
+    piece validation: the piece must cover exactly this process's
+    shards, and the per-shard edge capacity is allgathered so every
+    process compiles identical shapes)."""
+    import jax
+
+    from .shard import shard_disk_graph
+
+    n = graph.num_entities
+    P = int(mesh.devices.size)
+    pr = _piece_range_of(graph)
+    if pr is None:
+        if hasattr(graph, "to_sparse_csr"):
+            rows, cols, nvals, n = _sym_normalized_coo(graph)
+            return ShardedOp(mesh, rows, cols, nvals, n, width)
+        # full DiskGraph: shard straight off the memmaps, normalize in
+        # sharded space (no host COO materialization)
+        sharded = shard_disk_graph(graph, "left", P)
+        _sym_normalize_sharded(sharded, mesh)
+        return ShardedOp.from_sharded(mesh, sharded, width, piece=False)
+    if jax.process_count() == 1:
+        raise ValueError(
+            "This DiskGraph is one host's piece of a sharded build "
+            f"(rows {pr}); running a sharded algorithm on it needs either "
+            "the merged graph (graph.stream.merge_disk_graph_shards) or a "
+            "multi-process run where every host holds its own piece."
+        )
+    from jax.experimental import multihost_utils
+
+    from ..graph.stream import shard_row_bounds
+
+    bounds = shard_row_bounds(n, P)
+    lo, hi = pr
+    if lo not in bounds or hi not in bounds:
+        raise ValueError(
+            f"piece row range [{lo}, {hi}) does not align with the "
+            f"{P}-device shard cut {bounds}; build pieces with "
+            "graph.stream.host_piece_range(n_entities, n_devices, "
+            "devices_per_host, host_id)"
+        )
+    me = jax.process_index()
+    for k in range(P):
+        if mesh.devices.flat[k].process_index != me:
+            continue
+        if not (lo <= bounds[k] and bounds[k + 1] <= hi):
+            raise ValueError(
+                f"process {me} owns shard {k} (rows [{bounds[k]}, "
+                f"{bounds[k + 1]})) but its piece covers only "
+                f"[{lo}, {hi})"
+            )
+    local_max = max(
+        (int(graph.indptr[bounds[k + 1]] - graph.indptr[bounds[k]])
+         for k in range(P)
+         if lo <= bounds[k] and bounds[k + 1] <= hi),
+        default=0,
+    )
+    cap = int(np.max(multihost_utils.process_allgather(
+        np.asarray([local_max], dtype=np.int64))))
+    sharded = shard_disk_graph(graph, "left", P, edge_capacity=cap)
+    _sym_normalize_sharded(sharded, mesh)
+    return ShardedOp.from_sharded(mesh, sharded, width, piece=True)
+
+
 # -------------------------------------------------------------- algorithms
 def prone_sharded(graph, feature_dim, mu, theta, seed, mesh=None,
                   n_devices=None):
     """Sharded ProNE Chebyshev filter + distributed U_k√S_k.  Returns the
     pre-``_finalize`` (n, feature_dim) matrix (float64 host), matching
-    the single-device backend up to per-column sign flips."""
+    the single-device backend up to per-column sign flips.  Runs
+    multi-process (every host the full graph, or per-host sharded-build
+    pieces — see ``_sharded_op_sym``)."""
     import jax.numpy as jnp
     from jax import lax
 
-    _require_single_process()
     mesh = _mesh_for(mesh, n_devices)
     from .mesh import shard_axes
 
     axis = shard_axes(mesh)
-    rows, cols, nvals, n = _sym_normalized_coo(graph)
-    op = ShardedOp(mesh, rows, cols, nvals, n, feature_dim)
+    n = graph.num_entities
+    op = _sharded_op_sym(graph, mesh, feature_dim)
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((n, feature_dim)).astype(np.float32)
     kmax = min(10, n)
@@ -268,23 +448,23 @@ def prone_sharded(graph, feature_dim, mu, theta, seed, mesh=None,
         return _gram_usqrt(U, axis)
 
     out = _run(mesh, axis, fn, R, [op])
-    return np.asarray(out, dtype=np.float64)[:n]
+    return _to_host_out(out, n)
 
 
 def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
                    n_devices=None):
     """Sharded RandNE Σ_i w_i·N^i·R.  Returns the pre-``_finalize``
-    (n, feature_dim) matrix (float64 host)."""
+    (n, feature_dim) matrix (float64 host).  Runs multi-process,
+    including from per-host pieces (see ``_sharded_op_sym``)."""
     import jax.numpy as jnp
     from jax import lax
 
-    _require_single_process()
     mesh = _mesh_for(mesh, n_devices)
     from .mesh import shard_axes
 
     axis = shard_axes(mesh)
-    rows, cols, nvals, n = _sym_normalized_coo(graph)
-    op = ShardedOp(mesh, rows, cols, nvals, n, feature_dim)
+    n = graph.num_entities
+    op = _sharded_op_sym(graph, mesh, feature_dim)
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((n, feature_dim)).astype(np.float32)
     w = np.asarray(weights, dtype=np.float32)
@@ -303,7 +483,7 @@ def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
         return acc
 
     out = _run(mesh, axis, fn, R, [op])
-    return np.asarray(out, dtype=np.float64)[:n]
+    return _to_host_out(out, n)
 
 
 def _block_seed_local(rps, b, base, start):
@@ -336,9 +516,9 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    _require_single_process()
+    _reject_piece(graph, "netmf_sharded")
     mesh = _mesh_for(mesh, n_devices)
     from .mesh import shard_axes
 
@@ -403,23 +583,20 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
         out_specs=(P(None, None), row_spec),
     ))
 
-    placed_ops = _place(mesh, apply_ops, op_specs)
-    deg_sh = jax.device_put(deg_f, NamedSharding(mesh, P(axis)))
-    deg_rep = jax.device_put(deg_f[:n] if n == n_rows_padded else
-                             np.ascontiguousarray(deg_f),
-                             NamedSharding(mesh, P(None)))
-    sh_spec = NamedSharding(mesh, row_spec)
-    rep_spec = NamedSharding(mesh, P(None, None))
+    from .shard import pad_rows, put_global
 
-    from .shard import pad_rows
+    placed_ops = _place(mesh, apply_ops, op_specs)
+    deg_sh = put_global(mesh, deg_f, P(axis))
+    deg_rep = put_global(mesh, deg_f[:n] if n == n_rows_padded else
+                         np.ascontiguousarray(deg_f), P(None))
 
     def pass_fn(W, V):
         """One sweep over the blocks: returns (M·W, Mᵀ·V) at (n, r)."""
-        W_sh = jax.device_put(pad_rows(np.asarray(W, np.float32),
-                                       n_rows_padded), sh_spec)
+        W_sh = put_global(mesh, pad_rows(np.asarray(W, np.float32),
+                                         n_rows_padded), row_spec)
         Vp = np.zeros((max(n_pad_b, n), r), np.float32)
         Vp[:n] = np.asarray(V, np.float32)[:n]
-        Vp_d = jax.device_put(Vp, rep_spec)
+        Vp_d = put_global(mesh, Vp, P(None, None))
         G = None
         pieces = []
         for start in range(0, n_pad_b, b):
@@ -428,7 +605,7 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
             pieces.append(np.asarray(br))
             G = nr if G is None else G + nr
         Y = np.concatenate(pieces, axis=0)[:n]
-        return Y, np.asarray(G)[:n]
+        return Y, _host_full(G)[:n]
 
     from ..algorithms import _host_blocked_u_sqrt
 
@@ -448,9 +625,9 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    _require_single_process()
+    _reject_piece(graph, "grarep_sharded")
     mesh = _mesh_for(mesh, n_devices)
     from .mesh import shard_axes
 
@@ -505,17 +682,17 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
         out_specs=(P(None, None, None), row_spec),
     ))
 
+    from .shard import put_global
+
     placed_ops = _place(mesh, apply_ops, op_specs)
-    sh_spec = NamedSharding(mesh, row_spec)
-    rep_spec = NamedSharding(mesh, P(None, None, None))
 
     def pass_fn(W, V):
         Wp = np.zeros((max_step, n_rows_padded, r), np.float32)
         Wp[:, :n] = np.asarray(W, np.float32)[:, :n]
-        W_sh = jax.device_put(Wp, sh_spec)
+        W_sh = put_global(mesh, Wp, row_spec)
         Vp = np.zeros((max_step, max(n_pad_b, n), r), np.float32)
         Vp[:, :n] = np.asarray(V, np.float32)[:, :n]
-        Vp_d = jax.device_put(Vp, rep_spec)
+        Vp_d = put_global(mesh, Vp, P(None, None, None))
         G = None
         pieces = []
         for start in range(0, n_pad_b, b):
@@ -523,7 +700,7 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
             pieces.append(np.asarray(br))
             G = nr if G is None else G + nr
         Y = np.concatenate(pieces, axis=1)[:, :n]
-        return Y, np.asarray(G)[:, :n]
+        return Y, _host_full(G)[:, :n]
 
     rng = np.random.default_rng(seed)
     omega = rng.standard_normal((max_step, n, r)).astype(np.float32)
@@ -555,7 +732,7 @@ def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,
     import jax.numpy as jnp
     from jax import lax
 
-    _require_single_process()
+    _reject_piece(graph, "hope_sharded")
     mesh = _mesh_for(mesh, n_devices)
     from .mesh import shard_axes
 
@@ -628,4 +805,4 @@ def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,
         return jnp.concatenate([left, right], axis=1)
 
     out = _run(mesh, axis, fn, omega, [opA, opT])
-    return np.asarray(out, dtype=np.float64)[:n]
+    return _to_host_out(out, n)

@@ -444,29 +444,13 @@ def build_sharded_embed(
     n_shards_total = int(mesh.devices.size)
 
     def _put(a, spec):
-        """Place a globally-shaped host array with the given spec.
+        """Multi-process-safe placement (shard.put_global): process-local
+        slicing of leading-sharded dims, since a piece host's unowned
+        shards are padding and device_put's cross-process equality check
+        would reject them."""
+        from .shard import put_global
 
-        Multi-process: use process-local placement (device_put would verify
-        the full array is identical across processes — it is not when each
-        host holds only its own sharded-build piece).  This process's
-        shards are a contiguous run of the flattened mesh order, so the
-        local portion is one slice of the leading (sharded) dimension."""
-        sh = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
-            return jax.device_put(a, sh)
-        if len(spec) and spec[0] is not None:  # leading dim sharded
-            me = jax.process_index()
-            ks = [k for k in range(n_shards_total)
-                  if mesh.devices.flat[k].process_index == me]
-            if ks != list(range(ks[0], ks[-1] + 1)):
-                raise ValueError(
-                    "this process's devices are not a contiguous run of "
-                    "the mesh's flattened order — build the mesh with "
-                    "make_mesh/make_hier_mesh (jax.devices() order)"
-                )
-            per = a.shape[0] // n_shards_total
-            a = np.asarray(a)[ks[0] * per:(ks[-1] + 1) * per]
-        return jax.make_array_from_process_local_data(sh, np.asarray(a))
+        return put_global(mesh, a, spec, n_shards_total)
 
     def place(x_padded):
         if x_padded.shape[1] != feature_dim:

@@ -493,6 +493,50 @@ def allgather_degrees(sharded: ShardedCoo, mesh) -> np.ndarray:
     return np.asarray(out).reshape(deg.shape)
 
 
+def put_global(mesh, a, spec, n_shards_total=None):
+    """Place a globally-shaped host array with the given PartitionSpec,
+    multi-process-safe.
+
+    Single-process: plain ``device_put``.  Multi-process: slice this
+    process's contiguous run of the leading (sharded) dimension and use
+    ``make_array_from_process_local_data`` — ``device_put`` would verify
+    the full array is identical across processes, which it is NOT when
+    each host holds only its own sharded-build piece (unowned shards are
+    all-padding there).  Replicated specs pass the whole array through.
+    Shared by build_sharded_embed and the sharded sibling algorithms."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sh)
+    if n_shards_total is None:
+        n_shards_total = int(mesh.devices.size)
+    sharded_dims = [i for i, s in enumerate(spec) if s is not None]
+    if len(sharded_dims) > 1:
+        raise ValueError(
+            f"put_global supports at most one sharded dim, got {spec}"
+        )
+    if sharded_dims:
+        # the sharded dim's axis names must cover the whole mesh (the
+        # only pattern the callers use: axis = shard_axes(mesh))
+        dim = sharded_dims[0]
+        me = jax.process_index()
+        ks = [k for k in range(n_shards_total)
+              if mesh.devices.flat[k].process_index == me]
+        if ks != list(range(ks[0], ks[-1] + 1)):
+            raise ValueError(
+                "this process's devices are not a contiguous run of "
+                "the mesh's flattened order — build the mesh with "
+                "make_mesh/make_hier_mesh (jax.devices() order)"
+            )
+        per = a.shape[dim] // n_shards_total
+        idx = [slice(None)] * np.asarray(a).ndim
+        idx[dim] = slice(ks[0] * per, (ks[-1] + 1) * per)
+        a = np.ascontiguousarray(np.asarray(a)[tuple(idx)])
+    return jax.make_array_from_process_local_data(sh, np.asarray(a))
+
+
 def pad_rows(x: np.ndarray, n_rows_padded: int) -> np.ndarray:
     """Zero-pad embedding rows up to the sharded row count."""
     n, d = x.shape

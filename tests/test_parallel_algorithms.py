@@ -198,3 +198,53 @@ def test_sharded_mesh_object(graph):
     b = embed_randne(graph, feature_dim=8, num_iterations=4,
                      backend="device", n_devices=4)
     assert np.array_equal(a, b)
+
+
+def test_prone_sharded_from_full_disk_graph(tmp_path):
+    """Sharded ProNE straight off a FULL streamed build (round 5): the
+    operator is sharded from the DiskGraph memmaps and sym-normalized in
+    sharded space — no host COO materialization — and must match the
+    in-RAM graph."""
+    pytest.importorskip("ctypes")
+    from cleora_tpu.graph.stream import build_graph_streaming
+    from cleora_tpu.native import get_lib
+    from cleora_tpu.parallel.algorithms import prone_sharded, randne_sharded
+
+    if get_lib() is None:
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(5)
+    lines = [f"n{rng.integers(0, 150)} n{rng.integers(0, 150)}"
+             for _ in range(1000)]
+    g = ct.SparseMatrix.from_iterator(iter(lines), "complex::reflexive::n")
+    dg = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    for fn, kw in ((prone_sharded, dict(mu=0.2, theta=0.5, seed=3)),
+                   (randne_sharded, dict(weights=[1.0, 0.5], seed=3))):
+        ref = fn(g, 16, n_devices=4, **kw)
+        got = fn(dg, 16, n_devices=4, **kw)
+        assert np.allclose(ref @ ref.T, got @ got.T, atol=1e-3), fn
+        assert np.allclose(ref, _sign_align(ref, got), atol=5e-3), fn
+
+
+def test_piece_single_process_rejected(tmp_path):
+    """A sharded-build piece in a single-process run gets the descriptive
+    error (merged graph or multi-process), not a wrong answer."""
+    pytest.importorskip("ctypes")
+    from cleora_tpu.graph.stream import build_graph_streaming
+    from cleora_tpu.native import get_lib
+    from cleora_tpu.parallel.algorithms import hope_sharded, prone_sharded
+
+    if get_lib() is None:
+        pytest.skip("native builder unavailable")
+    rng = np.random.default_rng(5)
+    lines = [f"n{rng.integers(0, 100)} n{rng.integers(0, 100)}"
+             for _ in range(500)]
+    from cleora_tpu.graph.stream import count_entities_streaming
+    n = count_entities_streaming(lines, "complex::reflexive::n")
+    piece = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                                  str(tmp_path / "p"), row_range=(0, n // 2))
+    with pytest.raises(ValueError, match="piece"):
+        prone_sharded(piece, 16, mu=0.2, theta=0.5, seed=3, n_devices=4)
+    with pytest.raises(ValueError, match="TRANSPOSED"):
+        hope_sharded(piece, 16, beta=0.01, seed=3, oversample=8,
+                     power_iters=2, n_devices=4)
