@@ -43,12 +43,16 @@ def main(argv=None):
                    help="Sibling-algorithm compute backend: 'device' runs "
                         "prone/randne/hope/netmf/grarep/deepwalk/node2vec "
                         "on the TPU (cleora itself always runs on device)")
-    p.add_argument("--factorization", choices=["host", "device"],
+    p.add_argument("--factorization", choices=["host", "device", "sharded"],
                    default=None,
                    help="deepwalk/node2vec PPMI factorization: 'device' "
                         "runs a randomized SVD on the TPU instead of host "
                         "ARPACK (requires --backend device; implied by "
-                        "--cooccurrence device)")
+                        "--cooccurrence device); 'sharded' keeps each "
+                        "count partition on its counting device and runs "
+                        "the SVD mesh-sharded (requires --cooccurrence "
+                        "device + --sharded; auto-engaged past one chip's "
+                        "HBM)")
     p.add_argument("--cooccurrence", choices=["host", "device"],
                    default="host",
                    help="deepwalk/node2vec pair counting: 'device' keeps "
@@ -79,12 +83,16 @@ def main(argv=None):
                         "(--backend device): sharded propagate loops / "
                         "walk lanes / pass-parallel counting")
     p.add_argument("--checkpoint-dir", default=None, metavar="DIR",
-                   help="With --sharded: persist the sharded loop state to "
-                        "DIR every --checkpoint-every iterations; an "
-                        "interrupted run resumes from the last complete "
-                        "checkpoint")
-    p.add_argument("--checkpoint-every", type=int, default=10, metavar="K",
-                   help="Checkpoint cadence in iterations (default: 10)")
+                   help="cleora + --sharded: persist the sharded loop "
+                        "state to DIR every --checkpoint-every iterations. "
+                        "deepwalk/node2vec + --cooccurrence device: "
+                        "persist each finished counting pass (every K-th) "
+                        "— a killed run resumes byte-identically.  Either "
+                        "way an interrupted run resumes from the last "
+                        "complete checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=None, metavar="K",
+                   help="Checkpoint cadence — iterations (cleora, default "
+                        "10) or counting passes (walk pipeline, default 1)")
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser(
@@ -243,20 +251,32 @@ def _finish_embed(args, graph):
             "--backend device is not applicable to --algorithm cleora "
             "(cleora always runs on device)"
         )
-    if getattr(args, "checkpoint_dir", None) and args.sharded is None:
-        raise SystemExit("--checkpoint-dir requires --sharded")
+    walk_algo = args.algorithm in ("deepwalk", "node2vec")
+    walk_lifecycle = (walk_algo
+                      and getattr(args, "cooccurrence", "host") == "device")
+    if getattr(args, "checkpoint_dir", None):
+        if walk_algo and not walk_lifecycle:
+            raise SystemExit(
+                "--checkpoint-dir with deepwalk/node2vec requires "
+                "--cooccurrence device (the counting checkpoint is "
+                "per device counting pass)"
+            )
+        if not walk_algo and args.sharded is None:
+            raise SystemExit("--checkpoint-dir requires --sharded")
+        if not walk_algo and args.algorithm != "cleora":
+            raise SystemExit(
+                "--checkpoint-dir supports --algorithm cleora and the "
+                "device walk pipeline (deepwalk/node2vec + "
+                "--cooccurrence device)"
+            )
     mesh = None
     if getattr(args, "sharded", None) is not None and args.algorithm != "cleora":
         # sibling algorithms run their whole device pipeline over a mesh
-        # (sharded propagate loops / walk lanes / pass-parallel counting);
-        # the checkpoint/.npy streaming lifecycle stays cleora-only
+        # (sharded propagate loops / walk lanes / pass-parallel counting /
+        # mesh-sharded PPMI factorization)
         if be != "device":
             raise SystemExit(
                 "--sharded with a sibling algorithm requires --backend device"
-            )
-        if getattr(args, "checkpoint_dir", None):
-            raise SystemExit(
-                "--checkpoint-dir supports only --algorithm cleora"
             )
         from .parallel.mesh import make_mesh
 
@@ -274,7 +294,8 @@ def _finish_embed(args, graph):
             n_devices=args.sharded or None,
             out=args.output if to_npy else "full",
             checkpoint_dir=args.checkpoint_dir,
-            checkpoint_every=args.checkpoint_every,
+            checkpoint_every=(10 if args.checkpoint_every is None
+                              else args.checkpoint_every),
         )
         dt = time.time() - t0
         if to_npy:
@@ -322,12 +343,29 @@ def _finish_embed(args, graph):
                                        backend=be, mesh=mesh),
         "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
-                                           cooccurrence=cooc, mesh=mesh),
+                                           cooccurrence=cooc, mesh=mesh,
+                                           **walk_kw),
         "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
-                                           cooccurrence=cooc, mesh=mesh),
+                                           cooccurrence=cooc, mesh=mesh,
+                                           **walk_kw),
     }
+    walk_kw = {}
+    if walk_lifecycle:
+        walk_kw = {
+            "checkpoint_dir": getattr(args, "checkpoint_dir", None),
+            "checkpoint_every": (1 if args.checkpoint_every is None
+                                 else args.checkpoint_every),
+        }
+        if args.output.endswith(".npy"):
+            # stream the final embedding straight into the .npy (bounded
+            # chunked fetches, no (n, d) host materialization)
+            walk_kw["out"] = args.output
     emb = algo_map[args.algorithm]()
+    if walk_kw.get("out"):
+        print(f"{graph.num_entities} entities -> {emb.shape} streamed "
+              f"to {args.output} ({time.time() - t0:.2f}s)")
+        return
 
     if args.verbose:
         print(f"  Shape: {emb.shape} ({time.time() - t0:.2f}s)")

@@ -333,9 +333,14 @@ def test_device_ppmi_factorization_hbm_precheck(graph, monkeypatch):
     kw = dict(feature_dim=8, num_walks=2, walk_length=10, backend="device",
               seed=2)
     monkeypatch.setattr(memory, "device_hbm_limit", lambda: 10_000)
+    # the walk-table auto fit check (round 5) sits earlier in the chain
+    # and would trip first on this tiny limit — pin the table placement
+    # so the PPMI-specific precheck is what fires
     with pytest.raises(ValueError, match="walk pipeline"):
-        alg.embed_deepwalk(graph, factorization="device", **kw)
-    out = alg.embed_deepwalk(graph, factorization="host", **kw)
+        alg.embed_deepwalk(graph, factorization="device",
+                           walk_tables="replicated", **kw)
+    out = alg.embed_deepwalk(graph, factorization="host",
+                             walk_tables="replicated", **kw)
     assert np.isfinite(out).all()
 
 
