@@ -2285,6 +2285,9 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
     from .ops.cooccur import CountCheckpoint, device_pair_counts
 
     checkpoint = None
+    fact_params = dict(feature_dim=feature_dim, oversample=oversample,
+                       power_iters=power_iters,
+                       factorization=factorization)
     if checkpoint_dir is not None:
         fp = _walk_fingerprint(
             graph,
@@ -2298,7 +2301,7 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
             import os
 
             out = os.path.join(checkpoint_dir, "embedding.npy")
-        done = checkpoint.done_result(feature_dim)
+        done = checkpoint.done_result(feature_dim, fact_params)
         if done is not None:
             return done
 
@@ -2355,7 +2358,7 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
                                            seed, oversample=oversample,
                                            power_iters=power_iters, out=out)
     if checkpoint is not None:
-        checkpoint.mark_done(out, emb.shape)
+        checkpoint.mark_done(out, emb.shape, fact_params)
     return emb
 
 

@@ -244,10 +244,14 @@ class CountCheckpoint:
             os.replace(tmp, path)
 
     # ---- finished-embedding marker (the walk pipeline's "done" state)
-    def done_result(self, feature_dim: int):
+    def done_result(self, feature_dim: int, fact_params=None):
         """The finished embedding of a completed earlier run (read-only
         memmap), or None.  Validated against the fingerprint, the
-        recorded output path, and the expected shape."""
+        recorded output path, the expected shape, AND the factorization
+        parameters (``fact_params``) — the counting fingerprint covers
+        only what determines the COUNTS, so a rerun with e.g. a
+        different oversample must refactorize (reusing the counted
+        passes), not return the stale embedding."""
         import json
 
         try:
@@ -256,6 +260,10 @@ class CountCheckpoint:
         except (FileNotFoundError, json.JSONDecodeError):
             return None
         if meta.get("fingerprint") != self.fp:
+            return None
+        if json.dumps(fact_params, sort_keys=True, default=str) != \
+                json.dumps(meta.get("fact_params"), sort_keys=True,
+                           default=str):
             return None
         try:
             mm = np.load(meta["path"], mmap_mode="r")
@@ -266,13 +274,14 @@ class CountCheckpoint:
             return None
         return mm
 
-    def mark_done(self, path: str, shape) -> None:
+    def mark_done(self, path: str, shape, fact_params=None) -> None:
         import json
 
         meta = {
             "fingerprint": self.fp,
             "path": os.path.abspath(path),
             "shape": [int(x) for x in shape],
+            "fact_params": fact_params,
         }
         tmp = os.path.join(self.dir, self._DONE + ".tmp")
         with open(tmp, "w") as f:

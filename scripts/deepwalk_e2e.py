@@ -138,7 +138,11 @@ def main():
             checkpoint = cooccur.CountCheckpoint(args.checkpoint_dir, fp)
             if out is None:
                 out = os.path.join(args.checkpoint_dir, "embedding.npy")
-            done = checkpoint.done_result(args.dim)
+            # matches embed_deepwalk/node2vec's fact_params (defaults) so
+            # the script and the public API resume each other's runs
+            fact_params = dict(feature_dim=args.dim, oversample=16,
+                               power_iters=4, factorization="device")
+            done = checkpoint.done_result(args.dim, fact_params)
             if done is not None:
                 log(f"finished embedding found at {out} — nothing to do")
                 return
@@ -164,7 +168,7 @@ def main():
             ranges, m, n, args.dim, args.seed, out=out,
         )
         if checkpoint is not None:
-            checkpoint.mark_done(out, emb.shape)
+            checkpoint.mark_done(out, emb.shape, fact_params)
         fact_wall = time.time() - t0
         log(f"device PPMI+factorize: {emb.shape} in {fact_wall:.1f}s"
             + (f" -> {out}" if out else ""))

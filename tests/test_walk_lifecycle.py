@@ -295,3 +295,35 @@ def test_disk_graph_full_lifecycle(disk_pair, tmp_path):
     os.remove(os.path.join(ck, "embedding.json"))
     res = alg.embed_deepwalk(dg, checkpoint_dir=ck, **kw)
     np.testing.assert_array_equal(np.asarray(res), np.asarray(full))
+
+
+def test_done_marker_keys_on_factorization_params(graph, ckpt_dir,
+                                                  monkeypatch):
+    """Same counts, different factorization knobs: the done marker must
+    NOT return the stale embedding — the counted passes are reused, the
+    factorization reruns with the new parameters."""
+    alg.embed_deepwalk(graph, checkpoint_dir=ckpt_dir, **KW)
+    ref_tuned = alg._walks_ppmi_device(
+        graph, KW["feature_dim"], KW["window_size"], KW["seed"],
+        lambda: alg._device_walks(graph, KW["num_walks"],
+                                  KW["walk_length"], KW["seed"],
+                                  batch=alg._WALK_BATCH // 2,
+                                  resident=True),
+        passes=alg._cooc_passes(graph, KW["num_walks"], KW["walk_length"],
+                                KW["window_size"]),
+        oversample=4,
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("counts are durable — no walk regeneration")
+
+    monkeypatch.setattr(alg, "_device_walks", boom)
+    tuned = alg._walks_ppmi_device(
+        graph, KW["feature_dim"], KW["window_size"], KW["seed"], boom,
+        passes=alg._cooc_passes(graph, KW["num_walks"], KW["walk_length"],
+                                KW["window_size"]),
+        oversample=4, checkpoint_dir=ckpt_dir,
+        fp_params=dict(engine="walk1", num_walks=KW["num_walks"],
+                       walk_length=KW["walk_length"]),
+    )
+    np.testing.assert_array_equal(np.asarray(tuned), np.asarray(ref_tuned))
