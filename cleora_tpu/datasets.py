@@ -78,11 +78,11 @@ class _LazyEdgeList(Sequence):
             yield from self._render(lo, min(lo + self._CHUNK, len(self)))
 
     def __repr__(self):
-        return f"_LazyEdgeList(len={self._len:,})"
+        return f"_LazyEdgeList(len={len(self):,})"
 
     def arrays(self):
         """(src, dst) integer arrays — the zero-copy fast path for ingest."""
-        return self._src, self._dst
+        return self._pairs
 
 
 # --------------------------------------------------------------------- cache

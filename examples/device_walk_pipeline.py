@@ -50,3 +50,20 @@ dw_host = embed_deepwalk(graph, feature_dim=64, num_walks=4,
                          factorization="device")
 print("post-Procrustes agreement with the host-counted twin:",
       round(alignment_score(dw, dw_host), 3))
+
+# production lifecycle (round 5): durable per-pass counting + streamed
+# .npy output; rerunning after a kill resumes byte-identically, and a
+# finished run returns its memmap instantly
+import tempfile
+
+with tempfile.TemporaryDirectory() as ck:
+    emb = embed_deepwalk(graph, feature_dim=64, num_walks=4,
+                         walk_length=20, backend="device",
+                         cooccurrence="device", checkpoint_dir=ck,
+                         out=os.path.join(ck, "dw.npy"))
+    again = embed_deepwalk(graph, feature_dim=64, num_walks=4,
+                           walk_length=20, backend="device",
+                           cooccurrence="device", checkpoint_dir=ck,
+                           out=os.path.join(ck, "dw.npy"))
+    print("lifecycle: streamed", emb.shape, "— instant resume identical:",
+          bool(np.array_equal(np.asarray(emb), np.asarray(again))))
