@@ -841,6 +841,7 @@ def embed_prone(
     backend: str = "host",
     mesh=None,
     n_devices: Optional[int] = None,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """ProNE spectral propagation (reference algorithms.py:23-64):
     U = R + Σ_{k=2}^{min(10,n)-1} exp(-θk)·μ · T_k(L_norm)·R, then
@@ -849,15 +850,16 @@ def embed_prone(
     ``backend="device"`` with ``mesh=``/``n_devices=`` runs the Chebyshev
     recurrence AND the U_k√S_k epilogue sharded across the device mesh
     (parallel/algorithms.py) — graphs past one chip's HBM included; output
-    matches single-device up to per-column sign flips (eigh ambiguity)."""
+    matches single-device up to per-column sign flips (eigh ambiguity).
+  ``out=`` writes the finalized embedding to a ``.npy`` and returns a read-only memmap; with the sharded backend the write streams per shard block — no host ever holds (n, d)."""
     n = graph.num_entities
 
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import prone_sharded
 
-        U = prone_sharded(graph, feature_dim, mu, theta, seed,
-                          mesh=mesh, n_devices=n_devices)
-        return _finalize(U, feature_dim)
+        res = prone_sharded(graph, feature_dim, mu, theta, seed,
+                            mesh=mesh, n_devices=n_devices, out=out)
+        return res if out is not None else _finalize(res, feature_dim)
     if backend == "device":
         dev, rank = _prone_chebyshev_core(graph, feature_dim, mu, theta, seed)
         U = _fetch_f64(dev)
@@ -878,7 +880,8 @@ def embed_prone(
             U += np.exp(-theta * k) * mu * nxt
             prev, curr = curr, nxt
 
-    return _finalize(_svd_sqrt(U, feature_dim), feature_dim)
+    emb = _finalize(_svd_sqrt(U, feature_dim), feature_dim)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def embed_randne(
@@ -890,13 +893,14 @@ def embed_randne(
     backend: str = "host",
     mesh=None,
     n_devices: Optional[int] = None,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """RandNE iterated Gaussian projection (reference algorithms.py:67-100):
     U = Σ_i w_i · N^i · R with N = D^-1/2 A D^-1/2, w_i = 1/2^i default.
 
     ``backend="device"`` with ``mesh=``/``n_devices=`` runs the whole
     weighted-power loop sharded across the device mesh
-    (parallel/algorithms.py)."""
+    (parallel/algorithms.py).  ``out=`` writes the finalized embedding to a ``.npy`` and returns a read-only memmap; with the sharded backend the write streams per shard block — no host ever holds (n, d)."""
     n = graph.num_entities
     if weights is None:
         weights = [1.0 / (2**i) for i in range(num_iterations + 1)]
@@ -912,9 +916,9 @@ def embed_randne(
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import randne_sharded
 
-        U = randne_sharded(graph, feature_dim, full, seed,
-                           mesh=mesh, n_devices=n_devices)
-        return _finalize(U, feature_dim)
+        res = randne_sharded(graph, feature_dim, full, seed,
+                             mesh=mesh, n_devices=n_devices, out=out)
+        return res if out is not None else _finalize(res, feature_dim)
     if backend == "device":
         U = _device_spmm_weighted_sum(graph, R, full, sym_norm=True)
     else:
@@ -926,7 +930,8 @@ def embed_randne(
             current = _dense(N @ current)
             U += full[i + 1] * current
 
-    return _finalize(U, feature_dim)
+    emb = _finalize(U, feature_dim)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def embed_hope(
@@ -939,6 +944,7 @@ def embed_hope(
     power_iters: int = 2,
     mesh=None,
     n_devices: Optional[int] = None,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """HOPE Katz-proximity factorization (reference algorithms.py:103-149):
     M = (I − βA)^-1 − I, truncated SVD at dim/2, concat source ∥ target.
@@ -951,20 +957,22 @@ def embed_hope(
     ``oversample``/``power_iters``.  seed only affects the device sketch.
     With ``mesh=``/``n_devices=`` the whole pipeline (Neumann SpMMs,
     CholeskyQR subspace iteration, Gram-SVD) runs sharded across the
-    device mesh (parallel/algorithms.py)."""
+    device mesh (parallel/algorithms.py).  ``out=`` writes the finalized embedding to a ``.npy`` and returns a read-only memmap; with the sharded backend the write streams per shard block — no host ever holds (n, d)."""
     n = graph.num_entities
 
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import hope_sharded
 
         result = hope_sharded(graph, feature_dim, beta, seed, oversample,
-                              power_iters, mesh=mesh, n_devices=n_devices)
-        return _finalize(result, feature_dim)
+                              power_iters, mesh=mesh, n_devices=n_devices,
+                              out=out)
+        return result if out is not None else _finalize(result, feature_dim)
     if backend == "device":
         result = _hope_device(
             graph, feature_dim, beta, seed, oversample, power_iters
         )
-        return _finalize(result, feature_dim)
+        emb = _finalize(result, feature_dim)
+        return _write_npy(emb, out) if out is not None else emb
 
     A = _adjacency(graph)
 
@@ -992,7 +1000,8 @@ def embed_hope(
 
     sqrt_s = np.sqrt(np.maximum(s, 0))
     result = np.concatenate([u * sqrt_s, vt.T * sqrt_s], axis=1)
-    return _finalize(result, feature_dim)
+    emb = _finalize(result, feature_dim)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def embed_netmf(
@@ -1007,6 +1016,7 @@ def embed_netmf(
     block_rows: Optional[int] = None,
     mesh=None,
     n_devices: Optional[int] = None,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """NetMF log-PMI factorization (reference algorithms.py:152-198):
     M = (vol/b) · D^-1 · mean(P^1..P^w) · D, log-clipped at 1, full SVD.
@@ -1024,23 +1034,25 @@ def embed_netmf(
     ``mesh=``/``n_devices=`` the blocked driver runs SHARDED: the (n, b)
     blocks and the SpMM walk are row-partitioned across the device mesh
     (parallel/algorithms.py:netmf_sharded), multiplying both capacity and
-    SpMM throughput by the mesh size."""
+    SpMM throughput by the mesh size.  ``out=`` persists the finalized embedding to a ``.npy`` and returns a read-only memmap."""
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import netmf_sharded
 
-        return _finalize(
+        emb = _finalize(
             netmf_sharded(graph, feature_dim, window_size, negative_samples,
                           seed, oversample, power_iters,
                           block_rows=block_rows, mesh=mesh,
                           n_devices=n_devices),
             feature_dim,
         )
+        return _write_npy(emb, out) if out is not None else emb
     if backend == "device":
-        return _finalize(
+        emb = _finalize(
             _netmf_device(graph, feature_dim, window_size, negative_samples,
                           seed, oversample, power_iters, block_rows),
             feature_dim,
         )
+        return _write_npy(emb, out) if out is not None else emb
     n = graph.num_entities
     A = _adjacency(graph)
 
@@ -1061,7 +1073,8 @@ def embed_netmf(
 
     M = (vol / negative_samples) * D_inv @ M_sum @ diags(degrees)
     M_log = np.log(np.maximum(_dense(M), 1.0))
-    return _finalize(_svd_sqrt(M_log, min(feature_dim, n)), feature_dim)
+    emb = _finalize(_svd_sqrt(M_log, min(feature_dim, n)), feature_dim)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 def embed_grarep(
@@ -1075,6 +1088,7 @@ def embed_grarep(
     block_rows: Optional[int] = None,
     mesh=None,
     n_devices: Optional[int] = None,
+    out: Optional[str] = None,
 ) -> np.ndarray:
     """GraRep per-step log(P^k) SVDs, concat dim/max_step each
     (reference algorithms.py:201-245).
@@ -1085,22 +1099,24 @@ def embed_grarep(
     walk per sweep serves every step's sketch), so any n that fits the
     embedding runs on device.  ``block_rows`` forces the blocked path.
     With ``mesh=``/``n_devices=`` the blocked driver runs SHARDED across
-    the device mesh (parallel/algorithms.py:grarep_sharded)."""
+    the device mesh (parallel/algorithms.py:grarep_sharded).  ``out=`` persists the finalized embedding to a ``.npy`` and returns a read-only memmap."""
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import grarep_sharded
 
-        return _finalize(
+        emb = _finalize(
             grarep_sharded(graph, feature_dim, max_step, seed, oversample,
                            power_iters, block_rows=block_rows, mesh=mesh,
                            n_devices=n_devices),
             feature_dim,
         )
+        return _write_npy(emb, out) if out is not None else emb
     if backend == "device":
-        return _finalize(
+        emb = _finalize(
             _grarep_device(graph, feature_dim, max_step, seed, oversample,
                            power_iters, block_rows),
             feature_dim,
         )
+        return _write_npy(emb, out) if out is not None else emb
     n = graph.num_entities
     A = _adjacency(graph)
 
@@ -1118,7 +1134,8 @@ def embed_grarep(
         if step < max_step:
             P_k = P_k @ P
 
-    return _finalize(np.concatenate(embs, axis=1), feature_dim)
+    emb = _finalize(np.concatenate(embs, axis=1), feature_dim)
+    return _write_npy(emb, out) if out is not None else emb
 
 
 # ------------------------------------------------- device random-walk engine

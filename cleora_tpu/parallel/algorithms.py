@@ -63,6 +63,24 @@ def _to_host_out(arr, n: int) -> np.ndarray:
     return np.asarray(arr, dtype=np.float64)[:n]
 
 
+def _sharded_exit(arr, op, n: int, feature_dim: int, out):
+    """Exit for the shard_map siblings: the host-allgathered f64 matrix
+    (default, pre-``_finalize`` — the public wrappers finalize), or with
+    ``out=`` a finalized float32 ``.npy`` streamed per shard block via
+    ``state.write_memmap`` — no host ever holds the full (n, d), the
+    memory-bounded exit for pod-scale runs (the finalize is row-local,
+    so per-block application is exact)."""
+    if out is None:
+        return _to_host_out(arr, n)
+    from ..algorithms import _finalize
+    from .state import write_memmap
+
+    return write_memmap(
+        out, arr, op.sharded,
+        transform=lambda b: _finalize(b.astype(np.float64), feature_dim),
+    )
+
+
 def _host_full(arr) -> np.ndarray:
     """Host copy of a (possibly multi-process, row-sharded) device array
     in its own dtype — the blocked drivers' fetch primitive."""
@@ -407,7 +425,7 @@ def _sharded_op_sym(graph, mesh, width):
 
 # -------------------------------------------------------------- algorithms
 def prone_sharded(graph, feature_dim, mu, theta, seed, mesh=None,
-                  n_devices=None):
+                  n_devices=None, out=None):
     """Sharded ProNE Chebyshev filter + distributed U_k√S_k.  Returns the
     pre-``_finalize`` (n, feature_dim) matrix (float64 host), matching
     the single-device backend up to per-column sign flips.  Runs
@@ -447,12 +465,12 @@ def prone_sharded(graph, feature_dim, mu, theta, seed, mesh=None,
         U, _, _ = lax.fori_loop(2, kmax, body, (U, prev, curr))
         return _gram_usqrt(U, axis)
 
-    out = _run(mesh, axis, fn, R, [op])
-    return _to_host_out(out, n)
+    res = _run(mesh, axis, fn, R, [op])
+    return _sharded_exit(res, op, n, feature_dim, out)
 
 
 def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
-                   n_devices=None):
+                   n_devices=None, out=None):
     """Sharded RandNE Σ_i w_i·N^i·R.  Returns the pre-``_finalize``
     (n, feature_dim) matrix (float64 host).  Runs multi-process,
     including from per-host pieces (see ``_sharded_op_sym``)."""
@@ -482,8 +500,8 @@ def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
         )
         return acc
 
-    out = _run(mesh, axis, fn, R, [op])
-    return _to_host_out(out, n)
+    res = _run(mesh, axis, fn, R, [op])
+    return _sharded_exit(res, op, n, feature_dim, out)
 
 
 def _block_seed_local(rps, b, base, start):
@@ -722,7 +740,7 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
 
 
 def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,
-                 mesh=None, n_devices=None):
+                 mesh=None, n_devices=None, out=None):
     """Sharded matrix-free HOPE: the Katz Neumann series runs as sharded
     SpMMs on A and Aᵀ, the subspace iteration orthonormalizes with
     CholeskyQR2, and the small SVD comes from the psum'd r×r Gram.
@@ -804,5 +822,5 @@ def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,
         right = V[:, :k] * su
         return jnp.concatenate([left, right], axis=1)
 
-    out = _run(mesh, axis, fn, omega, [opA, opT])
-    return _to_host_out(out, n)
+    res = _run(mesh, axis, fn, omega, [opA, opT])
+    return _sharded_exit(res, opA, n, feature_dim, out)

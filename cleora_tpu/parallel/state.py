@@ -234,13 +234,16 @@ def collect_shards(arr, sharded, ell_plan=None) -> EmbeddingShards:
     )
 
 
-def write_memmap(path: str, arr, sharded, ell_plan=None) -> np.memmap:
+def write_memmap(path: str, arr, sharded, ell_plan=None,
+                 transform=None) -> np.memmap:
     """Stream the sharded embedding into ONE standard ``.npy`` file.
 
     Every process memmap-writes its own row blocks (shared filesystem in
     multi-process runs — the usual pod checkpointing setup); peak host
-    memory is one shard block.  Returns a read-only memmap of the full
-    (n_rows, D) matrix."""
+    memory is one shard block.  ``transform`` (row-local, e.g. the
+    sibling algorithms' finalize) maps each fetched block before the
+    write and sets the stored width.  Returns a read-only memmap of the
+    full (n_rows, D) matrix."""
     import jax
 
     multi = jax.process_count() > 1
@@ -248,6 +251,8 @@ def write_memmap(path: str, arr, sharded, ell_plan=None) -> np.memmap:
         from jax.experimental import multihost_utils
 
     d = arr.shape[1]
+    if transform is not None:
+        d = transform(np.zeros((1, arr.shape[1]), np.float32)).shape[1]
     if jax.process_index() == 0:
         mm = np.lib.format.open_memmap(
             path, mode="w+", dtype=np.float32,
@@ -258,7 +263,7 @@ def write_memmap(path: str, arr, sharded, ell_plan=None) -> np.memmap:
         multihost_utils.sync_global_devices("cleora_tpu.memmap.create")
     mm = np.lib.format.open_memmap(path, mode="r+")
     for _, lo, hi, block in iter_local_blocks(arr, sharded, ell_plan):
-        mm[lo:hi] = block
+        mm[lo:hi] = transform(block) if transform is not None else block
     mm.flush()
     del mm
     if multi:

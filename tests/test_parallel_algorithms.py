@@ -248,3 +248,36 @@ def test_piece_single_process_rejected(tmp_path):
     with pytest.raises(ValueError, match="TRANSPOSED"):
         hope_sharded(piece, 16, beta=0.01, seed=3, oversample=8,
                      power_iters=2, n_devices=4)
+
+
+def test_sharded_siblings_streamed_out(graph, tmp_path):
+    """out= on the shard_map siblings streams a finalized .npy per shard
+    block (state.write_memmap transform) — identical to the in-memory
+    finalized result, without the allgathered (n, d) host copy."""
+    for fn, kw in (
+        (embed_prone, dict(mu=0.2, theta=0.5)),
+        (embed_randne, dict(num_iterations=4)),
+        (embed_hope, dict(beta=0.01, oversample=8, power_iters=2)),
+    ):
+        p = str(tmp_path / f"{fn.__name__}.npy")
+        ref = fn(graph, feature_dim=16, backend="device", n_devices=4,
+                 seed=3, **kw)
+        got = fn(graph, feature_dim=16, backend="device", n_devices=4,
+                 seed=3, out=p, **kw)
+        assert isinstance(got, np.memmap), fn.__name__
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_single_device_siblings_out_persist(graph, tmp_path):
+    """out= on the non-sharded backends persists the same embedding."""
+    from cleora_tpu.algorithms import embed_grarep, embed_netmf
+
+    for fn, kw in (
+        (embed_prone, dict(backend="device")),
+        (embed_netmf, dict(backend="device", window_size=2)),
+        (embed_grarep, dict(max_step=2)),
+    ):
+        p = str(tmp_path / f"{fn.__name__}.npy")
+        ref = fn(graph, feature_dim=16, seed=3, **kw)
+        got = fn(graph, feature_dim=16, seed=3, out=p, **kw)
+        np.testing.assert_array_equal(np.asarray(got), ref), fn.__name__
