@@ -528,9 +528,12 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
     single-chip ``_netmf_blocked_device``, with the (n, b) block and the
     randomized-SVD operands row-partitioned across the mesh and the two
     per-block products reduced with psum/local matmuls).  HBM per chip
-    holds O((n/P)·b); the (n, r) sketch operands are small and travel
-    host↔device between sweeps.  Returns the pre-``_finalize``
-    (n, feature_dim) matrix."""
+    holds O((n/P)·(b + r)): the W sketch is row-sharded and V is shipped
+    one REPLICATED (b, r) block per dispatch (round 5 — a replicated
+    (n, r) V capped the mesh path at ~15M rows/16 GiB regardless of P).
+    The host still stages the (n, r) panels between sweeps
+    (_host_blocked_u_sqrt) — the documented host-RAM axis.  Returns the
+    pre-``_finalize`` (n, feature_dim) matrix."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -571,7 +574,7 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
     op_specs = op.specs(axis)
     row_spec = P(axis, None)
 
-    def kernel(start, W_sh, Vp, deg_sh, deg_rep, ops):
+    def kernel(start, W_sh, Vb, deg_sh, deg_rep, ops):
         apply = op.make_apply(ops, axis)
         k0 = lax.axis_index(axis) * rps
         y = _block_seed_local(rps, b, k0, start)
@@ -590,7 +593,6 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
         br = lax.psum(
             jnp.dot(L.T, W_sh, preferred_element_type=jnp.float32), axis
         )
-        Vb = lax.dynamic_slice(Vp, (start, jnp.int32(0)), (b, r))
         nr = jnp.dot(L, Vb, preferred_element_type=jnp.float32)
         return br, nr
 
@@ -612,13 +614,16 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
         """One sweep over the blocks: returns (M·W, Mᵀ·V) at (n, r)."""
         W_sh = put_global(mesh, pad_rows(np.asarray(W, np.float32),
                                          n_rows_padded), row_spec)
-        Vp = np.zeros((max(n_pad_b, n), r), np.float32)
-        Vp[:n] = np.asarray(V, np.float32)[:n]
-        Vp_d = put_global(mesh, Vp, P(None, None))
+        V = np.asarray(V, np.float32)
         G = None
         pieces = []
         for start in range(0, n_pad_b, b):
-            br, nr = mapped(jnp.int32(start), W_sh, Vp_d, deg_sh, deg_rep,
+            Vb = np.zeros((b, r), np.float32)
+            hi = min(start + b, n)
+            if hi > start:
+                Vb[: hi - start] = V[start:hi]
+            Vb_d = put_global(mesh, Vb, P(None, None))
+            br, nr = mapped(jnp.int32(start), W_sh, Vb_d, deg_sh, deg_rep,
                             placed_ops)
             pieces.append(np.asarray(br))
             G = nr if G is None else G + nr
@@ -676,7 +681,7 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
 
     log_floor = np.float32(np.log(1e-10))
 
-    def kernel(start, W_sh, Vp, ops):
+    def kernel(start, W_sh, Vbs, ops):
         apply = op.make_apply(ops, axis)
         k0 = lax.axis_index(axis) * rps
         y = _block_seed_local(rps, b, k0, start)
@@ -688,10 +693,8 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
                 jnp.dot(L.T, W_sh[s], preferred_element_type=jnp.float32),
                 axis,
             ))
-            Vb = lax.dynamic_slice(
-                Vp[s], (start, jnp.int32(0)), (b, r)
-            )
-            nrs.append(jnp.dot(L, Vb, preferred_element_type=jnp.float32))
+            nrs.append(jnp.dot(L, Vbs[s],
+                               preferred_element_type=jnp.float32))
         return jnp.stack(brs), jnp.stack(nrs)
 
     mapped = jax.jit(jax.shard_map(
@@ -708,13 +711,19 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
         Wp = np.zeros((max_step, n_rows_padded, r), np.float32)
         Wp[:, :n] = np.asarray(W, np.float32)[:, :n]
         W_sh = put_global(mesh, Wp, row_spec)
-        Vp = np.zeros((max_step, max(n_pad_b, n), r), np.float32)
-        Vp[:, :n] = np.asarray(V, np.float32)[:, :n]
-        Vp_d = put_global(mesh, Vp, P(None, None, None))
+        V = np.asarray(V, np.float32)
         G = None
         pieces = []
         for start in range(0, n_pad_b, b):
-            br, nr = mapped(jnp.int32(start), W_sh, Vp_d, placed_ops)
+            # one replicated (max_step, b, r) V-block per dispatch — a
+            # replicated full (max_step, n, r) V would cap the mesh path
+            # at HBM/(max_step·r) rows regardless of device count
+            Vbs = np.zeros((max_step, b, r), np.float32)
+            hi = min(start + b, n)
+            if hi > start:
+                Vbs[:, : hi - start] = V[:, start:hi]
+            Vbs_d = put_global(mesh, Vbs, P(None, None, None))
+            br, nr = mapped(jnp.int32(start), W_sh, Vbs_d, placed_ops)
             pieces.append(np.asarray(br))
             G = nr if G is None else G + nr
         Y = np.concatenate(pieces, axis=1)[:, :n]
