@@ -59,6 +59,14 @@ def main(argv=None):
                         "the whole walk pipeline TPU-resident — the right "
                         "mode on weak or remote hosts (requires --backend "
                         "device; implies the device factorization)")
+    p.add_argument("--walk-tables",
+                   choices=["auto", "replicated", "sharded"],
+                   default="auto",
+                   help="deepwalk/node2vec walk-CSR placement: 'sharded' "
+                        "row-partitions the tables over the --sharded "
+                        "mesh (owner-routed hops, value-identical walks) "
+                        "for edge lists past one chip's HBM; 'auto' "
+                        "fit-checks")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--streaming", metavar="DIR", default=None,
                    help="Out-of-core build: spill the graph to DIR "
@@ -312,6 +320,11 @@ def _finish_embed(args, graph):
         return
     fact = getattr(args, "factorization", None)
     cooc = getattr(args, "cooccurrence", "host")
+    wtab = getattr(args, "walk_tables", "auto")
+    if wtab != "auto" and args.algorithm not in ("deepwalk", "node2vec"):
+        raise SystemExit(
+            "--walk-tables applies only to --algorithm deepwalk/node2vec"
+        )
     if fact is not None or cooc != "host":
         if args.algorithm not in ("deepwalk", "node2vec"):
             raise SystemExit(
@@ -344,11 +357,11 @@ def _finish_embed(args, graph):
         "deepwalk": lambda: embed_deepwalk(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
                                            cooccurrence=cooc, mesh=mesh,
-                                           **walk_kw),
+                                           walk_tables=wtab, **walk_kw),
         "node2vec": lambda: embed_node2vec(graph, args.dim, seed=args.seed,
                                            backend=be, factorization=fact,
                                            cooccurrence=cooc, mesh=mesh,
-                                           **walk_kw),
+                                           walk_tables=wtab, **walk_kw),
     }
     walk_kw = {}
     if walk_lifecycle:
