@@ -1241,6 +1241,15 @@ def _walk_csr_build_disk(g, with_vals: bool, chunk_rows: int = 1 << 21):
     fill), never materializing entity-id strings or the int64 COO rows
     that ``to_sparse_matrix()``/``to_sparse_csr()`` would build.  Output
     identical to the in-RAM branch on the same graph (parity-tested)."""
+    pr = (g.meta.get("row_range") if getattr(g, "meta", None) else None)
+    if pr is not None and (int(pr[0]) > 0 or int(pr[1]) < g.num_entities):
+        # a sharded-build PIECE has edges only for rows [lo, hi) — walks
+        # on it would silently dead-end at every other row
+        raise ValueError(
+            f"This DiskGraph is one host's piece of a sharded build "
+            f"(rows {pr}); the walk engines need the whole graph — merge "
+            "the pieces first (graph.stream.merge_disk_graph_shards)."
+        )
     n = g.num_entities
     src_ip = g.indptr  # (n+1,) int64 memmap
     deg = np.zeros(n, dtype=np.int64)

@@ -327,3 +327,24 @@ def test_done_marker_keys_on_factorization_params(graph, ckpt_dir,
                        walk_length=KW["walk_length"]),
     )
     np.testing.assert_array_equal(np.asarray(tuned), np.asarray(ref_tuned))
+
+
+def test_disk_piece_rejected_for_walks(tmp_path):
+    """A sharded-build PIECE has edges only for its row range — the walk
+    engines must refuse it (walks would silently dead-end everywhere
+    else), pointing at merge_disk_graph_shards."""
+    from cleora_tpu.graph.stream import (build_graph_streaming,
+                                         count_entities_streaming)
+    from cleora_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native builder unavailable")
+    lines = [f"n{i} n{(i * 7) % 50}" for i in range(300)]
+    n = count_entities_streaming(lines, "complex::reflexive::n")
+    piece = build_graph_streaming(iter(lines), "complex::reflexive::n",
+                                  str(tmp_path / "p"),
+                                  row_range=(0, n // 2))
+    with pytest.raises(ValueError, match="piece"):
+        alg.embed_deepwalk(piece, feature_dim=8, num_walks=1,
+                           walk_length=6, backend="device",
+                           cooccurrence="device")
