@@ -498,15 +498,30 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
         if fill:
             cache_state["filled"] = True
 
-    ranges = []
-    for s in range(passes):
-        r = checkpoint.load_pass(s) if checkpoint is not None else None
-        if r is None:
-            r = _run_pass(pass_batches(), s, passes, n, window)
-            if checkpoint is not None:
-                checkpoint.save_pass(s, r)
-        if r is not None:
-            ranges.append(r)
+    # saves overlap the NEXT pass's device sorts: the ~GB-scale fetch of
+    # a finished pass is host/tunnel work the device doesn't wait on —
+    # one background writer keeps saves ordered (and the checkpoint's own
+    # lock makes it safe either way); failures re-raise at the join
+    import concurrent.futures
+
+    saver = (concurrent.futures.ThreadPoolExecutor(max_workers=1)
+             if checkpoint is not None else None)
+    pending = []
+    try:
+        ranges = []
+        for s in range(passes):
+            r = checkpoint.load_pass(s) if checkpoint is not None else None
+            if r is None:
+                r = _run_pass(pass_batches(), s, passes, n, window)
+                if checkpoint is not None:
+                    pending.append(saver.submit(checkpoint.save_pass, s, r))
+            if r is not None:
+                ranges.append(r)
+        for f in pending:
+            f.result()
+    finally:
+        if saver is not None:
+            saver.shutdown(wait=True)
     _check_count_overflow(ranges, n)
     return ranges, sum(r[3] for r in ranges)
 
