@@ -1924,6 +1924,16 @@ def _rsvd_step_jits():
         def apply_m(layout, x, *, n_rows, chunk_edges):
             return spmm_inner(*layout, x, n_rows, chunk_edges=chunk_edges)
 
+        @functools.partial(jax.jit,
+                           static_argnames=("n_rows", "chunk_edges"),
+                           donate_argnums=(2,))
+        def apply_add(layout, x, acc, *, n_rows, chunk_edges):
+            # one range's partial added into the running (n, r) result —
+            # ranges are row-disjoint, so the adds are exact (each row's
+            # value comes from exactly one range; the rest add 0.0)
+            return acc + spmm_inner(*layout, x, n_rows,
+                                    chunk_edges=chunk_edges)
+
         @jax.jit
         def qr_q(y):
             return jnp.linalg.qr(y)[0]
@@ -1934,7 +1944,8 @@ def _rsvd_step_jits():
             su = jnp.sqrt(jnp.maximum(s[:k], 0.0))
             return (q @ ub[:, :k]) * su
 
-        _RSVD_STEP_JITS.update(apply=apply_m, qr=qr_q, tail=tail)
+        _RSVD_STEP_JITS.update(apply=apply_m, apply_add=apply_add,
+                               qr=qr_q, tail=tail)
     return _RSVD_STEP_JITS
 
 
@@ -1946,14 +1957,27 @@ def _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim,
     device-counted PPMI factorizations — one place for the iteration
     order and the sign convention.
 
+    ``layout`` may be a LIST of per-range triples (the multi-pass counted
+    corpus): the operator applies as one dispatch per range with a donated
+    running accumulator — row-disjoint ranges add exactly, and the peak
+    stays at the resident ranges + ONE (n, r) panel + one chunk
+    intermediate.  (Concatenating the ranges into one flat COO doubled
+    transient HBM and the compiler REJECTED the concat program at 839M
+    slots on the v5e — round 5, measured.)
+
     ``out`` streams the finalized embedding straight into one standard
     ``.npy`` in bounded row chunks instead of materializing (n, d) on the
     host — the production exit for large n behind a tunneled runtime
     (same rationale as ``parallel.state.write_memmap``); returns a
     read-only memmap."""
     steps = _rsvd_step_jits()
-    m_apply = lambda x: steps["apply"](layout, x, n_rows=n,
-                                       chunk_edges=chunk)
+    layouts = layout if isinstance(layout, list) else [layout]
+
+    def m_apply(x):
+        y = steps["apply"](layouts[0], x, n_rows=n, chunk_edges=chunk)
+        for lay in layouts[1:]:
+            y = steps["apply_add"](lay, x, y, n_rows=n, chunk_edges=chunk)
+        return y
     y = m_apply(omega)
     del omega
     for _ in range(power_iters):  # M symmetric
@@ -2418,18 +2442,18 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
         ) from None
     parts = list(ppmi_ranges(ranges, n))
     del ranges
-    # one flat chunk-ALIGNED triple for the rsvd.  Alignment first:
-    # spmm_inner pads misaligned COO in-trace, which copies the multi-GB
-    # operand arrays inside the compiled program — at 450M slots those
-    # copies alone exceeded HBM at compile time (measured 16.53G of
-    # 15.75G).  Aligned, reshape-into-chunks is a free alias.  Then ONE
-    # concatenated triple instead of summing per-range SpMMs: four
-    # parallel range-scans kept four (n, r) accumulators plus their chunk
-    # intermediates live (measured 62% HBM fragmentation), while one scan
-    # over the concat keeps one of each — and because every range is
-    # chunk-aligned, no scan chunk spans a range boundary, so each
-    # chunk's rows stay internally nondecreasing and the sorted
-    # segment-sum hint remains valid across the concat.
+    # Chunk-ALIGN each range on device, then hand the rsvd the PER-RANGE
+    # layouts.  Alignment first: spmm_inner pads misaligned COO in-trace,
+    # which copies the multi-GB operand arrays inside the compiled
+    # program — at 450M slots those copies alone exceeded HBM at compile
+    # time (measured 16.53G of 15.75G); aligned, reshape-into-chunks is a
+    # free alias.  The ranges are NOT concatenated into one flat triple:
+    # the concat transiently doubles the COO bytes (inputs + outputs
+    # co-resident) and the compiler rejected that program outright at
+    # 839M slots (round 5, num_walks=2 at 1M nodes) — the rsvd instead
+    # applies one dispatch per range with a single donated accumulator
+    # (row-disjoint ranges add exactly; see _rsvd_flat), keeping the
+    # peak at the resident ranges + one (n, r) panel.
     from .ops.spmm import _chunk_edges_for
 
     chunk = _chunk_edges_for(n, r, edge_bytes=12 * sum(
@@ -2447,19 +2471,13 @@ def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
     while parts:
         rows, cols, vals = parts.pop(0)
         length = int(rows.shape[0])
-        if (multi or length > chunk) and length % chunk:
+        if length > chunk and length % chunk:
             target = -(-length // chunk) * chunk
             rows, cols, vals = _ALIGN_JIT["align"](
                 rows, cols, vals, out_len=target, n_rows=n)
         aligned.append((rows, cols, vals))
         del rows, cols, vals
-    if multi:
-        layout = tuple(
-            jnp.concatenate([a[i] for a in aligned]) for i in range(3)
-        )
-        del aligned
-    else:
-        layout = aligned[0]
+    layout = aligned if multi else aligned[0]
     omega = jax.random.normal(
         jax.random.PRNGKey(seed ^ 0x5EED), (n, r), dtype=jnp.float32)
     return _rsvd_flat(layout, chunk, n, k, omega, power_iters, feature_dim,
