@@ -65,8 +65,6 @@ def home_ranges(ranges):
 
 def _align_jit():
     if "align" not in _JITS:
-        import functools
-
         import jax
         import jax.numpy as jnp
 
@@ -76,7 +74,7 @@ def _align_jit():
                     jnp.pad(cols, (0, pad)), jnp.pad(vals, (0, pad)))
 
         _JITS["align"] = jax.jit(
-            functools.partial(_align), static_argnames=("out_len", "n_rows"))
+            _align, static_argnames=("out_len", "n_rows"))
     return _JITS["align"]
 
 
