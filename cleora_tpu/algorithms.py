@@ -1512,12 +1512,6 @@ def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
             f"Unknown walk_tables '{mode}'. Use 'auto', 'replicated' or "
             "'sharded'."
         )
-    if mode == "sharded" and second_order:
-        raise ValueError(
-            "walk_tables='sharded' supports the first-order engine only "
-            "(p == q == 1); the p/q walker's rejection loop needs "
-            "replicated tables"
-        )
     if mode != "auto":
         if mode == "sharded" and mesh is None:
             raise ValueError("walk_tables='sharded' needs a mesh")
@@ -1535,7 +1529,7 @@ def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
     batch = 3 * (_WALK2_BATCH if second_order else _WALK_BATCH) * 4 * 80
     if table + batch <= int(limit * 0.9):
         return "replicated"
-    if mesh is not None and not second_order:
+    if mesh is not None:
         P_ = int(mesh.devices.size)
         if table / P_ + batch <= int(limit * 0.9):
             return "sharded"
@@ -1545,6 +1539,242 @@ def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
         f" exceeds the ~{limit / (1 << 30):.1f} GiB device budget) — "
         "use more devices (mesh=), or backend='host' for host-RAM walks"
     )
+
+
+# ----------------------------------- sharded-table second-order engine
+_WALK2_SHARDED_JITS: dict = {}
+
+
+def _shard_walk_tables2(indptr, cols, vals, deg, wmax, wsum, n, mesh):
+    """Second-order twin of :func:`_shard_walk_tables`: the row-
+    partitioned CSR plus the edge weights and per-row envelope tables
+    (wmax/wsum) the rejection sampler reads."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import shard_axes
+
+    P_ = int(mesh.devices.size)
+    rps = -(-n // P_)
+    ip64 = np.zeros(n + 1, dtype=np.int64)
+    ip64[:n] = indptr
+    ip64[n] = (int(indptr[n - 1]) + int(deg[n - 1])) if n else 0
+    bounds = np.minimum(np.arange(P_ + 1) * rps, n)
+    counts = [int(ip64[bounds[k + 1]] - ip64[bounds[k]]) for k in range(P_)]
+    E = max(max(counts), 1)
+    ip_sh = np.zeros((P_, rps), dtype=np.int32)
+    deg_sh = np.zeros((P_, rps), dtype=np.int32)
+    wmax_sh = np.zeros((P_, rps), dtype=np.float32)
+    wsum_sh = np.zeros((P_, rps), dtype=np.float32)
+    cols_sh = np.zeros((P_, E), dtype=np.int32)
+    vals_sh = np.zeros((P_, E), dtype=np.float32)
+    for k in range(P_):
+        lo, hi = bounds[k], bounds[k + 1]
+        if hi > lo:
+            ip_sh[k, : hi - lo] = (ip64[lo:hi] - ip64[lo]).astype(np.int32)
+            deg_sh[k, : hi - lo] = deg[lo:hi]
+            wmax_sh[k, : hi - lo] = wmax[lo:hi]
+            wsum_sh[k, : hi - lo] = wsum[lo:hi]
+            cols_sh[k, :counts[k]] = cols[ip64[lo]:ip64[hi]]
+            vals_sh[k, :counts[k]] = vals[ip64[lo]:ip64[hi]]
+    ax = shard_axes(mesh)
+    sh = NamedSharding(mesh, P(ax, None))
+    placed = tuple(jax.device_put(a, sh) for a in
+                   (ip_sh, cols_sh, vals_sh, deg_sh, wmax_sh, wsum_sh))
+    return placed + (rps,)
+
+
+def _device_walk2_sharded_jit(mesh):
+    """Second-order (p/q) engine with the CSR row-sharded over the mesh
+    (round 5) — the capacity mode when the weighted tables exceed one
+    chip's HBM.
+
+    Ownership split per hop: the owner of each lane's CURRENT row
+    supplies degree/envelope/backtrack weight and, per rejection round,
+    the uniform proposal's (neighbor, weight); the owner of the PREV row
+    answers the common-neighbor membership test; psums combine the
+    disjoint per-owner contributions (~3 (B,)-sized collectives per
+    round — the price of not replicating the (nnz,) tables), and every
+    probability decision runs replicated with the SAME key splits as the
+    replicated engine's no-tail-compaction path.  Walks are therefore
+    BITWISE-identical to :func:`_device_walk2_jit` for batches below its
+    compaction threshold (4096, tested); at larger batches this engine
+    runs plain full-width rejection rounds (compaction's lane gathers
+    don't owner-route) — the same sampler and mixing bound, its own
+    draw stream."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    if key not in _WALK2_SHARDED_JITS:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import shard_axes
+
+        axis = shard_axes(mesh)
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("walk_length", "n_rows", "tries", "bsteps",
+                             "rps"),
+        )
+        def walks2s(ip_sh, cols_sh, vals_sh, deg_sh, wmax_sh, wsum_sh,
+                    starts, key_, inv_p, inv_q, *, walk_length, n_rows,
+                    tries, bsteps, rps):
+            def local(ip, colsL, valsL, degL, wmL, wsL, starts_, kk,
+                      ipv, iqv):
+                ip = ip.reshape(-1)
+                colsL = colsL.reshape(-1)
+                valsL = valsL.reshape(-1)
+                degL = degL.reshape(-1)
+                wmL = wmL.reshape(-1)
+                wsL = wsL.reshape(-1)
+                row_lo = lax.axis_index(axis) * rps
+                E = colsL.shape[0]
+                m2 = jnp.maximum(jnp.float32(1.0), iqv)
+                rounds = tries  # chunk == 1, like the production default
+                PRELUDE = min(4, rounds)
+
+                def own_of(u):
+                    lr = u - row_lo
+                    ok = (lr >= 0) & (lr < rps)
+                    return ok, jnp.clip(lr, 0, rps - 1)
+
+                def bsearch_local(u_ok, u_lr, x):
+                    """(found, pos) of x in the LOCAL slice of row u —
+                    same halving schedule as the replicated engine, so
+                    equal results on owned rows."""
+                    lo0 = jnp.take(ip, u_lr)
+                    hi0 = lo0 + jnp.take(degL, u_lr)
+
+                    def bstep(_, lh):
+                        lo, hi = lh
+                        active = lo < hi
+                        mid = (lo + hi) // 2
+                        v = jnp.take(colsL, jnp.clip(mid, 0, E - 1))
+                        right = active & (v < x)
+                        return (
+                            jnp.where(right, mid + 1, lo),
+                            jnp.where(active & ~right, mid, hi),
+                        )
+
+                    lo, _ = lax.fori_loop(0, bsteps, bstep, (lo0, hi0))
+                    v = jnp.take(colsL, jnp.clip(lo, 0, E - 1))
+                    return u_ok & (lo < hi0) & (v == x), lo
+
+                def hop(carry, k):
+                    prev, cur = carry
+                    valid = cur < n_rows
+                    ownc, lrc = own_of(cur)
+                    ownc = ownc & valid
+                    d = lax.psum(
+                        jnp.where(ownc, jnp.take(degL, lrc), 0), axis)
+                    wm = lax.psum(
+                        jnp.where(ownc, jnp.take(wmL, lrc), 0.0), axis)
+                    ws = lax.psum(
+                        jnp.where(ownc, jnp.take(wsL, lrc), 0.0), axis)
+                    first = prev >= n_rows
+                    prev_c = jnp.where(first, 0, prev)
+                    bt_found, bt_pos = bsearch_local(ownc, lrc, prev_c)
+                    w_bt = lax.psum(
+                        jnp.where(
+                            bt_found & ~first,
+                            jnp.take(valsL, jnp.clip(bt_pos, 0, E - 1))
+                            * ipv,
+                            0.0,
+                        ),
+                        axis,
+                    )
+                    env = w_bt + d.astype(jnp.float32) * wm * m2
+                    pi = w_bt / jnp.maximum(env, 1e-30)
+                    dead = ws * m2 + w_bt < 1e-15
+                    alive = valid & (d > 0) & ~dead
+                    base_l = jnp.take(ip, lrc)
+                    ownp, lrp = own_of(prev_c)
+                    ownp = ownp & ~first
+
+                    # same split as the replicated hop; k_b/k_b2 are its
+                    # compaction-stage keys, unused on this path
+                    k_a, k_b, k_b2, k_c = jax.random.split(k, 4)
+                    del k_b, k_b2
+
+                    def run_stage(key0, acc, cand, max_rounds, forced):
+                        cshape = (1,) + acc.shape
+
+                        def cond(s):
+                            r, _, a, _ = s
+                            return (r < max_rounds) & ~jnp.all(a)
+
+                        def body(s):
+                            r, kk2, a, c = s
+                            kk2, k0, k1, k2 = jax.random.split(kk2, 4)
+                            is_bt = ~first & (
+                                jax.random.uniform(k0, cshape) < pi)
+                            u = jax.random.uniform(k1, cshape)
+                            j = jnp.minimum(
+                                (u * d.astype(jnp.float32)).astype(
+                                    jnp.int32),
+                                jnp.maximum(d - 1, 0),
+                            )
+                            idx = jnp.clip(base_l + j, 0, E - 1)
+                            x = lax.psum(
+                                jnp.where(ownc, jnp.take(colsL, idx), 0),
+                                axis)
+                            w = lax.psum(
+                                jnp.where(
+                                    ownc, jnp.take(valsL, idx), 0.0),
+                                axis)
+                            common_l, _ = bsearch_local(
+                                jnp.broadcast_to(ownp, cshape),
+                                jnp.broadcast_to(lrp, cshape), x)
+                            common = lax.psum(
+                                common_l.astype(jnp.int32), axis) > 0
+                            alpha2 = jnp.where(
+                                x == prev_c, 0.0,
+                                jnp.where(common, 1.0, iqv))
+                            p_acc = jnp.where(
+                                first, 1.0,
+                                w * alpha2 / jnp.maximum(wm * m2, 1e-30))
+                            hit = is_bt | (
+                                jax.random.uniform(k2, cshape) < p_acc)
+                            prop = jnp.where(is_bt, prev_c, x)
+                            any_hit = jnp.any(hit, axis=0)
+                            fi = jnp.argmax(hit, axis=0)
+                            sel = jnp.take_along_axis(
+                                prop, fi[None, :], axis=0)[0]
+                            exhausted = forced & (r == max_rounds - 1)
+                            take_it = alive & ~a & (any_hit | exhausted)
+                            c = jnp.where(
+                                take_it,
+                                jnp.where(any_hit, sel, x[-1]), c)
+                            return r + 1, kk2, a | take_it | ~alive, c
+
+                        _, _, acc, cand = lax.while_loop(
+                            cond, body, (jnp.int32(0), key0, acc, cand))
+                        return acc, cand
+
+                    acc = ~alive
+                    cand = jnp.full(cur.shape, n_rows, jnp.int32)
+                    acc, cand = run_stage(k_a, acc, cand, PRELUDE, False)
+                    _, cand = run_stage(k_c, acc, cand, rounds, True)
+                    return (cur, cand), cand
+
+                keys = jax.random.split(kk, walk_length - 1)
+                prev0 = jnp.full(starts_.shape, n_rows, jnp.int32)
+                _, ys = lax.scan(hop, (prev0, starts_), keys)
+                return jnp.concatenate([starts_[None, :], ys], axis=0).T
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis, None),) * 6 + (P(),) * 4,
+                out_specs=P(),
+            )(ip_sh, cols_sh, vals_sh, deg_sh, wmax_sh, wsum_sh, starts,
+              key_, inv_p, inv_q)
+
+        _WALK2_SHARDED_JITS[key] = walks2s
+    return _WALK2_SHARDED_JITS[key]
 
 
 # ------------------------------------- device second-order (p/q) walk engine
@@ -1777,17 +2007,17 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
 
     ``mesh`` shards the walk lanes across the devices (see
     :func:`_walk_placers`); ``resident=True`` yields ``(device_array,
-    pad)`` unfetched, as in :func:`_device_walks`.  Tables are always
-    replicated here (``walk_tables`` validates the fit and rejects
-    'sharded' — the rejection loop's binary searches need the whole
-    CSR); past one chip, use p == q == 1 (first-order sharded tables) or
-    ``backend='host'``."""
+    pad)`` unfetched, as in :func:`_device_walks`.  ``walk_tables``
+    places the weighted CSR: 'sharded' row-partitions it over the mesh
+    with owner-routed rejection sampling
+    (:func:`_device_walk2_sharded_jit`) — the capacity mode for tables
+    past one chip's HBM."""
     import jax
 
     import jax.numpy as jnp
 
     indptr, cols, deg, n, vals, wmax, wsum = _walk_csr(graph, with_vals=True)
-    _walk_table_mode(walk_tables, mesh, n, int(cols.shape[0]), True)
+    mode = _walk_table_mode(walk_tables, mesh, n, int(cols.shape[0]), True)
     bsteps = max(1, int(np.ceil(np.log2(int(deg.max(initial=0)) + 2))))
     if tries is None:
         # the composition sampler's acceptance is independent of p (exact
@@ -1801,23 +2031,44 @@ def _device_walks2(graph, num_walks: int, walk_length: int, p: float,
         return
     all_starts = np.tile(starts, num_walks)
     rep, shard_batch = _walk_placers(mesh)
-    dev = (
-        rep(indptr), rep(cols), rep(vals),
-        rep(deg), rep(wmax), rep(wsum),
-    )
-    fn = _device_walk2_jit()
+    if mode == "sharded":
+        cache = getattr(graph, "_device_cache", None)
+        ck = ("walk_tables2_sharded",
+              tuple(d.id for d in mesh.devices.flat))
+        if cache is not None and ck in cache:
+            tables = cache[ck]
+        else:
+            tables = _shard_walk_tables2(indptr, cols, vals, deg, wmax,
+                                         wsum, n, mesh)
+            if cache is not None:
+                cache[ck] = tables
+        fn2 = _device_walk2_sharded_jit(mesh)
+        rps = tables[-1]
+        run = lambda part, key: fn2(
+            *tables[:-1], rep(part), key,
+            jnp.float32(1.0 / p), jnp.float32(1.0 / q),
+            walk_length=walk_length, n_rows=n, tries=tries,
+            bsteps=bsteps, rps=rps,
+        )
+    else:
+        dev = (
+            rep(indptr), rep(cols), rep(vals),
+            rep(deg), rep(wmax), rep(wsum),
+        )
+        fn = _device_walk2_jit()
+        run = lambda part, key: fn(
+            *dev, shard_batch(part), key,
+            jnp.float32(1.0 / p), jnp.float32(1.0 / q),
+            walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
+            chunk=_WALK2_CHUNK,
+        )
     root = jax.random.PRNGKey(seed)
     for i, lo in enumerate(range(0, all_starts.shape[0], batch)):
         part = all_starts[lo:lo + batch]
         pad = _lane_pad(part.shape[0], batch, lo, mesh)
         if pad:
             part = np.concatenate([part, np.full(pad, n, dtype=np.int32)])
-        out = fn(
-            *dev, shard_batch(part), jax.random.fold_in(root, i),
-            jnp.float32(1.0 / p), jnp.float32(1.0 / q),
-            walk_length=walk_length, n_rows=n, tries=tries, bsteps=bsteps,
-            chunk=_WALK2_CHUNK,
-        )
+        out = run(part, jax.random.fold_in(root, i))
         if resident:
             yield out, pad
             continue

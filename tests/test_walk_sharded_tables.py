@@ -97,23 +97,72 @@ def test_auto_chain_fit_checks(monkeypatch):
     monkeypatch.setattr(memory, "device_hbm_limit", lambda: 100 << 20)
     with pytest.raises(ValueError, match="backend='host'"):
         alg._walk_table_mode("auto", mesh, n, nnz, False)
-    # second-order never auto-shards — replicated or error
+    # second-order shards too (round 5): its table is ~2× (adds vals +
+    # wmax/wsum), so it needs ~2 GiB replicated but /8 fits in 1 GiB
     monkeypatch.setattr(memory, "device_hbm_limit", lambda: 1 << 30)
+    assert alg._walk_table_mode("auto", mesh, n, nnz, True) == "sharded"
+    monkeypatch.setattr(memory, "device_hbm_limit", lambda: 100 << 20)
     with pytest.raises(ValueError, match="backend='host'"):
         alg._walk_table_mode("auto", mesh, n, nnz, True)
 
 
 def test_sharded_tables_validation(graph):
-    with pytest.raises(ValueError, match="first-order"):
-        alg.embed_node2vec(graph, feature_dim=8, p=0.5, q=2.0,
-                           backend="device", n_devices=4,
-                           walk_tables="sharded")
     with pytest.raises(ValueError, match="mesh"):
         alg.embed_deepwalk(graph, feature_dim=8, backend="device",
                            walk_tables="sharded")
     with pytest.raises(ValueError, match="walk_tables"):
         alg.embed_deepwalk(graph, feature_dim=8, backend="device",
                            walk_tables="bogus")
+
+
+# ------------------------------------- second-order sharded tables
+@pytest.mark.parametrize("p,q", [(0.5, 2.0), (1.0, 0.7), (4.0, 1.0)])
+def test_second_order_sharded_bitwise(graph, p, q):
+    """Owner-routed rejection sampling (cur's owner proposes, prev's
+    owner answers the common-neighbor test, psums combine) with the
+    replicated engine's key splits: BITWISE-identical walks below the
+    replicated engine's compaction threshold."""
+    mesh = make_mesh(4)
+    rep = np.concatenate(list(alg._device_walks2(
+        graph, 1, 10, p, q, seed=5, batch=512, mesh=mesh)))
+    shd = np.concatenate(list(alg._device_walks2(
+        graph, 1, 10, p, q, seed=5, batch=512, mesh=mesh,
+        walk_tables="sharded")))
+    np.testing.assert_array_equal(rep, shd)
+
+
+def test_second_order_sharded_embedding(graph):
+    """Through the public API: small batches stay under the compaction
+    threshold, so the full pipeline output is identical too."""
+    kw = dict(feature_dim=8, num_walks=1, walk_length=8, window_size=3,
+              p=0.5, q=2.0, seed=4, backend="device",
+              cooccurrence="device", n_devices=4)
+    a = alg.embed_node2vec(graph, **kw)
+    b = alg.embed_node2vec(graph, walk_tables="sharded", **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_second_order_sharded_tables_cached(graph):
+    mesh = make_mesh(4)
+    graph._device_cache.pop(
+        ("walk_tables2_sharded", tuple(d.id for d in mesh.devices.flat)),
+        None,
+    )
+    calls = {"n": 0}
+    orig = alg._shard_walk_tables2
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    alg._shard_walk_tables2 = spy
+    try:
+        for _ in range(2):
+            list(alg._device_walks2(graph, 1, 6, 0.5, 2.0, seed=1,
+                                    mesh=mesh, walk_tables="sharded"))
+    finally:
+        alg._shard_walk_tables2 = orig
+    assert calls["n"] == 1
 
 
 def test_sharded_tables_cached_per_graph(graph):
