@@ -202,8 +202,8 @@ class CountCheckpoint:
         try:
             with np.load(self._pass_path(s)) as z:
                 return str(z["fingerprint"]) == self.fp
-        except (FileNotFoundError, OSError, ValueError, KeyError):
-            return False
+        except Exception:  # missing, truncated (BadZipFile), foreign file —
+            return False   # any unreadable pass simply recounts
 
     def load_pass(self, s: int, device=None):
         """(cen, ctx, cnt, m) on ``device`` (default placement when None),
@@ -216,7 +216,7 @@ class CountCheckpoint:
                     return None
                 cen, ctx, cnt = z["cen"], z["ctx"], z["cnt"]
                 m = int(z["m"])
-        except (FileNotFoundError, OSError, ValueError, KeyError):
+        except Exception:  # see has_pass — unreadable means recount
             return None
         put = (lambda a: jax.device_put(a, device)) if device is not None \
             else jax.device_put

@@ -348,3 +348,17 @@ def test_disk_piece_rejected_for_walks(tmp_path):
         alg.embed_deepwalk(piece, feature_dim=8, num_walks=1,
                            walk_length=6, backend="device",
                            cooccurrence="device")
+
+
+def test_corrupt_pass_file_recounts(graph, ref, ckpt_dir):
+    """A truncated/corrupt pass file (e.g. a crash mid-hardlink or disk
+    fault) must be treated as absent — recount, not crash (np.load
+    raises BadZipFile there, not OSError)."""
+    alg.embed_deepwalk(graph, checkpoint_dir=ckpt_dir, **KW)
+    os.remove(os.path.join(ckpt_dir, "embedding.npy"))
+    os.remove(os.path.join(ckpt_dir, "embedding.json"))
+    f = os.path.join(ckpt_dir, _counts_files(ckpt_dir)[0])
+    with open(f, "r+b") as fh:
+        fh.truncate(100)  # corrupt: valid path, unreadable zip
+    res = alg.embed_deepwalk(graph, checkpoint_dir=ckpt_dir, **KW)
+    np.testing.assert_array_equal(np.asarray(res), ref)
