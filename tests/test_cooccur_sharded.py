@@ -174,3 +174,30 @@ def test_sharded_validation(graph):
     with pytest.raises(ValueError, match="factorization"):
         alg.embed_deepwalk(graph, feature_dim=8, backend="device",
                            cooccurrence="device", factorization="bogus")
+
+
+def test_resume_across_device_counts(graph, tmp_path, monkeypatch):
+    """The counting checkpoint is TOPOLOGY-FREE (unlike the embed
+    checkpoint's process-count pin): passes counted on a 4-device mesh
+    resume onto 2 devices or the sequential path with identical output —
+    hash partitions carry no device identity."""
+    import os
+
+    monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 2_000)
+    ck = str(tmp_path / "ck")
+    full = alg.embed_deepwalk(graph, checkpoint_dir=ck, n_devices=4, **KW)
+
+    def boom(*a, **k):
+        raise AssertionError("counts are durable — no regeneration")
+
+    for nd in (2, None):
+        os.remove(os.path.join(ck, "embedding.npy"))
+        os.remove(os.path.join(ck, "embedding.json"))
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(alg, "_device_walks", boom)
+            if nd:
+                res = alg.embed_deepwalk(graph, checkpoint_dir=ck,
+                                         n_devices=nd, **KW)
+            else:
+                res = alg.embed_deepwalk(graph, checkpoint_dir=ck, **KW)
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(full))
