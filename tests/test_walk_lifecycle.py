@@ -362,3 +362,26 @@ def test_corrupt_pass_file_recounts(graph, ref, ckpt_dir):
         fh.truncate(100)  # corrupt: valid path, unreadable zip
     res = alg.embed_deepwalk(graph, checkpoint_dir=ckpt_dir, **KW)
     np.testing.assert_array_equal(np.asarray(res), ref)
+
+
+def test_disk_checkpoint_sharded_factorization_compose(disk_pair, tmp_path,
+                                                       monkeypatch):
+    """Triple compose: DiskGraph input × counting checkpoints ×
+    mesh-sharded factorization — killed after counting, resumed with the
+    partitions redistributed to the mesh, byte-identical output."""
+    _, dg = disk_pair
+    monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 2_000)
+    ck = str(tmp_path / "ck")
+    kw = dict(feature_dim=8, num_walks=2, walk_length=10, window_size=3,
+              seed=5, backend="device", cooccurrence="device",
+              n_devices=4, factorization="sharded")
+    full = alg.embed_deepwalk(dg, checkpoint_dir=ck, **kw)
+    os.remove(os.path.join(ck, "embedding.npy"))
+    os.remove(os.path.join(ck, "embedding.json"))
+
+    def boom(*a, **k):
+        raise AssertionError("counting durable — no regeneration")
+
+    monkeypatch.setattr(alg, "_device_walks", boom)
+    res = alg.embed_deepwalk(dg, checkpoint_dir=ck, **kw)
+    np.testing.assert_array_equal(np.asarray(res), np.asarray(full))
