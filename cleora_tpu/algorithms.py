@@ -2626,13 +2626,34 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
                                          passes=passes, devices=devices,
                                          checkpoint=checkpoint,
                                          gather_home=False)
-    # Factorization placement: 'sharded' keeps each partition on its
-    # counting device and runs the mesh rsvd (parallel/cooccur.py);
-    # 'device' (the default) homes the partitions onto one chip — unless
-    # they no longer FIT one chip, in which case the sharded path engages
-    # automatically (that capacity is exactly what it exists for).
+    emb = _factorize_ranges(ranges, m_total, n, feature_dim, seed,
+                            oversample=oversample, power_iters=power_iters,
+                            out=out, factorization=factorization)
+    if checkpoint is not None:
+        checkpoint.mark_done(out, emb.shape, fact_params)
+    return emb
+
+
+def _factorize_ranges(ranges, m_total, n, feature_dim, seed,
+                      oversample=16, power_iters=4, out=None,
+                      factorization="device"):
+    """Factorization-placement decision for counted ranges:
+    ``factorization='sharded'`` keeps each partition on its counting
+    device and runs the mesh rsvd (parallel/cooccur.py); ``'device'``
+    (the default) homes the partitions onto one chip — unless they no
+    longer FIT one chip, in which case the sharded path engages
+    automatically (that capacity is exactly what it exists for).  Shared
+    by the public pipeline and scripts/deepwalk_e2e.py so the runbook's
+    auto-engage claim holds on both entry points."""
+    from .parallel.cooccur import home_ranges, range_device
+
+    if ranges and any(range_device(r) is None for r in ranges):
+        # ranges counted from mesh-REPLICATED walk batches (sharded-table
+        # walks + sequential counting) are replicated across the mesh —
+        # collapse to one device before deciding placement
+        ranges = home_ranges(ranges)
     use_sharded = factorization == "sharded"
-    spread = len({next(iter(r[0].devices())) for r in ranges}) > 1 \
+    spread = len({range_device(r) for r in ranges}) > 1 \
         if ranges else False
     if not use_sharded and spread:
         from .ops.memory import check_device_fit
@@ -2646,21 +2667,15 @@ def _walks_ppmi_device(graph, feature_dim, window_size, seed, batches_fn,
     if use_sharded:
         from .parallel.cooccur import sharded_counts_to_embeddings
 
-        emb = sharded_counts_to_embeddings(
+        return sharded_counts_to_embeddings(
             ranges, m_total, n, feature_dim, seed, oversample=oversample,
             power_iters=power_iters, out=out,
         )
-    else:
-        if spread:
-            from .parallel.cooccur import home_ranges
-
-            ranges = home_ranges(ranges)
-        emb = _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
-                                           seed, oversample=oversample,
-                                           power_iters=power_iters, out=out)
-    if checkpoint is not None:
-        checkpoint.mark_done(out, emb.shape, fact_params)
-    return emb
+    if spread:
+        ranges = home_ranges(ranges)
+    return _device_counts_to_embeddings(ranges, m_total, n, feature_dim,
+                                        seed, oversample=oversample,
+                                        power_iters=power_iters, out=out)
 
 
 def _device_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,

@@ -35,14 +35,25 @@ import numpy as np
 _JITS: dict = {}
 
 
+def range_device(r):
+    """The single device a range lives on, or None when it is REPLICATED
+    across a mesh (ranges counted from mesh-sharded-table walk batches
+    come out replicated — every device holds a full copy)."""
+    ds = r[0].devices()
+    return next(iter(ds)) if len(ds) == 1 else None
+
+
 def groups_by_device(ranges):
     """[(device, [ranges...])] grouped by each range's (single) device,
     in first-seen order — pass-parallel counting places pass s on device
-    s % P, so first-seen order is device order."""
+    s % P, so first-seen order is device order.  Replicated ranges group
+    under their first device (sorted by id for determinism)."""
     by: dict = {}
     order = []
     for r in ranges:
-        (d,) = r[0].devices()
+        d = range_device(r)
+        if d is None:
+            d = sorted(r[0].devices(), key=lambda x: x.id)[0]
         if d not in by:
             by[d] = []
             order.append(d)
@@ -51,13 +62,17 @@ def groups_by_device(ranges):
 
 
 def home_ranges(ranges):
-    """Move every range onto the first range's device (the single-device
-    factorization's contract).  No-op for already-homed ranges."""
+    """Move every range onto one device (the single-device
+    factorization's contract): the first range's device, or — for
+    replicated ranges — its lowest-id device.  No-op when already
+    homed."""
     import jax
 
     if not ranges:
         return ranges
-    (home,) = ranges[0][0].devices()
+    home = range_device(ranges[0])
+    if home is None:
+        home = sorted(ranges[0][0].devices(), key=lambda x: x.id)[0]
     return [
         (*(jax.device_put(a, home) for a in r[:3]), r[3]) for r in ranges
     ]

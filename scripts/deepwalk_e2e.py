@@ -36,10 +36,18 @@ def main():
     ap.add_argument("--edges", type=int, default=11_000_000)
     ap.add_argument("--num-walks", type=int, default=2)
     ap.add_argument("--walk-length", type=int, default=80)
+    ap.add_argument("--walk-tables", default="auto",
+                    choices=["auto", "replicated", "sharded"],
+                    help="walk-CSR placement (sharded = row-partitioned "
+                         "over the counting devices' mesh)")
     ap.add_argument("--window", type=int, default=5)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--factorization", default="device",
-                    choices=["host", "device"])
+                    choices=["host", "device", "sharded"],
+                    help="'sharded' (with --cooccurrence device and "
+                         "--count-devices) keeps each count partition on "
+                         "its counting device and runs the SVD "
+                         "mesh-sharded; auto-engaged past one chip's HBM")
     ap.add_argument("--cooccurrence", default="host",
                     choices=["host", "device"],
                     help="device = fully TPU-resident pipeline "
@@ -89,14 +97,22 @@ def main():
 
     second = not (args.p == 1.0 and args.q == 1.0)
 
+    wt_mesh = None
+    if args.walk_tables == "sharded":
+        from cleora_tpu.parallel.mesh import make_mesh
+
+        wt_mesh = make_mesh(args.count_devices or None)
+
     def resident_batches():
         if second:
             return alg._device_walks2(
                 g, args.num_walks, args.walk_length, args.p, args.q,
-                args.seed, resident=True)
+                args.seed, resident=True, mesh=wt_mesh,
+                walk_tables=args.walk_tables)
         return alg._device_walks(
             g, args.num_walks, args.walk_length, args.seed,
-            batch=alg._WALK_BATCH // 2, resident=True)
+            batch=alg._WALK_BATCH // 2, resident=True, mesh=wt_mesh,
+            walk_tables=args.walk_tables)
 
     if args.cooccurrence == "device":
         # fully device-resident: walks are consumed lazily by the device
@@ -140,8 +156,10 @@ def main():
                 out = os.path.join(args.checkpoint_dir, "embedding.npy")
             # matches embed_deepwalk/node2vec's fact_params (defaults) so
             # the script and the public API resume each other's runs
-            fact_params = dict(feature_dim=args.dim, oversample=16,
-                               power_iters=4, factorization="device")
+            fact_params = dict(
+                feature_dim=args.dim, oversample=16, power_iters=4,
+                factorization=("sharded" if args.factorization == "sharded"
+                               else "device"))
             done = checkpoint.done_result(args.dim, fact_params)
             if done is not None:
                 log(f"finished embedding found at {out} — nothing to do")
@@ -149,6 +167,7 @@ def main():
         ranges, m = cooccur.device_pair_counts(
             resident_batches, n, args.window, passes=passes,
             devices=devices, checkpoint=checkpoint,
+            gather_home=False,
         )
         cnt_total = cooccur.pair_total(ranges, n)  # scalar fetch per range
         cooc_wall = time.time() - t0
@@ -164,8 +183,9 @@ def main():
             }), flush=True)
             return
         t0 = time.time()
-        emb = alg._device_counts_to_embeddings(
+        emb = alg._factorize_ranges(
             ranges, m, n, args.dim, args.seed, out=out,
+            factorization=args.factorization,
         )
         if checkpoint is not None:
             checkpoint.mark_done(out, emb.shape, fact_params)

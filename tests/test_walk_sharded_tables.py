@@ -188,3 +188,19 @@ def test_sharded_tables_cached_per_graph(graph):
     finally:
         alg._shard_walk_tables = orig
     assert calls["n"] == 1
+
+
+def test_replicated_ranges_factorize(graph):
+    """Sharded-table walks + SEQUENTIAL counting produce mesh-REPLICATED
+    count ranges (the sorts run SPMD over the replicated batches); the
+    factorization-placement logic must home them, not crash — for both
+    the default and the forced-sharded factorization (caught by a
+    script smoke in round 5)."""
+    kw = dict(feature_dim=8, num_walks=2, walk_length=10, window_size=3,
+              seed=3, backend="device", cooccurrence="device")
+    ref = alg.embed_deepwalk(graph, **kw)
+    a = alg.embed_deepwalk(graph, n_devices=4, walk_tables="sharded", **kw)
+    b = alg.embed_deepwalk(graph, n_devices=4, walk_tables="sharded",
+                           factorization="sharded", **kw)
+    np.testing.assert_array_equal(np.asarray(a), ref)
+    np.testing.assert_allclose(np.asarray(b), ref, rtol=2e-4, atol=2e-4)
