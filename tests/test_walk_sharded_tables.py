@@ -204,3 +204,16 @@ def test_replicated_ranges_factorize(graph):
                            factorization="sharded", **kw)
     np.testing.assert_array_equal(np.asarray(a), ref)
     np.testing.assert_allclose(np.asarray(b), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pass_parallel_with_sharded_tables(graph, monkeypatch):
+    """Pass-parallel counting commits the (replicated) sharded-table walk
+    batches onto each counting device; results match the default-table
+    run exactly (walks are value-identical and counts deterministic)."""
+    monkeypatch.setattr(alg, "_COOC_PASS_PAIRS", 2_000)
+    kw = dict(feature_dim=8, num_walks=2, walk_length=12, window_size=3,
+              seed=7, backend="device", cooccurrence="device",
+              n_devices=4)
+    a = alg.embed_deepwalk(graph, **kw)
+    b = alg.embed_deepwalk(graph, walk_tables="sharded", **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
