@@ -95,12 +95,18 @@ def _align_jit():
 
 def _apply_jit(mesh):
     """psum-of-local-SpMMs operator application for ``mesh`` (cached per
-    device tuple — shard_map closes over the mesh)."""
+    device tuple — shard_map closes over the mesh).  Each device scans
+    its STACKED (R, Lr) ranges with one running accumulator (the same
+    per-range structure as the single-device ``_rsvd_flat`` — a flat
+    concat would transiently double the COO bytes, the exact failure the
+    compiler rejected at 839M slots)."""
     key = ("apply", tuple(d.id for d in mesh.devices.flat))
     if key not in _JITS:
         import functools
 
         import jax
+        import jax.numpy as jnp
+        from jax import lax
         from jax.sharding import PartitionSpec as P
 
         from ..ops.spmm import spmm_inner
@@ -109,15 +115,27 @@ def _apply_jit(mesh):
                                                      "chunk_edges"))
         def apply(rows, cols, vals, x, *, n_rows, chunk_edges):
             def local(r, c, v, x_rep):
-                y = spmm_inner(
-                    r.reshape(-1), c.reshape(-1), v.reshape(-1), x_rep,
-                    n_rows, chunk_edges=chunk_edges,
-                )
-                return jax.lax.psum(y, "cooc")
+                r = r.reshape(r.shape[1:])
+                c = c.reshape(c.shape[1:])
+                v = v.reshape(v.shape[1:])
+
+                def body(acc, triple):
+                    rr, cc, vv = triple
+                    y = spmm_inner(rr, cc, vv, x_rep, n_rows,
+                                   chunk_edges=chunk_edges)
+                    return acc + y, None
+
+                # the carry must hold the body's varying manual axes
+                # (same trick as spmm_inner's own scan init)
+                acc0 = jnp.zeros(
+                    (n_rows, x_rep.shape[1]), x_rep.dtype
+                ) + (v.reshape(-1)[0] * 0).astype(x_rep.dtype)
+                y, _ = lax.scan(body, acc0, (r, c, v))
+                return lax.psum(y, "cooc")
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(P("cooc", None),) * 3 + (P(),),
+                in_specs=(P("cooc", None, None),) * 3 + (P(),),
                 out_specs=P(),
             )(rows, cols, vals, x)
 
@@ -176,49 +194,54 @@ def sharded_counts_to_embeddings(ranges, m_total, n, feature_dim, seed,
     col_sums = sum(col_parts).astype(np.float32)
     del col_parts
 
-    # ---- per-device flat chunk-aligned COO (same layout contract as the
-    # single-device path: every range padded to a chunk multiple so no
-    # scan chunk spans a range boundary and the sorted segment-sum hint
-    # stays valid; devices pad to a common length with inert slots)
+    # ---- per-device STACKED chunk-aligned COO ranges: every range pads
+    # to the global max range length Lr (a chunk multiple — inert slots
+    # are (n-1, 0, 0)) and every device to the global max range count R
+    # (all-padding ranges contribute exact zeros).  Stacking instead of
+    # concatenating keeps the per-device transient at one range's
+    # padding, not 2× the whole device share — hash partitions are
+    # near-equal so the padding is small.
     chunk = _chunk_edges_for(n, r, edge_bytes=12 * max_slots)
     align = _align_jit()
-    flats = []
+    Lr = chunk
+    for _, rs in groups:
+        for c_, _, _, _ in rs:
+            need = -(-int(c_.shape[0]) // chunk) * chunk
+            Lr = max(Lr, need)
+    R = max(len(rs) for _, rs in groups)
+    stacks = []
     for d, rs in groups:
         cs_d = jax.device_put(col_sums, d)
         parts = list(ppmi_transform(rs, n, cs_d, np.float32(total)))
         aligned = []
         while parts:
             rows, cols, vals = parts.pop(0)
-            length = int(rows.shape[0])
-            if length % chunk:
-                target = -(-length // chunk) * chunk
-                rows, cols, vals = align(rows, cols, vals, out_len=target,
+            if int(rows.shape[0]) != Lr:
+                rows, cols, vals = align(rows, cols, vals, out_len=Lr,
                                          n_rows=n)
             aligned.append((rows, cols, vals))
             del rows, cols, vals
-        flat = tuple(
-            jnp.concatenate([a[i] for a in aligned]) if len(aligned) > 1
-            else aligned[0][i]
-            for i in range(3)
-        )
+        while len(aligned) < R:  # inert all-padding range
+            pad_r = jax.device_put(
+                np.full(Lr, max(n - 1, 0), np.int32), d)
+            pad_c = jax.device_put(np.zeros(Lr, np.int32), d)
+            pad_v = jax.device_put(np.zeros(Lr, np.float32), d)
+            aligned.append((pad_r, pad_c, pad_v))
+        stacks.append(tuple(
+            jnp.stack([a[i] for a in aligned]) for i in range(3)
+        ))
         del aligned
-        flats.append(flat)
-    L = max(int(f[0].shape[0]) for f in flats)
-    flats = [
-        f if int(f[0].shape[0]) == L
-        else align(*f, out_len=L, n_rows=n)
-        for f in flats
-    ]
 
     mesh = Mesh(np.asarray(devs), ("cooc",))
-    sh = NamedSharding(mesh, P("cooc", None))
+    sh = NamedSharding(mesh, P("cooc", None, None))
     stacked = tuple(
         jax.make_array_from_single_device_arrays(
-            (len(devs), L), sh, [f[i].reshape(1, L) for f in flats]
+            (len(devs), R, Lr), sh,
+            [s[i].reshape(1, R, Lr) for s in stacks]
         )
         for i in range(3)
     )
-    del flats
+    del stacks
 
     rep = NamedSharding(mesh, P())
     omega = jax.device_put(
