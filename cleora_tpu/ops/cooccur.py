@@ -334,9 +334,10 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
     sorts, not the walks, gate a pass), broadcast to each counting device,
     and one host thread per device drives its passes so each thread's
     blocking unique-count fetches overlap every other device's sorts.
-    Finished ranges land back on ``devices[0]`` — they must fit one
-    chip's HBM anyway, because the downstream factorization consumes them
-    as a single flat COO.  Returns ``None`` when the corpus exceeds the
+    With ``gather_home`` finished ranges land back on ``devices[0]`` for
+    the single-device factorization; ``gather_home=False`` leaves each
+    on its counting device for the mesh-sharded factorization
+    (parallel/cooccur.py).  Returns ``None`` when the corpus exceeds the
     cache budget (caller falls back to the sequential regenerating path).
     """
     import concurrent.futures
