@@ -667,24 +667,6 @@ def _blocked_u_sqrt(pass_fn, k: int, power_iters: int, omega):
 
     return jnp.dot(Q, Ub[:, :k], precision=jax.lax.Precision.HIGHEST) * su
 
-
-def _host_blocked_u_sqrt(pass_fn, k: int, power_iters: int, omega):
-    """Host-orchestrated twin of :func:`_blocked_u_sqrt` for drivers whose
-    ``pass_fn`` returns numpy (the SHARDED blocked drivers,
-    parallel/algorithms.py — per-sweep operands travel host↔mesh)."""
-    zeros = np.zeros_like(omega)
-    Y, _ = pass_fn(omega, zeros)
-    for _ in range(power_iters):
-        Q, _ = np.linalg.qr(Y)
-        _, G = pass_fn(zeros, Q.astype(np.float32))
-        Y, _ = pass_fn(G.astype(np.float32), zeros)
-    Q, _ = np.linalg.qr(Y)
-    _, C = pass_fn(zeros, Q.astype(np.float32))
-    Ub, s, _ = np.linalg.svd(C.T, full_matrices=False)
-    su = np.sqrt(np.maximum(s[:k], 0.0))
-    return (Q @ Ub[:, :k]) * su
-
-
 def _netmf_blocked_device(graph, feature_dim: int, window_size: int,
                           negative_samples: float, seed: int, oversample: int,
                           power_iters: int, block_rows=None) -> np.ndarray:
@@ -1038,14 +1020,11 @@ def embed_netmf(
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import netmf_sharded
 
-        emb = _finalize(
-            netmf_sharded(graph, feature_dim, window_size, negative_samples,
-                          seed, oversample, power_iters,
-                          block_rows=block_rows, mesh=mesh,
-                          n_devices=n_devices),
-            feature_dim,
-        )
-        return _write_npy(emb, out) if out is not None else emb
+        res = netmf_sharded(graph, feature_dim, window_size,
+                            negative_samples, seed, oversample,
+                            power_iters, block_rows=block_rows, mesh=mesh,
+                            n_devices=n_devices, out=out)
+        return res if out is not None else _finalize(res, feature_dim)
     if backend == "device":
         emb = _finalize(
             _netmf_device(graph, feature_dim, window_size, negative_samples,
@@ -1103,13 +1082,10 @@ def embed_grarep(
     if backend == "device" and (mesh is not None or n_devices is not None):
         from .parallel.algorithms import grarep_sharded
 
-        emb = _finalize(
-            grarep_sharded(graph, feature_dim, max_step, seed, oversample,
-                           power_iters, block_rows=block_rows, mesh=mesh,
-                           n_devices=n_devices),
-            feature_dim,
-        )
-        return _write_npy(emb, out) if out is not None else emb
+        res = grarep_sharded(graph, feature_dim, max_step, seed, oversample,
+                             power_iters, block_rows=block_rows, mesh=mesh,
+                             n_devices=n_devices, out=out)
+        return res if out is not None else _finalize(res, feature_dim)
     if backend == "device":
         emb = _finalize(
             _grarep_device(graph, feature_dim, max_step, seed, oversample,

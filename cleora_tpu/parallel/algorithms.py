@@ -81,18 +81,6 @@ def _sharded_exit(arr, op, n: int, feature_dim: int, out):
     )
 
 
-def _host_full(arr) -> np.ndarray:
-    """Host copy of a (possibly multi-process, row-sharded) device array
-    in its own dtype — the blocked drivers' fetch primitive."""
-    import jax
-
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
-    return np.asarray(arr)
-
-
 def _piece_range_of(graph):
     """(lo, hi) when ``graph`` is one host's piece of a sharded build,
     else None."""
@@ -504,6 +492,173 @@ def randne_sharded(graph, feature_dim, weights, seed, mesh=None,
     return _sharded_exit(res, op, n, feature_dim, out)
 
 
+def _panel_tools(mesh, axis, n_pad_all, n_rows_padded, r, b):
+    """Jitted helpers for the DEVICE-RESIDENT blocked drivers (round 5):
+    the (n, r) sketch panels live row-sharded on the mesh across sweeps
+    instead of staging on the host between them.
+
+    * ``scatter(Y, br, start)`` — write the replicated (b, r) block into
+      the sharded (n_pad_all, r) panel at dynamic ``start``.  Each shard
+      writes into a local buffer with b guard rows on each end and a
+      CLAMPED local offset, then slices its own rows back out — rows
+      belonging to other shards land in the guards and are dropped.
+      (A plain dynamic_update_slice on the sharded dim with a traced
+      start is at the SPMD partitioner's mercy; the guard form is
+      explicit and O(b·r) per device.)  ``Y`` is donated.
+    * ``vblock(V, start)`` — replicated (b, r) slice of the sharded
+      panel (GSPMD gathers just the touched shards).
+    * ``trim(Y)`` — the kernel-facing (n_rows_padded, r) row-sharded
+      view of the big panel.
+    * ``qr2(Y)`` — distributed CholeskyQR2 of the sharded panel (zero
+      pad rows don't perturb the Gram).
+    * ``gram(C)`` — psum'd (r, r) CᵀC of a row-sharded matrix.
+    * ``combine(Q, M)`` — sharded Q @ M for the small factor products.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    P_ = int(mesh.devices.size)
+    rps_all = n_pad_all // P_
+    row_sh = NamedSharding(mesh, P(axis, None))
+    rep_sh = NamedSharding(mesh, P())
+    row_spec = P(axis, None)
+
+    def _scatter(y, br, start):
+        def local(y_loc, br_rep, st):
+            y2 = y_loc.reshape(rps_all, -1)
+            row0 = lax.axis_index(axis) * rps_all
+            guard = jnp.zeros((rps_all + 2 * b, y2.shape[1]), y2.dtype)
+            guard = lax.dynamic_update_slice(
+                guard, y2, (jnp.int32(b), jnp.int32(0)))
+            off = jnp.clip(st - row0 + b, 0, rps_all + b)
+            guard = lax.dynamic_update_slice(
+                guard, br_rep, (off, jnp.int32(0)))
+            return lax.dynamic_slice(
+                guard, (jnp.int32(b), jnp.int32(0)),
+                (rps_all, y2.shape[1]))
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(row_spec, P(), P()),
+            out_specs=row_spec,
+        )(y, br, start)
+
+    scatter = jax.jit(_scatter, donate_argnums=(0,))
+
+    def _vblock(v, start):
+        return lax.dynamic_slice(v, (start, jnp.int32(0)),
+                                 (b, v.shape[1]))
+
+    vblock = jax.jit(_vblock, out_shardings=rep_sh)
+
+    @functools.partial(jax.jit, out_shardings=row_sh)
+    def trim(y):
+        return lax.slice(y, (0, 0), (n_rows_padded, y.shape[1]))
+
+    qr2 = jax.jit(jax.shard_map(
+        lambda y: _chol_qr(y, axis), mesh=mesh,
+        in_specs=(row_spec,), out_specs=row_spec,
+    ))
+
+    gram = jax.jit(jax.shard_map(
+        lambda c: _psum_gram(c, axis), mesh=mesh,
+        in_specs=(row_spec,), out_specs=P(),
+    ))
+
+    @jax.jit
+    def combine(q, m):
+        return jnp.dot(q, m, preferred_element_type=jnp.float32)
+
+    add = jax.jit(lambda a, c: a + c, donate_argnums=(0,))
+
+    def zeros_big(width=r):
+        return jax.device_put(
+            np.zeros((n_pad_all, width), np.float32), row_sh)
+
+    return dict(scatter=scatter, vblock=vblock, trim=trim, qr2=qr2,
+                gram=gram, combine=combine, add=add, zeros_big=zeros_big,
+                row_sh=row_sh, rep_sh=rep_sh)
+
+
+def _panel_tools_steps(mesh, axis, n_pad_all, n_rows_padded, r, b, S):
+    """:func:`_panel_tools` with a leading per-step dimension S (the
+    GraRep driver carries one panel per transition power) — same guarded
+    scatter/CholeskyQR2/Gram machinery applied per step (S is small and
+    static, so per-step Python loops inside the shard_map bodies unroll
+    cleanly)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    P_ = int(mesh.devices.size)
+    rps_all = n_pad_all // P_
+    row_sh = NamedSharding(mesh, P(None, axis, None))
+    rep_sh = NamedSharding(mesh, P())
+    row_spec = P(None, axis, None)
+
+    def _scatter(y, br, start):
+        def local(y_loc, br_rep, st):
+            y2 = y_loc.reshape(S, rps_all, -1)
+            row0 = lax.axis_index(axis) * rps_all
+            guard = jnp.zeros((S, rps_all + 2 * b, y2.shape[2]), y2.dtype)
+            guard = lax.dynamic_update_slice(
+                guard, y2, (jnp.int32(0), jnp.int32(b), jnp.int32(0)))
+            off = jnp.clip(st - row0 + b, 0, rps_all + b)
+            guard = lax.dynamic_update_slice(
+                guard, br_rep, (jnp.int32(0), off, jnp.int32(0)))
+            return lax.dynamic_slice(
+                guard, (jnp.int32(0), jnp.int32(b), jnp.int32(0)),
+                (S, rps_all, y2.shape[2]))
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(row_spec, P(), P()),
+            out_specs=row_spec,
+        )(y, br, start)
+
+    scatter = jax.jit(_scatter, donate_argnums=(0,))
+
+    def _vblock(v, start):
+        return lax.dynamic_slice(
+            v, (jnp.int32(0), start, jnp.int32(0)), (S, b, v.shape[2]))
+
+    vblock = jax.jit(_vblock, out_shardings=rep_sh)
+
+    @functools.partial(jax.jit, out_shardings=row_sh)
+    def trim(y):
+        return lax.slice(y, (0, 0, 0), (S, n_rows_padded, y.shape[2]))
+
+    qr2 = jax.jit(jax.shard_map(
+        lambda y: jnp.stack([_chol_qr(y[s], axis) for s in range(S)]),
+        mesh=mesh, in_specs=(row_spec,), out_specs=row_spec,
+    ))
+
+    gram = jax.jit(jax.shard_map(
+        lambda c: jnp.stack([_psum_gram(c[s], axis) for s in range(S)]),
+        mesh=mesh, in_specs=(row_spec,), out_specs=P(),
+    ))
+
+    @jax.jit
+    def combine(q, m):  # (S, rows, r) @ (S, r, k) -> (S, rows, k)
+        return jnp.einsum("sij,sjk->sik", q, m,
+                          preferred_element_type=jnp.float32)
+
+    add = jax.jit(lambda a, c: a + c, donate_argnums=(0,))
+
+    def zeros_big(width=r):
+        return jax.device_put(
+            np.zeros((S, n_pad_all, width), np.float32), row_sh)
+
+    return dict(scatter=scatter, vblock=vblock, trim=trim, qr2=qr2,
+                gram=gram, combine=combine, add=add, zeros_big=zeros_big,
+                row_sh=row_sh, rep_sh=rep_sh)
+
+
 def _block_seed_local(rps, b, base, start):
     """One-hot seed for a block of probe columns, LOCAL rows only: column
     j holds e_{start+j} restricted to this shard's row range
@@ -521,19 +676,20 @@ def _block_seed_local(rps, b, base, start):
 
 def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
                   oversample, power_iters, block_rows=None, mesh=None,
-                  n_devices=None):
+                  n_devices=None, out=None):
     """Sharded blocked NetMF: the dense log-PMI matrix exists only one
     ROW-SHARDED column block at a time — each block's transition-power
     walk runs as ``window`` sharded SpMMs (the same blocked driver as the
     single-chip ``_netmf_blocked_device``, with the (n, b) block and the
     randomized-SVD operands row-partitioned across the mesh and the two
     per-block products reduced with psum/local matmuls).  HBM per chip
-    holds O((n/P)·(b + r)): the W sketch is row-sharded and V is shipped
-    one REPLICATED (b, r) block per dispatch (round 5 — a replicated
-    (n, r) V capped the mesh path at ~15M rows/16 GiB regardless of P).
-    The host still stages the (n, r) panels between sweeps
-    (_host_blocked_u_sqrt) — the documented host-RAM axis.  Returns the
-    pre-``_finalize`` (n, feature_dim) matrix."""
+    holds O((n/P)·(b + r)): the W sketch is row-sharded, V is consumed
+    one replicated (b, r) block per dispatch, and — since round 5 — the
+    sketch panels stay DEVICE-RESIDENT across sweeps (distributed
+    CholeskyQR2 + guarded block scatter, ``_panel_tools``): no host
+    (n, r) staging, no per-sweep panel transfers.  Returns the
+    pre-``_finalize`` (n, feature_dim) matrix, or with ``out=`` streams
+    the finalized embedding per shard block into a ``.npy``."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -603,6 +759,7 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
         out_specs=(P(None, None), row_spec),
     ))
 
+    from .mesh import round_up
     from .shard import pad_rows, put_global
 
     placed_ops = _place(mesh, apply_ops, op_specs)
@@ -610,36 +767,58 @@ def netmf_sharded(graph, feature_dim, window_size, negative_samples, seed,
     deg_rep = put_global(mesh, deg_f[:n] if n == n_rows_padded else
                          np.ascontiguousarray(deg_f), P(None))
 
-    def pass_fn(W, V):
-        """One sweep over the blocks: returns (M·W, Mᵀ·V) at (n, r)."""
-        W_sh = put_global(mesh, pad_rows(np.asarray(W, np.float32),
-                                         n_rows_padded), row_spec)
-        V = np.asarray(V, np.float32)
-        G = None
-        pieces = []
-        for start in range(0, n_pad_b, b):
-            Vb = np.zeros((b, r), np.float32)
-            hi = min(start + b, n)
-            if hi > start:
-                Vb[: hi - start] = V[start:hi]
-            Vb_d = put_global(mesh, Vb, P(None, None))
-            br, nr = mapped(jnp.int32(start), W_sh, Vb_d, deg_sh, deg_rep,
-                            placed_ops)
-            pieces.append(np.asarray(br))
-            G = nr if G is None else G + nr
-        Y = np.concatenate(pieces, axis=0)[:n]
-        return Y, _host_full(G)[:n]
+    # device-resident sketch panels (round 5): the (n, r) W/V/Y panels
+    # stay row-sharded on the mesh across sweeps — the previous driver
+    # staged them on the host between sweeps (~1 GB/1M rows at r=266,
+    # plus a full panel upload/fetch per sweep through the tunnel)
+    P_ = int(mesh.devices.size)
+    n_pad_all = round_up(max(n_pad_b, n_rows_padded), P_ * 8)
+    t = _panel_tools(mesh, axis, n_pad_all, n_rows_padded, r, b)
 
-    from ..algorithms import _host_blocked_u_sqrt
+    def pass_dev(W_small, V_big):
+        """One sweep: (Y big sharded, G small sharded) = (M·W, Mᵀ·V)."""
+        Y = t["zeros_big"]()
+        G = None
+        for start in range(0, n_pad_b, b):
+            Vb = t["vblock"](V_big, jnp.int32(start))
+            br, nr = mapped(jnp.int32(start), W_small, Vb, deg_sh,
+                            deg_rep, placed_ops)
+            Y = t["scatter"](Y, br, jnp.int32(start))
+            G = nr if G is None else t["add"](G, nr)
+        return Y, G
 
     rng = np.random.default_rng(seed)
-    omega = rng.standard_normal((n, r)).astype(np.float32)
-    out = _host_blocked_u_sqrt(pass_fn, k, power_iters, omega)
-    return np.asarray(out, dtype=np.float64)
+    omega = put_global(mesh, pad_rows(
+        rng.standard_normal((n, r)).astype(np.float32), n_rows_padded),
+        row_spec)
+    w_zero = put_global(
+        mesh, np.zeros((n_rows_padded, r), np.float32), row_spec)
+    v_zero = t["zeros_big"]()
+
+    Y, _ = pass_dev(omega, v_zero)
+    for _ in range(power_iters):
+        Qb = t["qr2"](Y)
+        _, G = pass_dev(w_zero, Qb)
+        Y, _ = pass_dev(G, v_zero)
+    Qb = t["qr2"](Y)
+    _, C = pass_dev(w_zero, Qb)
+    # small factor from the psum'd Gram (CᵀC = Ub·S²·Ubᵀ) — replicated
+    # eigh convention, final result invariant to Q column signs
+    lam, Ub = np.linalg.eigh(np.asarray(t["gram"](C), dtype=np.float64))
+    order = np.argsort(lam)[::-1]
+    lam = lam[order]
+    Ub = Ub[:, order]
+    su = np.power(np.maximum(lam[:k], 0.0), 0.25)
+    M = (Ub[:, :k] * su[None, :]).astype(np.float32)
+    import jax as _jax
+
+    res = t["combine"](t["trim"](Qb), _jax.device_put(M, t["rep_sh"]))
+    return _sharded_exit(res, op, n, feature_dim, out)
 
 
 def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
-                   power_iters, block_rows=None, mesh=None, n_devices=None):
+                   power_iters, block_rows=None, mesh=None, n_devices=None,
+                   out=None):
     """Sharded blocked GraRep: one transition-power walk per block serves
     every step's log block; the (n, b) blocks and randomized-SVD products
     are row-partitioned across the mesh (the multi-chip form of
@@ -703,49 +882,60 @@ def grarep_sharded(graph, feature_dim, max_step, seed, oversample,
         out_specs=(P(None, None, None), row_spec),
     ))
 
+    from .mesh import round_up
     from .shard import put_global
 
     placed_ops = _place(mesh, apply_ops, op_specs)
 
-    def pass_fn(W, V):
-        Wp = np.zeros((max_step, n_rows_padded, r), np.float32)
-        Wp[:, :n] = np.asarray(W, np.float32)[:, :n]
-        W_sh = put_global(mesh, Wp, row_spec)
-        V = np.asarray(V, np.float32)
+    # device-resident per-step panels (round 5) — see netmf_sharded; the
+    # (max_step, n, r) W/V/Y stacks stay row-sharded across sweeps
+    S = max_step
+    P_ = int(mesh.devices.size)
+    n_pad_all = round_up(max(n_pad_b, n_rows_padded), P_ * 8)
+    t = _panel_tools_steps(mesh, axis, n_pad_all, n_rows_padded, r, b, S)
+
+    def pass_dev(W_small, V_big):
+        Y = t["zeros_big"]()
         G = None
-        pieces = []
         for start in range(0, n_pad_b, b):
-            # one replicated (max_step, b, r) V-block per dispatch — a
-            # replicated full (max_step, n, r) V would cap the mesh path
-            # at HBM/(max_step·r) rows regardless of device count
-            Vbs = np.zeros((max_step, b, r), np.float32)
-            hi = min(start + b, n)
-            if hi > start:
-                Vbs[:, : hi - start] = V[:, start:hi]
-            Vbs_d = put_global(mesh, Vbs, P(None, None, None))
-            br, nr = mapped(jnp.int32(start), W_sh, Vbs_d, placed_ops)
-            pieces.append(np.asarray(br))
-            G = nr if G is None else G + nr
-        Y = np.concatenate(pieces, axis=1)[:, :n]
-        return Y, _host_full(G)[:, :n]
+            Vbs = t["vblock"](V_big, jnp.int32(start))
+            br, nr = mapped(jnp.int32(start), W_small, Vbs, placed_ops)
+            Y = t["scatter"](Y, br, jnp.int32(start))
+            G = nr if G is None else t["add"](G, nr)
+        return Y, G
 
     rng = np.random.default_rng(seed)
-    omega = rng.standard_normal((max_step, n, r)).astype(np.float32)
-    zeros = np.zeros_like(omega)
-    Y, _ = pass_fn(omega, zeros)
+    om = np.zeros((S, n_rows_padded, r), np.float32)
+    om[:, :n] = rng.standard_normal((S, n, r)).astype(np.float32)
+    omega = put_global(mesh, om, row_spec)
+    w_zero = put_global(
+        mesh, np.zeros((S, n_rows_padded, r), np.float32), row_spec)
+    v_zero = t["zeros_big"]()
+
+    Y, _ = pass_dev(omega, v_zero)
     for _ in range(power_iters):
-        Q = np.linalg.qr(Y)[0].astype(np.float32)
-        _, G = pass_fn(zeros, Q)
-        Y, _ = pass_fn(G.astype(np.float32), zeros)
-    Q = np.linalg.qr(Y)[0].astype(np.float32)
-    _, C = pass_fn(zeros, Q)
-    embs = []
-    for s in range(max_step):
-        Ub, sv, _ = np.linalg.svd(C[s].T.astype(np.float64),
-                                  full_matrices=False)
-        su = np.sqrt(np.maximum(sv[:k], 0.0))
-        embs.append((Q[s].astype(np.float64) @ Ub[:, :k]) * su)
-    return np.concatenate(embs, axis=1)
+        Qb = t["qr2"](Y)
+        _, G = pass_dev(w_zero, Qb)
+        Y, _ = pass_dev(G, v_zero)
+    Qb = t["qr2"](Y)
+    _, C = pass_dev(w_zero, Qb)
+    Gm = np.asarray(t["gram"](C), dtype=np.float64)  # (S, r, r)
+    Ms = np.zeros((S, r, k), np.float32)
+    for s in range(S):
+        lam, Ub = np.linalg.eigh(Gm[s])
+        order = np.argsort(lam)[::-1]
+        su = np.power(np.maximum(lam[order][:k], 0.0), 0.25)
+        Ms[s] = (Ub[:, order][:, :k] * su[None, :]).astype(np.float32)
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    res3 = t["combine"](t["trim"](Qb), _jax.device_put(Ms, t["rep_sh"]))
+    flatten = _jax.jit(
+        lambda x: jnp.transpose(x, (1, 0, 2)).reshape(
+            n_rows_padded, S * k),
+        out_shardings=NamedSharding(mesh, P(axis, None)),
+    )
+    return _sharded_exit(flatten(res3), op, n, feature_dim, out)
 
 
 def hope_sharded(graph, feature_dim, beta, seed, oversample, power_iters,

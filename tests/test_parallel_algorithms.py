@@ -281,3 +281,23 @@ def test_single_device_siblings_out_persist(graph, tmp_path):
         ref = fn(graph, feature_dim=16, seed=3, **kw)
         got = fn(graph, feature_dim=16, seed=3, out=p, **kw)
         np.testing.assert_array_equal(np.asarray(got), ref), fn.__name__
+
+
+def test_blocked_sharded_streamed_out(graph, tmp_path):
+    """out= on the device-resident blocked drivers (NetMF/GraRep): the
+    sharded panels stream the finalized .npy per shard block, identical
+    to the in-memory finalized result."""
+    from cleora_tpu.algorithms import embed_grarep, embed_netmf
+
+    for fn, kw in (
+        (embed_netmf, dict(window_size=2, negative_samples=1.0,
+                           oversample=6, power_iters=1)),
+        (embed_grarep, dict(max_step=2, oversample=6, power_iters=1)),
+    ):
+        p = str(tmp_path / f"{fn.__name__}.npy")
+        ref = fn(graph, feature_dim=16, backend="device", n_devices=4,
+                 seed=3, **kw)
+        got = fn(graph, feature_dim=16, backend="device", n_devices=4,
+                 seed=3, out=p, **kw)
+        assert isinstance(got, np.memmap), fn.__name__
+        np.testing.assert_array_equal(np.asarray(got), ref)
