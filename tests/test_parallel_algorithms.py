@@ -115,14 +115,36 @@ def test_netmf_sharded_matches_single_device(graph, nd):
     )
 
 
-def test_grarep_sharded_matches_single_device(graph):
+@pytest.mark.parametrize("nd", [2, 8])
+def test_grarep_sharded_matches_single_device(graph, nd):
     from cleora_tpu.algorithms import embed_grarep
 
     kw = dict(feature_dim=16, max_step=2, oversample=24, power_iters=4,
               seed=3)
     dev = embed_grarep(graph, backend="device", **kw)
-    sh = embed_grarep(graph, backend="device", n_devices=8, block_rows=96,
+    sh = embed_grarep(graph, backend="device", n_devices=nd, block_rows=96,
                       **kw)
+    assert sh.shape == dev.shape
+    assert np.isfinite(sh).all()
+    assert np.allclose(dev @ dev.T, sh @ sh.T, atol=1e-3), (
+        np.abs(dev @ dev.T - sh @ sh.T).max()
+    )
+
+
+def test_netmf_sharded_tiny_graph_panels():
+    """n < block_rows on an 8-way mesh: a single block spans every shard,
+    so the guard-row scatter clamps at BOTH panel ends and most shards
+    hold only padding — the panel path must still match the dense
+    single-device backend."""
+    from cleora_tpu.algorithms import embed_netmf
+
+    rng = np.random.default_rng(5)
+    g = ct.SparseMatrix.from_edge_arrays(
+        rng.integers(0, 30, size=300), rng.integers(0, 30, size=300)
+    )
+    kw = dict(feature_dim=8, oversample=16, power_iters=4, seed=3)
+    dev = embed_netmf(g, backend="device", **kw)
+    sh = embed_netmf(g, backend="device", n_devices=8, block_rows=96, **kw)
     assert sh.shape == dev.shape
     assert np.isfinite(sh).all()
     assert np.allclose(dev @ dev.T, sh @ sh.T, atol=1e-3), (
