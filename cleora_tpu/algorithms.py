@@ -1477,12 +1477,18 @@ def _shard_walk_tables(indptr, cols, deg, n, mesh):
 
 
 def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
-                     second_order: bool) -> str:
+                     second_order: bool, limit=None,
+                     n_devices=None) -> str:
     """Resolve the walk-table placement: 'auto' prefers replicated
     tables (no per-hop collective) and switches to the sharded-table
     engine when the replicated CSR wouldn't fit one device's HBM.  The
     chain ends with an actionable error (backend='host' walks the graph
-    from host RAM) rather than a silent 1000× host-walker fallback."""
+    from host RAM) rather than a silent 1000× host-walker fallback.
+
+    ``limit``/``n_devices`` let the capacity planner (plan.py) evaluate
+    the same chain for a hypothetical chip/mesh without a live backend;
+    by default the limit comes from the real device and the device count
+    from ``mesh``."""
     if mode not in ("auto", "replicated", "sharded"):
         raise ValueError(
             f"Unknown walk_tables '{mode}'. Use 'auto', 'replicated' or "
@@ -1492,9 +1498,10 @@ def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
         if mode == "sharded" and mesh is None:
             raise ValueError("walk_tables='sharded' needs a mesh")
         return mode
-    from .ops.memory import device_hbm_limit
+    if limit is None:
+        from .ops.memory import device_hbm_limit
 
-    limit = device_hbm_limit()
+        limit = device_hbm_limit()
     if limit is None:
         return "replicated"
     # replicated live set: cols + indptr + deg (+vals/wmax/wsum for the
@@ -1505,13 +1512,13 @@ def _walk_table_mode(mode: str, mesh, n: int, nnz: int,
     batch = 3 * (_WALK2_BATCH if second_order else _WALK_BATCH) * 4 * 80
     if table + batch <= int(limit * 0.9):
         return "replicated"
-    if mesh is not None:
-        P_ = int(mesh.devices.size)
+    P_ = int(mesh.devices.size) if mesh is not None else n_devices
+    if P_ is not None and P_ > 1:
         if table / P_ + batch <= int(limit * 0.9):
             return "sharded"
     raise ValueError(
         f"walk tables need ~{table / (1 << 30):.1f} GiB "
-        f"({'replicated' if mesh is None else 'even sharded over the mesh'}"
+        f"({'replicated' if not P_ or P_ <= 1 else 'even sharded over the mesh'}"
         f" exceeds the ~{limit / (1 << 30):.1f} GiB device budget) — "
         "use more devices (mesh=), or backend='host' for host-RAM walks"
     )

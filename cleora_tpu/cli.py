@@ -131,6 +131,30 @@ def main(argv=None):
     p.add_argument("--input", "-i", required=True, help="Input edge file")
     p.add_argument("--columns", "-c", default="complex::reflexive::node")
 
+    p = sub.add_parser(
+        "plan",
+        help="Pre-deployment capacity report: layout, per-device HBM fit, "
+             "walk-pipeline placement (pure host — no device dispatch)",
+    )
+    p.add_argument("--input", "-i", required=True,
+                   help="Input edge file OR a streaming-build graph dir")
+    p.add_argument("--columns", "-c", default="complex::reflexive::node")
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--devices", type=int, default=1,
+                   help="Planned mesh size")
+    p.add_argument("--hbm-gib", type=float, default=None,
+                   help="Per-device HBM budget to plan for "
+                        "(default: live device, else 16 = v5e)")
+    p.add_argument("--walks", action="store_true",
+                   help="Also plan the DeepWalk/Node2Vec device pipeline")
+    p.add_argument("--num-walks", type=int, default=10)
+    p.add_argument("--walk-length", type=int, default=80)
+    p.add_argument("--window", type=int, default=5)
+    p.add_argument("--second-order", action="store_true",
+                   help="Plan the Node2Vec (p/q) engine's larger tables")
+
     p = sub.add_parser("benchmark", help="Run benchmarks")
     p.add_argument("--dataset", "-d", default="karate_club", help="Dataset name")
     p.add_argument("--dim", type=int, default=256)
@@ -149,7 +173,7 @@ def main(argv=None):
     rc = {"embed": _cmd_embed, "info": _cmd_info,
           "benchmark": _cmd_benchmark, "similar": _cmd_similar,
           "merge-shards": _cmd_merge_shards,
-          "scaling": _cmd_scaling}[args.command](args)
+          "scaling": _cmd_scaling, "plan": _cmd_plan}[args.command](args)
     if rc:
         raise SystemExit(rc)
 
@@ -431,6 +455,29 @@ def _cmd_info(args):
     degrees = graph.entity_degrees
     print(f"Degree stats: min={degrees.min():.0f}, max={degrees.max():.0f}, "
           f"mean={degrees.mean():.1f}, median={np.median(degrees):.1f}")
+
+
+def _cmd_plan(args):
+    import os
+
+    from .plan import format_plan, plan_report
+
+    if os.path.isdir(args.input) and \
+            os.path.exists(os.path.join(args.input, "meta.json")):
+        from .graph.stream import DiskGraph
+
+        graph = DiskGraph(args.input)
+    else:
+        from .sparse import SparseMatrix
+
+        graph = SparseMatrix.from_iterator(iter(_read_edges(args.input)),
+                                           args.columns)
+    print(format_plan(plan_report(
+        graph, feature_dim=args.dim, dtype=args.dtype,
+        n_devices=args.devices, hbm_gib=args.hbm_gib, walks=args.walks,
+        num_walks=args.num_walks, walk_length=args.walk_length,
+        window_size=args.window, second_order=args.second_order,
+    )))
 
 
 def _cmd_benchmark(args):
