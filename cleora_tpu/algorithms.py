@@ -471,17 +471,20 @@ def _grarep_dense_jit():
 _GRAREP_FN = None
 
 
-def _check_dense_fit(n: int, n_bufs: int = 6):
+def _check_dense_fit(n: int, n_bufs: int = 6, limit=None):
     """The dense device factorizations hold ~n_bufs (n, n) f32 buffers live
     (A/P, P^k, accumulator, M_log, rsvd temporaries).  Refuse shapes that
-    cannot fit rather than dying in the allocator."""
+    cannot fit rather than dying in the allocator.  ``limit`` overrides
+    the live device budget (the capacity planner evaluates this gate for
+    hypothetical chips)."""
     import os
 
     from .ops import memory
 
     if os.environ.get("CLEORA_TPU_SKIP_FIT_CHECK") == "1":
         return
-    limit = memory.device_hbm_limit()
+    if limit is None:
+        limit = memory.device_hbm_limit()
     if limit is None:
         return
     need = n_bufs * n * n * 4
@@ -495,10 +498,10 @@ def _check_dense_fit(n: int, n_bufs: int = 6):
         )
 
 
-def _dense_fits(n: int, n_bufs: int = 6) -> bool:
+def _dense_fits(n: int, n_bufs: int = 6, limit=None) -> bool:
     """True when the dense (n, n) device factorization fits HBM."""
     try:
-        _check_dense_fit(n, n_bufs)
+        _check_dense_fit(n, n_bufs, limit=limit)
         return True
     except ValueError:
         return False
@@ -541,12 +544,13 @@ def _pt_ell_plan(rows, cols, vals, n: int):
     return plan, deg, vol
 
 
-def _auto_block_rows(n: int, r: int) -> int:
+def _auto_block_rows(n: int, r: int, limit=None) -> int:
     """Largest MXU-friendly block width whose O(n·b) working set (three
     (n, b) f32 buffers + rSVD (n, r) operands) fits half the chip."""
     from .ops import memory
 
-    limit = memory.device_hbm_limit()
+    if limit is None:
+        limit = memory.device_hbm_limit()
     if limit is None:
         b = 4096
     else:

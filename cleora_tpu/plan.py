@@ -191,6 +191,33 @@ def plan_report(
     else:
         report["walks"] = None
 
+    # --- sibling algorithms: which execution path engages at this shape
+    # (the same gates the device backends apply at dispatch)
+    from .algorithms import _auto_block_rows, _dense_fits
+
+    r_sib = min(n, min(feature_dim, max(1, n - 1)) + 16)
+    sparse_need = estimate_embed_hbm_bytes(
+        n, max(feature_dim, (3 * r_sib) // 2), nnz)
+    if sparse_need <= limit:
+        sparse_path = "device (single chip)"
+    elif n_devices > 1:
+        sparse_path = "sharded over the mesh (mesh=/n_devices=)"
+    else:
+        sparse_path = "sharded — needs a mesh (pass mesh=/n_devices=)"
+    if _dense_fits(n, limit=limit):
+        log_path = "dense device (n x n transition powers on the MXU)"
+    else:
+        b = _auto_block_rows(n, r_sib, limit=limit)
+        log_path = f"blocked device (O(n*b) HBM, block_rows~{b})"
+        if n_devices > 1:
+            log_path += " with mesh-sharded panels"
+    report["algorithms"] = {
+        "prone/randne/hope": sparse_path,
+        "netmf/grarep": log_path,
+        "deepwalk/node2vec": "see walk pipeline" if walks
+        else "pass walks=True for the walk-pipeline plan",
+    }
+
     # --- recommendations
     recs = []
     final = embed_rows[-1]
@@ -249,6 +276,11 @@ def format_plan(report: dict) -> str:
             f"  PPMI factorization: {wk['factorization']} "
             f"(~{wk['factorization_need_gib']} GiB single-chip)",
         ]
+    algos = report.get("algorithms")
+    if algos:
+        lines += ["", "Sibling algorithms (backend='device'):"]
+        lines += [f"  {name}: {path}" for name, path in algos.items()
+                  if not path.startswith("pass walks=True")]
     if report["recommendations"]:
         lines += [""] + [f"Recommendation: {r}"
                          for r in report["recommendations"]]

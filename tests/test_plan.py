@@ -119,6 +119,28 @@ def test_per_engine_batch_envelopes(graph):
     assert rep2["walks"]["table_mode"] == "replicated"
 
 
+def test_sibling_paths(graph):
+    """The sibling section applies the runtime's own gates: dense fits
+    this 5k graph at 16 GiB (6*n^2*4 = 0.6 GiB); a sub-dense budget
+    switches NetMF/GraRep to the blocked driver with the runtime's
+    auto block width."""
+    from cleora_tpu.algorithms import _auto_block_rows, _dense_fits
+
+    rep = plan_report(graph, feature_dim=64, n_devices=1, hbm_gib=16.0)
+    assert rep["algorithms"]["prone/randne/hope"] == "device (single chip)"
+    assert rep["algorithms"]["netmf/grarep"].startswith("dense device")
+    assert _dense_fits(5000, limit=16 << 30)
+
+    small = 0.3  # GiB: below the 0.9*limit dense gate for n=5000
+    assert not _dense_fits(5000, limit=int(small * (1 << 30)))
+    rep2 = plan_report(graph, feature_dim=64, n_devices=8, hbm_gib=small)
+    b = _auto_block_rows(5000, 80, limit=int(small * (1 << 30)))
+    assert rep2["algorithms"]["netmf/grarep"] == (
+        f"blocked device (O(n*b) HBM, block_rows~{b}) "
+        "with mesh-sharded panels"
+    )
+
+
 def test_format_plan_renders(graph):
     txt = format_plan(plan_report(graph, n_devices=8, walks=True))
     for needle in ("Graph:", "HBM budget", "SpMM layout",
