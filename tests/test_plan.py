@@ -148,6 +148,31 @@ def test_format_plan_renders(graph):
         assert needle in txt
 
 
+def test_plan_diskgraph_input(tmp_path):
+    """plan_report reads degrees straight off a streamed build's memmap
+    CSR (no materialization), and the CLI auto-detects the graph dir."""
+    from cleora_tpu.cli import main as cli_main
+    from cleora_tpu.graph.stream import build_graph_streaming
+
+    rng = np.random.default_rng(4)
+    lines = [f"n{a} n{b}" for a, b in
+             zip(rng.integers(0, 80, 500), rng.integers(0, 80, 500))]
+    dg = build_graph_streaming(lines, "complex::reflexive::n",
+                               str(tmp_path / "g"))
+    ref = ct.SparseMatrix.from_iterator(iter(lines),
+                                        "complex::reflexive::n")
+    rep = plan_report(dg, feature_dim=32, n_devices=2)
+    rep_ref = plan_report(ref, feature_dim=32, n_devices=2)
+    assert rep["graph"] == rep_ref["graph"]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["plan", "-i", str(tmp_path / "g"), "--dim", "32"])
+    assert "SpMM layout" in buf.getvalue()
+
+
 def test_cli_plan(tmp_path, capsys):
     from cleora_tpu.cli import main
 
