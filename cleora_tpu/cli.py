@@ -154,6 +154,9 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=5)
     p.add_argument("--second-order", action="store_true",
                    help="Plan the Node2Vec (p/q) engine's larger tables")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="Also write the raw report dict as JSON "
+                        "('-' for stdout instead of the text report)")
 
     p = sub.add_parser("benchmark", help="Run benchmarks")
     p.add_argument("--dataset", "-d", default="karate_club", help="Dataset name")
@@ -472,12 +475,21 @@ def _cmd_plan(args):
 
         graph = SparseMatrix.from_iterator(iter(_read_edges(args.input)),
                                            args.columns)
-    print(format_plan(plan_report(
+    rep = plan_report(
         graph, feature_dim=args.dim, dtype=args.dtype,
         n_devices=args.devices, hbm_gib=args.hbm_gib, walks=args.walks,
         num_walks=args.num_walks, walk_length=args.walk_length,
         window_size=args.window, second_order=args.second_order,
-    )))
+    )
+    if args.json is not None:
+        import json
+
+        if args.json == "-":
+            print(json.dumps(rep))
+            return
+        with open(args.json, "w") as f:
+            json.dump(rep, f, indent=2)
+    print(format_plan(rep))
 
 
 def _cmd_benchmark(args):

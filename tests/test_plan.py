@@ -185,3 +185,19 @@ def test_cli_plan(tmp_path, capsys):
           "--walks", "--hbm-gib", "16"])
     out = capsys.readouterr().out
     assert "SpMM layout" in out and "P=4" in out and "Walk pipeline" in out
+
+
+def test_cli_plan_json(tmp_path, capsys):
+    import json
+
+    from cleora_tpu.cli import main
+
+    f = tmp_path / "edges.tsv"
+    f.write_text("a b\nb c\nc a\n")
+    main(["plan", "-i", str(f), "--dim", "16", "--walks", "--json", "-"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["graph"]["n"] == 3 and rep["walks"] is not None
+    out_path = tmp_path / "plan.json"
+    main(["plan", "-i", str(f), "--dim", "16", "--json", str(out_path)])
+    assert "SpMM layout" in capsys.readouterr().out  # text still prints
+    assert json.loads(out_path.read_text())["graph"]["n"] == 3
