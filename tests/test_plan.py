@@ -141,6 +141,16 @@ def test_sibling_paths(graph):
     )
 
 
+def test_bf16_dtype_plan(graph):
+    """Planning with dtype='bfloat16' makes the primary estimate the
+    bf16 one (same bytes as the need_bf16 column of an f32 plan)."""
+    rep_f32 = plan_report(graph, feature_dim=256, n_devices=1)
+    rep_bf = plan_report(graph, feature_dim=256, n_devices=1,
+                         dtype="bfloat16")
+    assert rep_bf["embed"][0]["need_gib"] == \
+        rep_f32["embed"][0]["need_bf16_gib"]
+
+
 def test_format_plan_renders(graph):
     txt = format_plan(plan_report(graph, n_devices=8, walks=True))
     for needle in ("Graph:", "HBM budget", "SpMM layout",
