@@ -100,6 +100,99 @@ def _reduce_walks_impl(walks, n_valid, n, hash_s, hash_mod, *, window):
     return _sort_reduce(cen, ctx, cnt)
 
 
+def _reduce_walks_compact_impl(walks, n_valid, n, hash_s, hash_mod, *,
+                               window, bucket):
+    """Partition-compacted reduce — the multi-pass fast path.
+
+    Enumerates exactly the pairs of :func:`_reduce_walks_impl`, but
+    scatters this pass's LIVE lanes (an expected ~1/hash_mod of the
+    batch) into a ``(bucket,)`` prefix via masked-cumsum indices before
+    the lexicographic sort, so the per-pass sort cost tracks the
+    PARTITION size instead of the full corpus — with H hash partitions
+    the current path pays H full-batch sorts per corpus where one would
+    do.  Returns ``(ucen, uctx, ucnt, m, live)``: ``live`` is the true
+    live-lane count, letting the host detect bucket overflow (possible
+    only under extreme visit-frequency skew, e.g. a hub star — dense
+    first-seen ids are uniform mod H by construction) and rerun the
+    exact full-sort path.  With ``live <= bucket`` the compaction is an
+    order-preserving filter, so the sort-reduce sees the same multiset
+    and the counts are bit-identical (tests/test_cooccur_device.py).
+
+    Gated by ``CLEORA_COOC_COMPACT=1`` pending an on-chip A/B — the
+    scatter is the same sorted-indices pattern ``_sort_reduce`` already
+    issues, but this repo does not default unmeasured perf paths
+    (ROADMAP runbook).
+    """
+    import jax.numpy as jnp
+
+    b, length = walks.shape
+    live_rows = (jnp.arange(b, dtype=jnp.int32) < n_valid)[:, None]
+    cen_parts, ctx_parts = [], []
+    for off in range(1, min(window, length - 1) + 1):
+        a = walks[:, :-off]
+        c = walks[:, off:]
+        ok = (a < n) & (c < n) & live_rows
+        ok_ac = ok & (a % hash_mod == hash_s)   # direction a -> c
+        ok_ca = ok & (c % hash_mod == hash_s)   # direction c -> a
+        cen_parts += [jnp.where(ok_ac, a, _SENT).reshape(-1),
+                      jnp.where(ok_ca, c, _SENT).reshape(-1)]
+        ctx_parts += [jnp.where(ok_ac, c, _SENT).reshape(-1),
+                      jnp.where(ok_ca, a, _SENT).reshape(-1)]
+    cen = jnp.concatenate(cen_parts)
+    ctx = jnp.concatenate(ctx_parts)
+    mask = cen != _SENT
+    live = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask, idx, bucket)  # dead lanes fall off the end
+    ccen = jnp.full(bucket, _SENT, jnp.int32).at[idx].set(cen, mode="drop")
+    cctx = jnp.full(bucket, _SENT, jnp.int32).at[idx].set(ctx, mode="drop")
+    ccnt = (ccen != _SENT).astype(jnp.int32)
+    return (*_sort_reduce(ccen, cctx, ccnt), live)
+
+
+def _reduce_compact_jit():
+    if "reduce_compact" not in _JITS:
+        import jax
+
+        _JITS["reduce_compact"] = jax.jit(
+            _reduce_walks_compact_impl,
+            static_argnames=("window", "bucket"))
+    return _JITS["reduce_compact"]
+
+
+def _compact_bucket_for(batch_shape, window: int, passes: int):
+    """Static compaction bucket for one batch shape, or None when the
+    compacted path cannot win (single pass, tiny batches, or the
+    CLEORA_COOC_COMPACT gate off).  2× headroom over the uniform
+    1/passes expectation absorbs visit-frequency skew; overflow beyond
+    that falls back to the exact full-sort reduce per batch."""
+    if passes <= 1 or os.environ.get("CLEORA_COOC_COMPACT") != "1":
+        return None
+    b, length = batch_shape
+    w = min(window, length - 1)
+    lanes = 2 * b * (w * length - w * (w + 1) // 2)
+    target = _bucket(-(-2 * lanes // passes))
+    return target if target < lanes else None
+
+
+def _reduce_batch(walks, pad, s, passes, n, window):
+    """Dispatch one batch's reduce: compacted fast path when engaged
+    (overflow reruns the full path — exact either way), else the
+    full-batch sort.  Returns the full-length (ucen, uctx, ucnt, m)
+    contract of :func:`_reduce_jit`."""
+    import jax.numpy as jnp
+
+    b = walks.shape[0]
+    args = (walks, jnp.int32(b - pad), jnp.int32(n),
+            jnp.int32(s), jnp.int32(passes))
+    bucket = _compact_bucket_for(walks.shape, window, passes)
+    if bucket is not None:
+        u = _reduce_compact_jit()(*args, window=window, bucket=bucket)
+        if int(u[4]) <= bucket:
+            return u[:4]
+    return _reduce_jit()(*args, window=window)
+
+
 def _merge_impl(cen_a, ctx_a, cnt_a, cen_b, ctx_b, cnt_b):
     import jax.numpy as jnp
 
@@ -297,14 +390,10 @@ def _run_pass(batch_iter, s, passes, n, window):
     the pass-parallel driver relies on that to spread disjoint hash
     partitions across chips.  Returns a compacted ``(cen, ctx, cnt, m)``
     or ``None`` for an empty corpus."""
-    import jax.numpy as jnp
-
-    reduce_fn, merge_fn, compact = _reduce_jit(), _merge_jit(), _compact_jit()
+    merge_fn, compact = _merge_jit(), _compact_jit()
     acc = []  # [(cen, ctx, cnt, m_actual)]
     for walks, pad in batch_iter:
-        b = walks.shape[0]
-        u = reduce_fn(walks, jnp.int32(b - pad), jnp.int32(n),
-                      jnp.int32(s), jnp.int32(passes), window=window)
+        u = _reduce_batch(walks, pad, s, passes, n, window)
         m = int(u[3])
         acc.append((*compact(*u[:3], mb=_bucket(m)), m))
         del u
@@ -372,10 +461,11 @@ def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
     # runs.)
     for di in range(ndev):
         w0, pad0 = per_dev[di][0]
-        _reduce_jit()(
-            w0, jnp.int32(w0.shape[0] - pad0), jnp.int32(n),
-            jnp.int32(0), jnp.int32(passes), window=window,
-        )[3].block_until_ready()
+        # _reduce_batch compiles whichever reduce variant _run_pass will
+        # actually dispatch (full-sort, or the compacted fast path when
+        # CLEORA_COOC_COMPACT engages) and its int() fetch blocks
+        jnp.asarray(_reduce_batch(w0, pad0, 0, passes, n, window)[0]
+                    ).block_until_ready()
     results = [None] * passes
 
     def drive(di):

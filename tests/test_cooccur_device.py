@@ -367,3 +367,55 @@ def test_mesh_pass_parallel_embedding(graph, monkeypatch):
 
     hier = alg.embed_deepwalk(graph, mesh=make_hier_mesh(2, 4), **kw)
     np.testing.assert_allclose(single, hier, rtol=2e-4, atol=2e-4)
+
+
+def test_compacted_reduce_bit_identical(graph, monkeypatch):
+    """CLEORA_COOC_COMPACT=1: the partition-compacted multi-pass reduce
+    is key-for-key identical to the full-sort path AND the host radix
+    path (the compaction is an order-preserving filter — the sort sees
+    the same multiset).  _reduce_jit is poisoned, so the test also
+    proves the fast path actually engaged (no silent fallback)."""
+    ref_k, ref_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
+                                  passes=4)
+    keys_h, counts_h = _host_counts(graph, 2, 10, 3, seed=9, batch=1 << 15)
+    monkeypatch.setenv("CLEORA_COOC_COMPACT", "1")
+
+    def _poisoned():
+        raise AssertionError("full-sort reduce must not run")
+
+    monkeypatch.setattr(cooccur, "_reduce_jit", _poisoned)
+    got_k, got_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
+                                  passes=4)
+    assert np.array_equal(ref_k, got_k)
+    assert np.array_equal(ref_c, got_c)
+    assert np.array_equal(keys_h, got_k)
+    assert np.array_equal(counts_h, got_c)
+
+
+def test_compacted_reduce_overflow_fallback(graph, monkeypatch):
+    """A pathologically small bucket overflows on every batch: the
+    dispatcher must detect live > bucket and rerun the exact full-sort
+    reduce — counts unchanged."""
+    ref_k, ref_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
+                                  passes=2)
+    monkeypatch.setenv("CLEORA_COOC_COMPACT", "1")
+    monkeypatch.setattr(cooccur, "_compact_bucket_for",
+                        lambda shape, window, passes: 2048)
+    got_k, got_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
+                                  passes=2)
+    assert np.array_equal(ref_k, got_k)
+    assert np.array_equal(ref_c, got_c)
+
+
+def test_compact_bucket_gate(monkeypatch):
+    """The compacted path stays off by default, off for single-pass
+    counting, and declines when the bucket wouldn't shrink the sort."""
+    monkeypatch.delenv("CLEORA_COOC_COMPACT", raising=False)
+    assert cooccur._compact_bucket_for((1000, 10), 3, 4) is None  # gate off
+    monkeypatch.setenv("CLEORA_COOC_COMPACT", "1")
+    assert cooccur._compact_bucket_for((1000, 10), 3, 1) is None  # 1 pass
+    b = cooccur._compact_bucket_for((1000, 10), 3, 4)
+    lanes = 2 * 1000 * (3 * 10 - 6)
+    assert b is not None and b < lanes
+    # tiny batches: the pow2 floor exceeds the lane count -> decline
+    assert cooccur._compact_bucket_for((8, 10), 3, 4) is None
