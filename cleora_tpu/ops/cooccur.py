@@ -193,6 +193,149 @@ def _reduce_batch(walks, pad, s, passes, n, window):
     return _reduce_jit()(*args, window=window)
 
 
+def _reduce_walks_sweep_impl(walks, n_valid, n, *, window, passes):
+    """Single-sweep ALL-partitions reduce — one sort serves every pass.
+
+    The multi-pass design exists so no single MERGE working set holds
+    the full unique pair set; but its per-pass reduce re-enumerates and
+    re-sorts the ENTIRE corpus once per hash partition, and the on-chip
+    A/B of the partition-compacted variant (scripts/compact_ab_probe.py,
+    RESULTS.md) showed the full-batch work — not the sort length — is
+    the per-pass bound.  This kernel removes the H× sweep instead: the
+    hash partition is packed into the center sort key
+    (``key = (cen % passes) * n + cen``, int32-exact while
+    ``passes * n < 2**31`` — the caller gates), so ONE lexicographic
+    ``(key, ctx)`` sort — the same 3-lane width the per-pass reduce
+    already pays — yields every partition's uniques as contiguous,
+    (cen, ctx)-sorted segments of the compacted prefix.  Returns
+    ``(ucen, uctx, ucnt, m_per)`` with ``m_per[s]`` the unique count of
+    partition ``s``; :func:`_extract_impl` slices each segment into the
+    standard compacted range form.  Merges stay per-partition and
+    bounded exactly as before.
+    """
+    import jax
+
+    import jax.numpy as jnp
+
+    b, length = walks.shape
+    live_rows = (jnp.arange(b, dtype=jnp.int32) < n_valid)[:, None]
+    cen_parts, ctx_parts = [], []
+    for off in range(1, min(window, length - 1) + 1):
+        a = walks[:, :-off]
+        c = walks[:, off:]
+        ok = (a < n) & (c < n) & live_rows
+        cen_parts += [jnp.where(ok, a, _SENT).reshape(-1),
+                      jnp.where(ok, c, _SENT).reshape(-1)]
+        ctx_parts += [jnp.where(ok, c, _SENT).reshape(-1),
+                      jnp.where(ok, a, _SENT).reshape(-1)]
+    cen = jnp.concatenate(cen_parts)
+    ctx = jnp.concatenate(ctx_parts)
+    dead = jnp.int32(passes * n)  # > every live key; caller gates int32 fit
+    key = jnp.where(cen != _SENT, (cen % passes) * n + cen, dead)
+    cnt = jnp.ones(key.shape[0], jnp.int32)
+    key, ctx, cnt = jax.lax.sort((key, ctx, cnt), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (key[1:] != key[:-1]) | (ctx[1:] != ctx[:-1]),
+    ])
+    ids = jnp.cumsum(first.astype(jnp.int32)) - 1
+    lanes = key.shape[0]
+    live = key < dead
+    ucen = jnp.full(lanes, _SENT, jnp.int32).at[ids].set(
+        jnp.where(live, key % n, _SENT),
+        indices_are_sorted=True, mode="drop")
+    uctx = jnp.full(lanes, _SENT, jnp.int32).at[ids].set(
+        ctx, indices_are_sorted=True, mode="drop")
+    ucnt = jax.ops.segment_sum(cnt, ids, num_segments=lanes,
+                               indices_are_sorted=True)
+    part = jnp.where(live, key // n, jnp.int32(passes))
+    m_per = jnp.zeros(passes + 1, jnp.int32).at[part].add(
+        first.astype(jnp.int32))[:passes]
+    return ucen, uctx, ucnt, m_per
+
+
+def _extract_impl(ucen, uctx, ucnt, start, m, *, mb):
+    """Slice one partition's ``[start, start+m)`` segment of a sweep
+    reduce into the standard compacted ``mb``-bucket range (tails
+    canonicalized to sentinel/zero — downstream masks by ``m``)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    pad_i = jnp.full(mb, _SENT, jnp.int32)
+    cen = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([ucen, pad_i]), start, mb)
+    ctx = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([uctx, pad_i]), start, mb)
+    cnt = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([ucnt, jnp.zeros(mb, jnp.int32)]), start, mb)
+    keep = jnp.arange(mb, dtype=jnp.int32) < m
+    return (jnp.where(keep, cen, _SENT), jnp.where(keep, ctx, _SENT),
+            jnp.where(keep, cnt, 0))
+
+
+def _sweep_jit():
+    if "sweep" not in _JITS:
+        import jax
+
+        _JITS["sweep"] = jax.jit(_reduce_walks_sweep_impl,
+                                 static_argnames=("window", "passes"))
+    return _JITS["sweep"]
+
+
+def _extract_jit():
+    if "extract" not in _JITS:
+        import jax
+
+        _JITS["extract"] = jax.jit(_extract_impl, static_argnames=("mb",))
+    return _JITS["extract"]
+
+
+def _sweep_ok(n: int, passes: int) -> bool:
+    """Single-sweep counting engages for multi-pass corpora whose packed
+    partition key fits int32 (``CLEORA_COOC_SWEEP=0`` restores the
+    per-pass reduce — e.g. to reproduce old timings)."""
+    if passes <= 1 or os.environ.get("CLEORA_COOC_SWEEP") == "0":
+        return False
+    return passes * n < 2**31
+
+
+def _run_sweep(batches_fn, passes, n, window):
+    """Count EVERY hash partition in one corpus sweep (:func:`
+    _reduce_walks_sweep_impl`): per batch, one sort emits all partitions'
+    segments, which chain-merge into per-partition accumulators — the
+    merge working set stays one partition + one batch segment, so the
+    multi-pass memory bound is preserved while the corpus is enumerated
+    and sorted exactly once.  Returns the per-partition compacted ranges
+    (pass order, same content the per-pass path produces) or ``None``
+    for an empty corpus."""
+    import jax.numpy as jnp
+
+    merge_fn, compact = _merge_jit(), _compact_jit()
+    sweep, extract = _sweep_jit(), _extract_jit()
+    acc = [None] * passes
+    seen = False
+    for walks, pad in batches_fn():
+        seen = True
+        u = sweep(walks, jnp.int32(walks.shape[0] - pad), jnp.int32(n),
+                  window=window, passes=passes)
+        m_per = np.asarray(u[3])  # one small scalar-vector fetch per batch
+        starts = np.concatenate(([0], np.cumsum(m_per[:-1], dtype=np.int64)))
+        for s in range(passes):
+            m_s = int(m_per[s])
+            r_s = (*extract(u[0], u[1], u[2], jnp.int32(starts[s]),
+                            jnp.int32(m_s), mb=_bucket(m_s)), m_s)
+            if acc[s] is None:
+                acc[s] = r_s
+            else:
+                v = merge_fn(*acc[s][:3], *r_s[:3])
+                m = int(v[3])
+                acc[s] = (*compact(*v[:3], mb=_bucket(m)), m)
+                del v
+        del u
+    return acc if seen else None
+
+
 def _merge_impl(cen_a, ctx_a, cnt_a, cen_b, ctx_b, cnt_b):
     import jax.numpy as jnp
 
@@ -568,6 +711,18 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
         1 for s in range(passes)
         if checkpoint is None or not checkpoint.has_pass(s)
     )
+    if todo == passes and _sweep_ok(n, passes):
+        # every partition is outstanding: one single-sweep pass computes
+        # them all (one enumerate+sort per batch instead of per pass —
+        # measured on-chip, scripts/compact_ab_probe.py) and the walk
+        # cache is moot (the corpus is iterated exactly once)
+        res = _run_sweep(batches_fn, passes, n, window)
+        ranges = [] if res is None else res
+        if checkpoint is not None:
+            for s, r in enumerate(ranges):
+                checkpoint.save_pass(s, r)
+        _check_count_overflow(ranges, n)
+        return ranges, sum(r[3] for r in ranges)
     cache_state = {"ok": todo > 1, "bytes": 0, "filled": False}
 
     def pass_batches():

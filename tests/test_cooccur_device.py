@@ -54,9 +54,11 @@ def test_device_counts_integer_exact(graph, batch):
 
 
 def test_multipass_walk_cache(graph, monkeypatch):
-    """Multi-pass counting replays cached device walk batches (the
-    factory runs ONCE) unless the cache budget is exceeded, in which case
-    every pass regenerates — identical counts either way."""
+    """Multi-pass counting iterates the corpus ONCE (single-sweep
+    reduce); with the sweep disabled, the legacy per-pass path replays
+    cached device walk batches (factory still runs once) unless the
+    cache budget is exceeded, in which case every pass regenerates —
+    identical counts every way."""
     calls = {"n": 0}
 
     def factory():
@@ -67,11 +69,21 @@ def test_multipass_walk_cache(graph, monkeypatch):
     ref, refc = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15)
     ranges, _ = cooccur.device_pair_counts(factory, graph.num_entities, 3,
                                            passes=3)
-    assert calls["n"] == 1  # cached after pass 0
+    assert calls["n"] == 1  # single sweep
     keys = np.sort(np.concatenate([
         np.asarray(c[:m], np.int64) * graph.num_entities
         + np.asarray(x[:m], np.int64) for c, x, _, m in ranges]))
     assert np.array_equal(np.sort(ref), keys)
+
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
+    calls["n"] = 0
+    ranges1, _ = cooccur.device_pair_counts(factory, graph.num_entities, 3,
+                                            passes=3)
+    assert calls["n"] == 1  # legacy path: cached after pass 0
+    keys1 = np.sort(np.concatenate([
+        np.asarray(c[:m], np.int64) * graph.num_entities
+        + np.asarray(x[:m], np.int64) for c, x, _, m in ranges1]))
+    assert np.array_equal(keys, keys1)
 
     calls["n"] = 0
     monkeypatch.setattr(cooccur, "_WALK_CACHE_BYTES", 16)  # force fallback
@@ -342,8 +354,9 @@ def test_pass_parallel_cache_budget_fallback(graph, monkeypatch):
     monkeypatch.setattr(cooccur, "_WALK_CACHE_BYTES", 16)
     par, _ = cooccur.device_pair_counts(factory, n, 3, passes=3,
                                         devices=jax.devices()[:4])
-    # one aborted broadcast probe + one regenerating sweep per pass
-    assert calls["n"] == 4
+    # one aborted broadcast probe + ONE single-sweep iteration (the
+    # sequential fallback counts every partition in one corpus pass)
+    assert calls["n"] == 2
     for (ks, cs), (kp, cp) in zip(_ranges_payload(ref, n),
                                   _ranges_payload(par, n)):
         assert np.array_equal(ks, kp)
@@ -379,6 +392,7 @@ def test_compacted_reduce_bit_identical(graph, monkeypatch):
                                   passes=4)
     keys_h, counts_h = _host_counts(graph, 2, 10, 3, seed=9, batch=1 << 15)
     monkeypatch.setenv("CLEORA_COOC_COMPACT", "1")
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")  # pin the per-pass path
 
     def _poisoned():
         raise AssertionError("full-sort reduce must not run")
@@ -399,6 +413,7 @@ def test_compacted_reduce_overflow_fallback(graph, monkeypatch):
     ref_k, ref_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
                                   passes=2)
     monkeypatch.setenv("CLEORA_COOC_COMPACT", "1")
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")  # pin the per-pass path
     monkeypatch.setattr(cooccur, "_compact_bucket_for",
                         lambda shape, window, passes: 2048)
     got_k, got_c = _device_counts(graph, 2, 10, 3, seed=9, batch=1 << 15,
@@ -419,3 +434,77 @@ def test_compact_bucket_gate(monkeypatch):
     assert b is not None and b < lanes
     # tiny batches: the pow2 floor exceeds the lane count -> decline
     assert cooccur._compact_bucket_for((8, 10), 3, 4) is None
+
+
+def test_sweep_reduce_bit_identical(graph, monkeypatch):
+    """The default multi-pass path is the single-sweep all-partitions
+    reduce: range-for-range identical (keys, counts, per-range order,
+    compaction buckets) to the legacy per-pass reduce and the host radix
+    path.  Both per-pass reduce variants are poisoned, so the test also
+    proves the sweep actually engaged."""
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
+    factory = lambda: alg._device_walks(graph, 2, 10, seed=9,
+                                        batch=1 << 13, resident=True)
+    n = graph.num_entities
+    ref, m_ref = cooccur.device_pair_counts(factory, n, 3, passes=4)
+    keys_h, counts_h = _host_counts(graph, 2, 10, 3, seed=9, batch=1 << 13)
+
+    monkeypatch.delenv("CLEORA_COOC_SWEEP", raising=False)
+
+    def _poisoned():
+        raise AssertionError("per-pass reduce must not run")
+
+    monkeypatch.setattr(cooccur, "_reduce_jit", _poisoned)
+    monkeypatch.setattr(cooccur, "_reduce_compact_jit", _poisoned)
+    got, m_got = cooccur.device_pair_counts(factory, n, 3, passes=4)
+    assert m_ref == m_got and len(ref) == len(got) == 4
+    for (kr, cr), (kg, cg) in zip(_ranges_payload(ref, n),
+                                  _ranges_payload(got, n)):
+        assert np.array_equal(kr, kg)
+        assert np.array_equal(cr, cg)
+    for r, g in zip(ref, got):
+        assert r[0].shape == g[0].shape  # same compaction buckets
+    keys_d, counts_d = _device_counts(graph, 2, 10, 3, seed=9,
+                                      batch=1 << 13, passes=4)
+    assert np.array_equal(keys_h, keys_d)
+    assert np.array_equal(counts_h, counts_d)
+
+
+def test_sweep_gate(monkeypatch):
+    """The sweep engages only for multi-pass counting with an
+    int32-packable (partition, center) key; CLEORA_COOC_SWEEP=0
+    restores the per-pass path."""
+    monkeypatch.delenv("CLEORA_COOC_SWEEP", raising=False)
+    assert cooccur._sweep_ok(1000, 4)
+    assert not cooccur._sweep_ok(1000, 1)          # single pass
+    assert not cooccur._sweep_ok(2**28, 8)         # packed key overflows
+    assert cooccur._sweep_ok(2**27, 8)
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
+    assert not cooccur._sweep_ok(1000, 4)          # explicit opt-out
+
+
+def test_sweep_checkpoint_roundtrip(graph, tmp_path, monkeypatch):
+    """Sweep-computed partitions persist through CountCheckpoint exactly
+    like per-pass ones: a resumed run loads every pass without touching
+    the walk corpus and returns identical ranges."""
+    factory_calls = {"n": 0}
+
+    def factory():
+        factory_calls["n"] += 1
+        return alg._device_walks(graph, 2, 10, seed=9, batch=1 << 13,
+                                 resident=True)
+
+    n = graph.num_entities
+    ck = cooccur.CountCheckpoint(str(tmp_path), "fp-sweep")
+    ref, m_ref = cooccur.device_pair_counts(factory, n, 3, passes=3,
+                                            checkpoint=ck)
+    assert factory_calls["n"] == 1
+    ck2 = cooccur.CountCheckpoint(str(tmp_path), "fp-sweep")
+    got, m_got = cooccur.device_pair_counts(factory, n, 3, passes=3,
+                                            checkpoint=ck2)
+    assert factory_calls["n"] == 1  # resumed purely from disk
+    assert m_ref == m_got
+    for (kr, cr), (kg, cg) in zip(_ranges_payload(ref, n),
+                                  _ranges_payload(got, n)):
+        assert np.array_equal(kr, kg)
+        assert np.array_equal(cr, cg)
