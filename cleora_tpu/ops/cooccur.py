@@ -556,6 +556,124 @@ def _run_pass(batch_iter, s, passes, n, window):
     return acc[0]
 
 
+def _pair_counts_batch_parallel(batches_fn, n, window, passes, devices,
+                                checkpoint=None, gather_home=True):
+    """Multi-device counting as BATCH-parallel single sweeps.
+
+    Pass-parallel counting (design (a), below) pays ``passes/P`` full
+    corpus enumerates per device; with the single-sweep reduce one
+    enumerate serves every partition, so the right multi-device split is
+    by BATCH: the corpus is dealt round-robin across ``devices``, each
+    device sweeps its share once (chain-merging its own segments into
+    per-partition local accumulators — the sequential sweep's memory
+    profile, scaled 1/P), then partition ``s`` finishes on home device
+    ``devices[s % P]`` with one P-piece cross-device merge.  Merges are
+    order-independent sort-reduces, so the final ranges are bit-identical
+    to the sequential (and per-pass) paths.  Returns ``None`` when the
+    corpus exceeds the walk-cache budget or has fewer than two batches
+    (the sequential sweep is the right tool there).
+    """
+    import concurrent.futures
+
+    import jax
+
+    import jax.numpy as jnp
+
+    corpus, bytes_ = [], 0
+    for item in batches_fn():
+        walks = item[0]
+        bytes_ += walks.size * walks.dtype.itemsize
+        if bytes_ > _WALK_CACHE_BYTES:
+            return None
+        corpus.append(item)
+    if not corpus:
+        return []
+    ndev = min(len(devices), len(corpus))
+    if ndev < 2:
+        return None
+    devs = list(devices)[:ndev]
+    per_dev = [[] for _ in range(ndev)]
+    for i, (w, pad) in enumerate(corpus):
+        per_dev[i % ndev].append((jax.device_put(w, devs[i % ndev]), pad))
+    del corpus
+    merge_fn, compact = _merge_jit(), _compact_jit()
+    sweep, extract = _sweep_jit(), _extract_jit()
+    # warm the dominant program per device BEFORE the threads race into
+    # it (single serializing remote-compile slot — same rationale as the
+    # pass-parallel warm loop)
+    for di in range(ndev):
+        w0, pad0 = per_dev[di][0]
+        u = sweep(w0, jnp.int32(w0.shape[0] - pad0), jnp.int32(n),
+                  window=window, passes=passes)
+        np.asarray(u[3])
+        del u
+    local = [[None] * passes for _ in range(ndev)]
+
+    def sweep_share(di):
+        for walks, pad in per_dev[di]:
+            u = sweep(walks, jnp.int32(walks.shape[0] - pad), jnp.int32(n),
+                      window=window, passes=passes)
+            m_per = np.asarray(u[3])
+            starts = np.concatenate(
+                ([0], np.cumsum(m_per[:-1], dtype=np.int64)))
+            for s in range(passes):
+                m_s = int(m_per[s])
+                r_s = (*extract(u[0], u[1], u[2], jnp.int32(starts[s]),
+                                jnp.int32(m_s), mb=_bucket(m_s)), m_s)
+                a = local[di][s]
+                if a is None:
+                    local[di][s] = r_s
+                else:
+                    v = merge_fn(*a[:3], *r_s[:3])
+                    m = int(v[3])
+                    local[di][s] = (*compact(*v[:3], mb=_bucket(m)), m)
+                    del v
+            del u
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=ndev) as pool:
+        for f in [pool.submit(sweep_share, di) for di in range(ndev)]:
+            f.result()
+
+    results = [None] * passes
+
+    def finish(di):
+        home = devs[di]
+        for s in range(di, passes, ndev):
+            if checkpoint is not None:
+                r = checkpoint.load_pass(s, home)
+                if r is not None:
+                    results[s] = r
+                    continue
+            acc = None
+            for dj in range(ndev):  # deterministic device order
+                piece = local[dj][s]
+                if piece is None:
+                    continue
+                piece = (*(jax.device_put(a, home) for a in piece[:3]),
+                         piece[3])
+                if acc is None:
+                    acc = piece
+                else:
+                    v = merge_fn(*acc[:3], *piece[:3])
+                    m = int(v[3])
+                    acc = (*compact(*v[:3], mb=_bucket(m)), m)
+                    del v
+            results[s] = acc
+            if checkpoint is not None and acc is not None:
+                checkpoint.save_pass(s, acc)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=ndev) as pool:
+        for f in [pool.submit(finish, di) for di in range(ndev)]:
+            f.result()
+    if not gather_home:
+        return [r for r in results if r is not None]
+    home = devs[0]
+    return [
+        (*(jax.device_put(a, home) for a in r[:3]), r[3])
+        for r in results if r is not None
+    ]
+
+
 def _pair_counts_pass_parallel(batches_fn, n, window, passes, devices,
                                checkpoint=None, gather_home=True):
     """Counting passes fanned out over ``devices`` (ROADMAP design (a)).
@@ -692,9 +810,18 @@ def device_pair_counts(batches_fn, n: int, window: int, passes: int = 1,
             _check_count_overflow(ranges, n)
             return ranges, sum(r[3] for r in ranges)
     if devices is not None and len(devices) > 1 and passes > 1:
-        ranges = _pair_counts_pass_parallel(batches_fn, n, window, passes,
-                                            devices, checkpoint=checkpoint,
-                                            gather_home=gather_home)
+        if _sweep_ok(n, passes):
+            # batch-parallel sweeps replace pass-parallel whenever the
+            # sweep reduce is available: 1/P enumerates per device vs
+            # passes/P.  None (cache overflow / single-batch corpus)
+            # falls through to the sequential sweep below.
+            ranges = _pair_counts_batch_parallel(
+                batches_fn, n, window, passes, devices,
+                checkpoint=checkpoint, gather_home=gather_home)
+        else:
+            ranges = _pair_counts_pass_parallel(
+                batches_fn, n, window, passes, devices,
+                checkpoint=checkpoint, gather_home=gather_home)
         if ranges is not None:
             _check_count_overflow(ranges, n)
             return ranges, sum(r[3] for r in ranges)

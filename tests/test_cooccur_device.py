@@ -312,12 +312,15 @@ def _ranges_payload(ranges, n):
 
 
 @pytest.mark.parametrize("ndev,passes", [(4, 5), (2, 2), (8, 3)])
-def test_pass_parallel_counts_bit_identical(graph, ndev, passes):
+def test_pass_parallel_counts_bit_identical(graph, ndev, passes,
+                                            monkeypatch):
     """Pass-parallel counting (one hash partition per device, threaded —
-    ROADMAP design (a)) returns the SAME ranges as the sequential path:
-    same pass order, same keys, same counts, same compaction."""
+    ROADMAP design (a), the multi-device path when the sweep reduce is
+    unavailable) returns the SAME ranges as the sequential path: same
+    pass order, same keys, same counts, same compaction."""
     import jax
 
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
     n = graph.num_entities
     factory = lambda: alg._device_walks(graph, 2, 10, seed=9, batch=1 << 13,
                                         resident=True)
@@ -341,6 +344,7 @@ def test_pass_parallel_cache_budget_fallback(graph, monkeypatch):
     re-runs once per pass) with identical results."""
     import jax
 
+    monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
     calls = {"n": 0}
 
     def factory():
@@ -354,9 +358,8 @@ def test_pass_parallel_cache_budget_fallback(graph, monkeypatch):
     monkeypatch.setattr(cooccur, "_WALK_CACHE_BYTES", 16)
     par, _ = cooccur.device_pair_counts(factory, n, 3, passes=3,
                                         devices=jax.devices()[:4])
-    # one aborted broadcast probe + ONE single-sweep iteration (the
-    # sequential fallback counts every partition in one corpus pass)
-    assert calls["n"] == 2
+    # one aborted broadcast probe + one regenerating sweep per pass
+    assert calls["n"] == 4
     for (ks, cs), (kp, cp) in zip(_ranges_payload(ref, n),
                                   _ranges_payload(par, n)):
         assert np.array_equal(ks, kp)
@@ -481,6 +484,110 @@ def test_sweep_gate(monkeypatch):
     assert cooccur._sweep_ok(2**27, 8)
     monkeypatch.setenv("CLEORA_COOC_SWEEP", "0")
     assert not cooccur._sweep_ok(1000, 4)          # explicit opt-out
+
+
+@pytest.mark.parametrize("ndev,passes", [(4, 5), (2, 2), (8, 3)])
+def test_batch_parallel_counts_bit_identical(graph, ndev, passes,
+                                             monkeypatch):
+    """Batch-parallel sweep counting (corpus dealt round-robin across
+    devices, one sweep per device, per-partition home merges — the
+    default multi-device path) returns the SAME ranges as the sequential
+    path.  The per-pass reduce is poisoned, proving the sweep engaged on
+    every device."""
+    import jax
+
+    n = graph.num_entities
+    factory = lambda: alg._device_walks(graph, 2, 10, seed=9, batch=64,
+                                        resident=True)
+    nb = sum(1 for _ in factory())
+    assert nb >= 2  # multi-batch corpus, or the split never engages
+    seq, m_seq = cooccur.device_pair_counts(factory, n, 3, passes=passes)
+
+    def _poisoned():
+        raise AssertionError("per-pass reduce must not run")
+
+    monkeypatch.setattr(cooccur, "_reduce_jit", _poisoned)
+    monkeypatch.setattr(cooccur, "_reduce_compact_jit", _poisoned)
+    par, m_par = cooccur.device_pair_counts(
+        factory, n, 3, passes=passes, devices=jax.devices()[:ndev])
+    assert m_seq == m_par
+    assert len(seq) == len(par) == passes
+    for (ks, cs), (kp, cp) in zip(_ranges_payload(seq, n),
+                                  _ranges_payload(par, n)):
+        assert np.array_equal(ks, kp)
+        assert np.array_equal(cs, cp)
+    for r, g in zip(seq, par):
+        assert r[0].shape == g[0].shape  # same compaction buckets
+    # gather_home: every returned range lives on ONE device
+    homes = {d for _, _, k, _ in par for d in k.devices()}
+    assert len(homes) == 1
+    # gather_home=False leaves partition s on its home device s % P
+    # (P = devices actually used = min(requested, corpus batches))
+    spread, _ = cooccur.device_pair_counts(
+        factory, n, 3, passes=passes, devices=jax.devices()[:ndev],
+        gather_home=False)
+    devs = jax.devices()[:min(ndev, nb)]
+    for s, (_, _, k, _) in enumerate(spread):
+        assert k.devices() == {devs[s % len(devs)]}
+
+
+def test_batch_parallel_single_batch_falls_to_sequential(graph):
+    """A single-batch corpus cannot split by batch: the multi-device
+    entry must fall through to the sequential sweep (one factory run)
+    with identical ranges."""
+    import jax
+
+    n = graph.num_entities
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return alg._device_walks(graph, 2, 10, seed=9, batch=1 << 15,
+                                 resident=True)
+
+    seq, m_seq = cooccur.device_pair_counts(factory, n, 3, passes=3)
+    calls["n"] = 0
+    par, m_par = cooccur.device_pair_counts(
+        factory, n, 3, passes=3, devices=jax.devices()[:4])
+    assert calls["n"] == 2  # one aborted split probe + one sweep
+    assert m_seq == m_par
+    for (ks, cs), (kp, cp) in zip(_ranges_payload(seq, n),
+                                  _ranges_payload(par, n)):
+        assert np.array_equal(ks, kp)
+        assert np.array_equal(cs, cp)
+
+
+def test_batch_parallel_checkpoint_resume(graph, tmp_path):
+    """Batch-parallel counting persists per-partition checkpoints that a
+    resumed multi-device run loads without touching the corpus, with the
+    pass-parallel device placement (pass s on device s % P)."""
+    import jax
+
+    n = graph.num_entities
+    factory_calls = {"n": 0}
+
+    def factory():
+        factory_calls["n"] += 1
+        return alg._device_walks(graph, 2, 10, seed=9, batch=64,
+                                 resident=True)
+
+    devs = jax.devices()[:4]
+    ck = cooccur.CountCheckpoint(str(tmp_path), "fp-bp")
+    ref, m_ref = cooccur.device_pair_counts(factory, n, 3, passes=4,
+                                            devices=devs, checkpoint=ck,
+                                            gather_home=False)
+    assert factory_calls["n"] == 1
+    ck2 = cooccur.CountCheckpoint(str(tmp_path), "fp-bp")
+    got, m_got = cooccur.device_pair_counts(factory, n, 3, passes=4,
+                                            devices=devs, checkpoint=ck2,
+                                            gather_home=False)
+    assert factory_calls["n"] == 1  # resumed purely from disk
+    assert m_ref == m_got
+    for s, ((kr, cr), (kg, cg)) in enumerate(
+            zip(_ranges_payload(ref, n), _ranges_payload(got, n))):
+        assert np.array_equal(kr, kg)
+        assert np.array_equal(cr, cg)
+        assert got[s][2].devices() == {devs[s % len(devs)]}
 
 
 def test_sweep_checkpoint_roundtrip(graph, tmp_path, monkeypatch):
